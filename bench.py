@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the `noop` sink (full execution, no
+driver-side collect) so the measured time is plan execution, not transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from talkinghead_datapipeline_spark.queries import all_queries  # noqa: E402
+from talkinghead_datapipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (join chain, hash agg,
+# window, rolling, dedup, similarity, kernel projection, top-k).
+HEADLINE = (
+    "q1_pricing_summary",
+    "flagship_segment_leaders",
+    "q5_join_chain_revenue",
+    "q3_top_revenue_orders",
+    "rollup_nation_revenue",
+    "n7_argmax_per_group",
+    "n12_rolling_extent",
+    "s6_sliding_mean",
+    "s8_savgol_fir",
+    "s9_tumbling_volume",
+    "n10_bbox_transform_chain",
+    "dedup_exact_keep_first",
+    "text_quality_score",
+    "sim_brute_cosine_topk",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    # Warm up the JVM + parquet footer caches outside the timed region.
+    specs[names[0]].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

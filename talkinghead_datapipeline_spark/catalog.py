@@ -1,0 +1,69 @@
+"""Table catalog over parquet fixtures (maps E5 path binding, SURVEY §2.a).
+
+The reference binds each DataType column to ``{output_dir}/{key}/{name}{ext}``
+by filesystem convention (``dpl/processor/engine.py:20-53``,
+``dpl/processor/datatype.py:95-96``). Spark-first, the catalog is a table
+registry: every dataset is a named parquet table; consumers get lazy
+DataFrames and Catalyst handles pruning/pushdown against the files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one catalog table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+    LongType and is converted here to TimestampType via exact integer
+    division (``div`` — a double division would lose precision on int64
+    epoch-nanos).
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        # Runtime-set so externally-created sessions (the driver's) read the
+        # nanos parquet too — session.py sets the same conf at build time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register every catalog table as a temp view for the SQL surface."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

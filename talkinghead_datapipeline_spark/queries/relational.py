@@ -1,0 +1,590 @@
+"""Relational operator surface (SURVEY §2.a E3/E6/E7, §2.d joins/aggs/set-ops).
+
+Each query exercises one engine capability against the TPC-H-ish fixtures and
+carries a DuckDB oracle. Reference parity notes cite the behavior being
+re-expressed (file:line in /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Flagship: scan → filter → groupBy agg → orderBy (TPC-H Q1 shape).
+# Maps the reference's whole-clip aggregate pattern (dpl/processor/nodes/
+# bboxes.py:45-81) onto the canonical pricing-summary aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: filtered scan + hash aggregate (8 aggs, 2 keys)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry query: scan → filter → 3-way join → groupBy agg → window →
+# orderBy — one representative of each core operator class (SURVEY §7 phase 1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_segment_leaders",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment, c_custkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(DISTINCT o_orderkey) AS n_orders
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderstatus <> 'P'
+      GROUP BY c_mktsegment, c_custkey
+    )
+    SELECT c_mktsegment, c_custkey, revenue, n_orders, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY revenue DESC, c_custkey ASC) AS rnk
+      FROM per_cust
+    ) WHERE rnk <= 5
+    """,
+    tags=("flagship", "join", "window"),
+)
+def flagship_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 revenue customers per market segment: filtered scan, 3-way join,
+    hash agg, window rank, deterministic tiebreak — the t1 smoke query."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("c_mktsegment", "c_custkey", "revenue", "n_orders", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — multi-input key intersection == semi join (dpl/processor/engine.py:108-109)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e3_key_intersection_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    tags=("join", "E3"),
+)
+def e3_key_intersection_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys present in every input (engine.py:108-109) → chained LEFT SEMI joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — memoization as incremental anti-join (dpl/processor/nodes/base.py:135)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e7_memoization_anti",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    tags=("join", "E7"),
+)
+def e7_memoization_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose outputs don't exist yet (base.py:135) → LEFT ANTI join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — input-exists filter with predicate (base.py:136-142)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e6_exists_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+    tags=("join", "E6"),
+)
+def e6_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep rows whose qualifying input exists → semi join with pushed filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N18/N21-style wide join chains (dpl/processor/nodes/a2en.py:13-45 6-way join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_join_chain_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "N18"),
+)
+def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join (a2en.py's multi-input assembly shape) + agg; dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic global top-k (rounded key then tiebreak)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N7 — argmax-per-group (dpl/processor/nodes/fa.py:21-24 best bbox by score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n7_argmax_per_group",
+    oracle="""
+    SELECT user_id, event_id AS top_event_id, round(value, 2) AS top_value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "N7"),
+)
+def n7_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-scoring candidate per group (fa.py:21-24) → rank-1 window row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("top_event_id"),
+            F.round("value", 2).alias("top_value"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window rank (single shuffle on the group key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N11 — whole-group extent broadcast back (dpl/processor/nodes/bboxes.py:45-81)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n11_group_extent",
+    oracle="""
+    SELECT l_orderkey,
+           round(min(l_quantity), 2)           AS min_x,
+           round(max(l_quantity), 2)           AS max_x,
+           round(min(l_extendedprice), 2)      AS min_y,
+           round(max(l_extendedprice), 2)      AS max_y,
+           round(1.1 * ((max(l_quantity) - min(l_quantity))
+                 + (max(l_extendedprice) - min(l_extendedprice))) / 2, 6) AS side
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("agg", "N11"),
+)
+def n11_group_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-clip min/max extent → square side (bboxes.py:57-76 formula)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.min("l_quantity").alias("_minx"),
+        F.max("l_quantity").alias("_maxx"),
+        F.min("l_extendedprice").alias("_miny"),
+        F.max("l_extendedprice").alias("_maxy"),
+    )
+    return agg.select(
+        "l_orderkey",
+        F.round("_minx", 2).alias("min_x"),
+        F.round("_maxx", 2).alias("max_x"),
+        F.round("_miny", 2).alias("min_y"),
+        F.round("_maxy", 2).alias("max_y"),
+        F.round(
+            1.1
+            * ((F.col("_maxx") - F.col("_minx")) + (F.col("_maxy") - F.col("_miny")))
+            / 2,
+            6,
+        ).alias("side"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — exact quantile (dpl/processor/nodes/bboxes.py:180-194)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_quantile_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75_qty,
+           round(quantile_cont(l_discount, 0.50), 6) AS med_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "S10"),
+)
+def s10_quantile_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantile (np.quantile parity, bboxes.py:186)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75_qty"),
+        F.round(F.percentile("l_discount", F.lit(0.50)), 6).alias("med_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (engine.py:108-109 intersection; base.py:190-200 difference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop", "E3"),
+)
+def set_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set intersection (engine.py:108-109) as INTERSECT."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop", "E9"),
+)
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key difference (base.py:190-200 schema diff) as EXCEPT."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.exceptAll(orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (engine surface beyond the reference, §2.d)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_nation_revenue",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP; dims broadcast into the fact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / date function surface (E2 key derivation, engine.py:97-98; §2.d)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e2_name_derivation",
+    oracle="""
+    SELECT p_partkey,
+           lower(replace(p_type, ' ', '_')) || '_' || CAST(p_partkey AS VARCHAR) AS clip_name,
+           upper(substr(p_brand, 1, 5))  AS brand_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+    tags=("string", "E2"),
+)
+def e2_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path→name key derivation (engine.py:97-98): join parts with '_'."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "_",
+            F.lower(F.regexp_replace("p_type", " ", "_")),
+            F.col("p_partkey").cast("string"),
+        ).alias("clip_name"),
+        F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "date_orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY 1, 2
+    """,
+    tags=("date", "agg"),
+)
+def date_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup with date part extraction."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

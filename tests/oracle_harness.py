@@ -1,0 +1,105 @@
+"""Local replica of the driver's Spark-vs-DuckDB differential check.
+
+Mirrors the contract in ``__spark_entry__.py``: run the Spark query and the
+oracle SQL on the same parquet tables, then compare row count, column-name
+set, and order-insensitive values (columns sorted by name, rows sorted by
+canonical repr, exact equality — the driver hashes, so near-equality is a
+FAIL here too).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from talkinghead_datapipeline_spark.catalog import TPCH_TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_value(v: Any) -> Any:
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.to_pydatetime().isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        canon = tuple(_canon_value(v) if not (isinstance(v, float) and pd.isna(v)) else None for v in row)
+        # pandas represents SQL NULL in float cols as NaN; map to None
+        out.append(canon)
+    out.sort(key=repr)
+    return out
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        extra = "" if self.ok else " | " + "; ".join(self.mismatches[:5])
+        return f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}{extra}"
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    res = CompareResult(name, True, len(spark_pdf), len(oracle_pdf))
+    if set(spark_pdf.columns) != set(oracle_pdf.columns):
+        res.ok = False
+        res.mismatches.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return res
+    if len(spark_pdf) != len(oracle_pdf):
+        res.ok = False
+        res.mismatches.append("row count differs")
+        return res
+    s_rows = _canon_rows(spark_pdf)
+    o_rows = _canon_rows(oracle_pdf)
+    n_diff = 0
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        if a != b:
+            n_diff += 1
+            if n_diff <= 3:
+                res.mismatches.append(f"row {i}: spark={a!r} oracle={b!r}")
+    if n_diff:
+        res.ok = False
+        res.mismatches.append(f"{n_diff}/{len(s_rows)} rows differ")
+    return res
+
+
+def run_compare(spark, sf_dir: str, name: str, spark_fn, oracle: str) -> CompareResult:
+    spark_pdf = spark_fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(name, spark_pdf, oracle_pdf)

@@ -31,6 +31,8 @@ _MODULES = (
     "kernels",
     "textops",
     "similarity",
+    "timeseries",
+    "dedup",
 )
 
 

@@ -1,0 +1,263 @@
+"""Dedup query surface: MinHash+LSH, SimHash, n-gram Jaccard, embedding
+near-dup (north-star; operators in operators.dedup).
+
+Every signature/pair is reproduced bit-exactly by the DuckDB oracle because
+all hashing goes through the portable md5-prefix construction — see
+operators/dedup.py module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.operators import dedup as D
+from talkinghead_datapipeline_spark.queries import register
+from talkinghead_datapipeline_spark.queries.similarity import cosine
+
+# Shared SQL fragments -------------------------------------------------------
+
+_HASH32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SHINGLES_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+_SIG_COLS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> ({a} * ({_HASH32_SQL.format(x='s')})"
+    f" + {b}) % {D.MINHASH_P})) AS mh{k}"
+    for k, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+)
+
+_N_BANDS = D.N_PERM // D.BAND_WIDTH
+
+
+def _band_sql(b: int) -> str:
+    lo = b * D.BAND_WIDTH
+    return " || '|' || ".join(f"mh{k}" for k in range(lo, lo + D.BAND_WIDTH))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id, {", ".join(f"mh{k}" for k in range(D.N_PERM))}
+    FROM (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(shingles) >= 1)
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document K=8 MinHash signature over 3-word shingles — single scan,
+    no shuffle; the building block of LSH dedup at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("_sh")
+    ).filter(F.size("_sh") >= 1)
+    return sh.select("doc_id", *D.minhash_signature(F.col("_sh")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-duplicate pairs (banded candidates + exact-Jaccard verify)
+# ---------------------------------------------------------------------------
+
+_BANDED_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {_band_sql(b)} AS band FROM sigs" for b in range(_N_BANDS)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(shingles) >= 1),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.key_a
+      JOIN sh sb ON sb.doc_id = p.key_b
+    )
+    SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= 0.2
+"""
+
+
+@register("minhash_lsh_near_dups", oracle=_MINHASH_PAIRS_ORACLE, tags=("dedup", "minhash", "join"))
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: LSH band self-join (the only shuffle, on band
+    keys) → exact Jaccard verification ≥ 0.2 on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    return pairs.select(
+        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hashes,"
+    f" h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+                            t -> {_HASH32_SQL.format(x='t')}) AS hashes
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash,
+           CAST(len(hashes) AS BIGINT) AS n_tokens
+    FROM h
+"""
+
+
+@register("simhash_fingerprint", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit-vote fold over token hashes) —
+    near-dup candidates at scale bucket on fingerprint bands; single scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        D.simhash32(F.col("text")).alias("simhash"),
+        F.size(D.word_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram Jaccard near-dups inside (lang, length-bucket) blocks
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
+             list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), i, 3))) AS grams
+      FROM documents WHERE length(text) >= 3
+    ),
+    scored AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+@register("ngram_jaccard_near_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "join"))
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks —
+    the blocked-exact tier of the dedup stack (blocks bound the quadratic
+    term; at 100 TB block keys come from the cheap metadata columns)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
+        D.char_ngrams(F.col("text")).alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("lang").alias("_lang_a"),
+        F.col("blk").alias("_blk_a"),
+        F.col("grams").alias("_grams_a"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("lang").alias("_lang_b"),
+        F.col("blk").alias("_blk_b"),
+        F.col("grams").alias("_grams_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_lang_a") == F.col("_lang_b"))
+            & (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.round(D.jaccard(F.col("_grams_a"), F.col("_grams_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (blocked exact baseline)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_COS = (
+    f"({_DOT.format(a='a.embedding', b='b.embedding')}"
+    f" / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})"
+    f" * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})))"
+)
+
+_EMB_NEAR_DUP_ORACLE = f"""
+    WITH scored AS (
+      SELECT a.vec_id AS key_a, b.vec_id AS key_b, a.label AS label,
+             round({_COS}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT key_a, key_b, label, cos_sim FROM scored WHERE cos_sim >= 0.4
+"""
+
+
+@register("emb_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity", "join"))
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (exact baseline;
+    the LSH-bucketed variant is the scale path in operators.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("key_a"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("key_b"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_eb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("_lb")) & (F.col("key_a") < F.col("key_b")))
+        .select(
+            "key_a",
+            "key_b",
+            "label",
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )

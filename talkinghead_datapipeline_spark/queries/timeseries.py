@@ -1,0 +1,293 @@
+"""Time-series layer queries: resample (S7), as-of join, sessionization,
+pivot, JSON extraction, correlated-agg subquery (SURVEY §2.c S7, §2.d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.operators.resample import (
+    resample_linear,
+    with_frame_index,
+)
+from talkinghead_datapipeline_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# S7 — linear-interp resample of a uniform 50 fps series onto ceil(0.6·L)
+# target frames (dpl/wav2vec/utils.py:5-21). The oracle replicates the exact
+# closed-form grid arithmetic so both engines hit identical IEEE doubles.
+# ---------------------------------------------------------------------------
+
+_S7_ORACLE = """
+    WITH src AS (
+      SELECT user_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+                  AS BIGINT) AS idx,
+             count(*) OVER (PARTITION BY user_id) AS L
+      FROM events WHERE event_type = 'view'
+    ), fsrc AS (
+      SELECT * FROM src WHERE L >= 2
+    ), keys AS (
+      SELECT user_id, max(L) AS L,
+             CAST(ceil(max(L) * 30.0 / 50.0) AS BIGINT) AS num
+      FROM fsrc GROUP BY user_id
+    ), tgt AS (
+      SELECT user_id, L, num, unnest(range(0, num)) AS tgt_idx
+      FROM keys WHERE num >= 2
+    ), tgtx AS (
+      SELECT user_id, L, num, tgt_idx,
+             (1.0/(2*(num/(L/50.0))))
+               + tgt_idx * ((L/50.0 - 1.0/(2*(num/(L/50.0)))) / (num - 1)) AS xhat
+      FROM tgt
+    ), tgts AS (
+      SELECT user_id, tgt_idx, xhat,
+             greatest(0, least(L - 2,
+               CAST(floor((xhat - 1.0/(2*50.0))
+                    / ((L/50.0 - 1.0/(2*50.0)) / (L - 1))) AS BIGINT))) AS seg
+      FROM tgtx
+    ), segs AS (
+      SELECT user_id, idx AS seg_idx, value AS y0,
+             lead(value, 1) OVER (PARTITION BY user_id ORDER BY idx) AS y1,
+             (1.0/(2*50.0)) + idx * ((L/50.0 - 1.0/(2*50.0)) / (L - 1)) AS sx0,
+             ((L/50.0 - 1.0/(2*50.0)) / (L - 1)) AS sdx
+      FROM fsrc
+    )
+    SELECT t.user_id, t.tgt_idx,
+           round(y0 + ((xhat - sx0) / sdx) * (y1 - y0), 6) AS resampled
+    FROM tgts t JOIN segs s ON t.user_id = s.user_id AND t.seg = s.seg_idx
+    WHERE s.y1 IS NOT NULL
+"""
+
+
+@register("s7_resample_linear", oracle=_S7_ORACLE, tags=("timeseries", "S7"))
+def s7_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's 'view' series from 50 fps onto ceil(0.6·L) frames
+    (wav2vec/utils.py:5-21 grid semantics) via operators.resample — closed-form
+    uniform-grid segment lookup, one equi-join, no range join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    indexed = with_frame_index(
+        ev.select("user_id", "event_id", "value"), "user_id", ["event_id"]
+    )
+    num = F.ceil(F.col("_L") * 30.0 / 50.0).cast("bigint")
+    out = resample_linear(indexed, "user_id", "value", num, src_fps=50.0)
+    return out.select(
+        "user_id", "tgt_idx", F.round("resampled", 6).alias("resampled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — most recent prior observation (the S7/interval-join cousin;
+# reference analog: aligning audio features to video frames).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_prior_view_value",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS purchase_value,
+           round(last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2)
+             AS prior_view_value
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_prior_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as an ignore-nulls carry-forward window — O(N)
+    single shuffle, no range join; the scalable form of pd.merge_asof."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_value", F.round(carried, 2))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("purchase_value"),
+            "prior_view_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap > 30 min starts a new session (lag + cumsum).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(event_id) AS first_event_id,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("timeseries", "session"),
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum = session id, then per-
+    session rollup (the batch form of session_window())."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts", 1).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — wide-format aggregation (engine surface; §2.d pivot/unpivot).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS open_total,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS fulfilled_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS pending_total,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status → columns via groupBy().pivot() (Catalyst rewrites
+    to the same conditional-agg form as the oracle's CASE WHEN)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.col("O_total").alias("open_total"),
+        F.col("F_total").alias("fulfilled_total"),
+        F.col("P_total").alias("pending_total"),
+        (
+            F.coalesce("O_n", F.lit(0))
+            + F.coalesce("F_n", F.lit(0))
+            + F.coalesce("P_n", F.lit(0))
+        ).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props column — JSON extraction (events.props).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props string + rollup (the reference's
+    struct-container unpacking, h5.py:47-83, re-cast as semi-structured SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-agg subquery (TPC-H Q17 shape): per-group threshold from an
+# aggregate of the same table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_below_avg_quantity",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice), 2) AS small_lot_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_pk, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey) agg
+      ON agg_pk = l_partkey
+    WHERE l_quantity < half_avg_qty
+    GROUP BY p_brand
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-lot revenue per brand: self-agg threshold join (Q17 shape).
+    The per-part avg is an exact integer-sum average, so the `<` comparison
+    is order-independent across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresholds = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("agg_pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

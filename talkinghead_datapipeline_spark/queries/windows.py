@@ -162,6 +162,45 @@ def s8_savgol_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s8_savgol_exact", oracle=None, tags=("window", "S8", "udf"))
+def s8_savgol_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scipy-parity savgol(w=25, o=3) incl. 'interp' edge refit —
+    applyInPandas per user series (operators.rolling). Non-SQL-expressible
+    (polynomial edge refit), so no oracle: correctness is pinned by
+    tests/test_kernels.py against the numpy reference."""
+    from talkinghead_datapipeline_spark.operators.rolling import savgol_smooth
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = savgol_smooth(ev, "user_id", "event_id", ["value"], window=25)
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("smoothed")
+    )
+
+
+@register("n12_emoca_bbox_pipeline", oracle=None, tags=("window", "N12", "udf"))
+def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EmocaLikeBboxes chain (bboxes.py:84-195): rolling extent w=5 →
+    exact savgol(25,3) center smoothing → q=0.75 size equalization. The
+    savgol stage's edge refit is non-SQL-expressible → rows-only check;
+    the SQL-expressible stages are oracle-covered by n12_rolling_extent +
+    s10_quantile_per_flag."""
+    from talkinghead_datapipeline_spark.operators.rolling import rolling_extent_bboxes
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = rolling_extent_bboxes(
+        ev, "user_id", "event_id", "value", window=5, smooth_window=25, equalize_q=0.75
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("center", 6).alias("center"),
+        F.round("size", 6).alias("size"),
+        F.round("size_eq", 6).alias("size_eq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S9 — tumbling windows (volume envelope, dpl/wav2vec/inference.py:94-106)
 # ---------------------------------------------------------------------------

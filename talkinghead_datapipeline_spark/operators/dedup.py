@@ -64,20 +64,36 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _perm_fn(a: int, b: int):
-    # NOTE: capture via closure, not lambda default args — PySpark inspects
-    # lambda arity to bind higher-order-function variables, and default args
-    # count as parameters.
-    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+def minhash_sig_array(shingles: Column) -> Column:
+    """K-permutation MinHash signature as ONE array column, computed in a
+    single fold over the shingle hashes.
+
+    Performance note: naively emitting K separate ``array_min(transform(…))``
+    columns makes Catalyst evaluate the md5 token-hash transform K times
+    (projection collapse re-inlines it); a single ``aggregate`` with a
+    K-wide accumulator hashes each shingle exactly once.
+    """
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
+    hashes = F.transform(shingles, portable_hash32)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), N_PERM)
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(N_PERM)),
+            lambda m, k: F.least(
+                m, (F.element_at(a_arr, k) * h + F.element_at(b_arr, k)) % MINHASH_P
+            ),
+        )
+
+    return F.aggregate(hashes, init, merge)
 
 
 def minhash_signature(shingles: Column) -> list[Column]:
-    """K permutation-minimum columns over the shingle set."""
-    hashes = F.transform(shingles, portable_hash32)
-    return [
-        F.array_min(F.transform(hashes, _perm_fn(a, b))).alias(f"mh{k}")
-        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
+    """K permutation-minimum columns over the shingle set (mh0..mhK-1)."""
+    sig = minhash_sig_array(shingles)
+    return [F.element_at(sig, k + 1).alias(f"mh{k}") for k in range(N_PERM)]
 
 
 def band_key(band: int) -> Column:
@@ -91,18 +107,40 @@ def band_key(band: int) -> Column:
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over token multiset: bit j set iff the ±1 votes of
     per-token hash bit j sum positive."""
+    # Single fold: accumulator = [ones_count(bit 0..31), n_tokens]; each
+    # token hash is computed and scanned once. The finish lambda folds the
+    # accumulator (a bound variable — evaluated once) into the fingerprint,
+    # so the md5 transform is never re-inlined by projection collapse.
     hashes = F.transform(word_tokens(text), portable_hash32)
+    init = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS + 1)
 
-    def _vote_fn(j: int):
-        return lambda s, h: s + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS)),
+            lambda c, j: F.when(j == SIMHASH_BITS, c + 1).otherwise(
+                c
+                + (
+                    F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("bigint")
+                    % 2
+                )
+            ),
+        )
 
-    acc = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_fn(j))
-        acc = acc + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
-    return acc
+    def finish(acc: Column) -> Column:
+        # bit j set iff ones > n/2  ⇔  sum(±1 votes) > 0
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            F.lit(0).cast("bigint"),
+            lambda s, j: s
+            + F.when(
+                2 * F.element_at(acc, (j + 1).cast("int"))
+                > F.element_at(acc, SIMHASH_BITS + 1),
+                F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+            ).otherwise(0),
+        )
+
+    return F.aggregate(hashes, init, merge, finish)
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

@@ -148,6 +148,87 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash hamming-distance near-dup pairs (band join + bit_count verify)
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 10
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+                            t -> {_HASH32_SQL.format(x='t')}) AS hashes
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash FROM h
+    ),
+    banded AS (
+      SELECT doc_id, simhash, 0 AS bi, simhash % 65536 AS bv FROM f
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS bi, simhash // 65536 AS bv FROM f
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM banded a JOIN banded b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT key_a, key_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+"""
+
+
+@register("simhash_hamming_near_dups", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash", "join"))
+def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: by pigeonhole, two 32-bit fingerprints within
+    hamming distance 16 agree exactly on at least one 16-bit half, so the
+    candidate join keys on (band index, band value) — the only shuffle —
+    and the exact ``bit_count(xor)`` verify runs on candidates only. At
+    100 TB the band key is near-uniform (it IS a hash), so no skew."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    f = docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+    banded = f.select(
+        "doc_id", "simhash", F.lit(0).alias("bi"), (F.col("simhash") % 65536).alias("bv")
+    ).unionAll(
+        f.select(
+            "doc_id",
+            "simhash",
+            F.lit(1).alias("bi"),
+            F.floor(F.col("simhash") / 65536).alias("bv"),
+        )
+    )
+    a = banded.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("bi").alias("_bi_a"),
+        F.col("bv").alias("_bv_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("bi").alias("_bi_b"),
+        F.col("bv").alias("_bv_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_bi_a") == F.col("_bi_b"))
+            & (F.col("_bv_a") == F.col("_bv_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select("key_a", "key_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "key_a", "key_b", hamming.cast("bigint").alias("hamming")
+    ).filter(hamming <= _HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
 # Character-trigram Jaccard near-dups inside (lang, length-bucket) blocks
 # ---------------------------------------------------------------------------
 

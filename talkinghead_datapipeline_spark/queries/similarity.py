@@ -106,6 +106,186 @@ def sim_brute_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Scale-path ANN: LSH (random-hyperplane) bucketing and IVF coarse quantizer.
+#
+# Both use *deterministic* anchors drawn from the dataset itself (fixed
+# vec_ids) so the DuckDB oracle reproduces the exact same buckets: the dot
+# products fold in the same order in DOUBLE on both engines, so the sign
+# bits / argmax choices are bit-identical.
+# ---------------------------------------------------------------------------
+
+_LSH_SEEDS = (11, 42, 97, 123)  # hyperplane vec_ids → 2^4 = 16 buckets
+_IVF_SEEDS = (7, 33, 58, 101, 164, 209, 305, 404)  # 8 coarse centroids
+
+
+def _anchors(emb: DataFrame, seeds: tuple[int, ...]) -> DataFrame:
+    """1-row broadcastable DataFrame with the anchor vectors in seed order."""
+    return (
+        emb.filter(F.col("vec_id").isin(*seeds))
+        .select("vec_id", "embedding")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("pairs")
+        )
+        .select(F.transform("pairs", lambda p: p["embedding"]).alias("anchors"))
+    )
+
+
+def _lsh_bucket(vec: Column, anchors: Column) -> Column:
+    """Bucket id = Σ_k [dot(vec, anchors[k]) ≥ 0] · 2^k  — map-only, no
+    shuffle: the anchors ride along as a broadcast 1-row cross join."""
+    nbits = len(_LSH_SEEDS)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(nbits)),
+        F.lit(0).cast("bigint"),
+        lambda acc, k: acc
+        + F.when(
+            _dot(vec, F.element_at(anchors, k)) >= 0,
+            F.pow(F.lit(2.0), (k - 1).cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec, f'hps[{k + 1}]')} >= 0"
+        f" THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        for k in range(len(_LSH_SEEDS))
+    )
+    return f"({terms})"
+
+
+@register(
+    "sim_lsh_bucket_topk",
+    oracle=f"""
+    WITH hp AS (
+      SELECT list(embedding ORDER BY vec_id) AS hps
+      FROM embeddings WHERE vec_id IN {_LSH_SEEDS}
+    ),
+    bucketed AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings, hp
+    ),
+    q AS (
+      SELECT embedding AS qvec, bucket AS qbucket
+      FROM bucketed WHERE vec_id = 0
+    )
+    SELECT b.vec_id, b.label, b.bucket,
+           round({_cosine_sql('b.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM bucketed b, q
+    WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+    ORDER BY cos_sim DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the 100 TB scale path for cosine search.
+
+    Buckets are computed map-only (anchors broadcast as one row), so the
+    full-corpus pass is a scan; the probe then touches only the query's
+    bucket (~1/2^nbits of the data — with a bucket-partitioned layout the
+    scan itself prunes to one partition). Brute-force cosine runs only
+    within the bucket. Approximate by construction; deterministic because
+    the hyperplanes are fixed rows of the dataset.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp = _anchors(emb, _LSH_SEEDS)
+    bucketed = emb.crossJoin(F.broadcast(hp)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _lsh_bucket(F.col("embedding"), F.col("anchors")).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_ivf_probe_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT list(embedding ORDER BY vec_id) AS cents
+      FROM embeddings WHERE vec_id IN {_IVF_SEEDS}
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding,
+             list_position(sims, list_max(sims)) AS cluster
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_transform(cents,
+                 c -> round({_cosine_sql('embedding', 'c')}, 9)) AS sims
+        FROM embeddings, cent
+      )
+    ),
+    q AS (
+      SELECT embedding AS qvec, cluster AS qcluster
+      FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.label, CAST(a.cluster AS BIGINT) AS cluster,
+           round({_cosine_sql('a.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.vec_id <> 0 AND a.cluster = q.qcluster
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: assign every vector to its nearest of 8
+    fixed centroids (map-only broadcast, like a trained coarse codebook),
+    then search only the query's cell (nprobe=1). At scale the assignment
+    is the partition key — probes become partition-pruned scans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _anchors(emb, _IVF_SEEDS).withColumnRenamed("anchors", "cents")
+    sims = F.transform(
+        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c), 9)
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).alias(
+                "cluster"
+            ),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("cluster").alias("qcluster")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cluster") == F.col("qcluster"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "sim_cosine_topk_per_label",
     oracle=f"""

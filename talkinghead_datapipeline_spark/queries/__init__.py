@@ -27,12 +27,14 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "relational",
+    "tpch_extra",
     "windows",
     "kernels",
     "textops",
     "similarity",
     "timeseries",
     "dedup",
+    "streaming_queries",
 )
 
 

@@ -1,0 +1,168 @@
+"""Structured Streaming queries wired into the correctness gate.
+
+The reference's only "streaming" is batch-incremental chunk scheduling with
+file-existence memoization (SURVEY §2.a E7/E11). The principled Spark form
+is a file-source stream + ``Trigger.AvailableNow`` + checkpoint: exactly-once
+incremental over a growing directory. These queries run a REAL streaming job
+(state store, watermark, eviction) to a parquet sink, then return the sink —
+so the driver's oracle compare covers the streaming engine path end-to-end.
+
+Determinism contract (what makes an oracle possible at all): with
+``Trigger.AvailableNow`` the final event-time watermark is
+``max(ts) - delay``, and append mode emits exactly the windows whose end is
+``<= watermark`` (Spark runs a final no-data micro-batch to evict them).
+Both cutoffs are plain SQL over the same data, so DuckDB reproduces the
+emitted set exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import table_path
+from talkinghead_datapipeline_spark.queries import register
+from talkinghead_datapipeline_spark.streaming.incremental import run_available_now
+
+
+def _events_stream_transform_base(stream: DataFrame) -> DataFrame:
+    """Nanos-long → timestamp conversion (same rule as catalog.load_table)."""
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_events_stream(
+    spark: SparkSession, sf_dir: str, transform, name: str
+) -> DataFrame:
+    """Run an AvailableNow streaming job over events.parquet into a fresh
+    parquet sink + checkpoint, and return the materialized sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    work = tempfile.mkdtemp(prefix=f"thdp_stream_{name}_")
+    # The file stream source requires a *directory* to monitor; the fixture
+    # is a single parquet file, so expose it through a symlink dir (zero
+    # copy — exactly how a growing landing directory would look in prod).
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(table_path(sf_dir, "events"), os.path.join(src, "events.parquet"))
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    run_available_now(
+        spark,
+        source_dir=src,
+        schema=schema,
+        transform=lambda s: transform(_events_stream_transform_base(s)),
+        sink_path=sink,
+        checkpoint_dir=ckpt,
+        output_mode="append",
+    )
+    return spark.read.parquet(sink)
+
+
+@register(
+    "streaming_hourly_event_counts",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value
+    FROM agg, mx
+    WHERE window_start + INTERVAL 1 HOUR <= max_ts
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9's tumbling agg on the real streaming path: file stream → watermark
+    → 1h tumbling window state → append eviction → parquet sink. At scale
+    this is the incremental form of the hourly rollup — each AvailableNow
+    run processes only new files (checkpointed), state is bounded by the
+    watermark, and the sink partitions by window."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return (
+            ev.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "hourly")
+
+
+@register(
+    "streaming_user_sessions",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    rolled AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions
+      GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM rolled, mx
+    WHERE session_end <= max_ts
+    """,
+    tags=("streaming", "session", "watermark"),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization on the streaming path: ``session_window``
+    merges per-user state across micro-batches (the stateful-operator twin
+    of the batch lag+cumsum sessionize_users). Sessions still open at the
+    final watermark stay in state — exactly the semantics an incremental
+    24/7 pipeline needs."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return (
+            ev.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("win"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "sessions")

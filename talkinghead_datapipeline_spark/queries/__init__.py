@@ -35,6 +35,7 @@ _MODULES = (
     "timeseries",
     "dedup",
     "streaming_queries",
+    "multimodal",
 )
 
 

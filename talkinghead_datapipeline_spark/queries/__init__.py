@@ -36,6 +36,7 @@ _MODULES = (
     "dedup",
     "streaming_queries",
     "multimodal",
+    "inference_nodes",
 )
 
 

@@ -1,0 +1,185 @@
+"""Model-node queries (SURVEY §2.b N6/N16/N17) on the batched-inference path.
+
+Each query runs the REAL distributed inference shape — BinaryType/array
+columns in, ``mapInPandas`` over Arrow batches, per-executor lazy model
+singleton (the BaseResource analog, dpl/processor/nodes/base.py:30-54),
+error-channel quarantine — with the deterministic stand-in models from
+operators.models (GPU weights are out of scope for the oracle harness;
+the real model drops in by swapping the factory).
+
+These are rows-only entries (no oracle_sql): the stub math uses seeded
+numpy bases that SQL cannot reproduce. The SQL-checkable halves of these
+nodes (volume envelope S9, code split N14, resample S7, blinks S5) have
+separate oracle-matched queries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.queries import register
+
+
+@register("wav2vec_features_stub", oracle=None, tags=("inference", "N6", "udf"))
+def wav2vec_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 wav2vec: waveform → (T, dim) features @50 fps + frame count.
+
+    The "waveform" is each embedding tiled to 3200 samples (0.2 s @16 kHz);
+    the stub preserves the reference's length contract
+    ``int(len/sr*fps - 0.25)`` (dpl/wav2vec/inference.py:52). Batched via
+    mapInPandas with a per-executor model singleton — the distributed form
+    of the reference's DataLoader + CUDA loop (audio.py:83-92)."""
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for vec_id, e in zip(pdf["vec_id"], pdf["embedding"]):
+            wav = np.tile(np.asarray(e, dtype=np.float64), 50)  # 3200 samples
+            feats = model.features(wav)
+            rows.append(
+                {
+                    "vec_id": vec_id,
+                    "n_frames": feats.shape[0],
+                    "feat_dim": feats.shape[1],
+                    "feat_norm": round(float(np.linalg.norm(feats)), 6),
+                    "error": None,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["vec_id", "n_frames", "feat_dim", "feat_norm", "error"]
+        )
+
+    def factory():
+        from talkinghead_datapipeline_spark.operators.models import Wav2vecStub
+
+        return Wav2vecStub()
+
+    out = batched_inference(
+        emb,
+        output_schema="vec_id bigint, n_frames bigint, feat_dim bigint, feat_norm double, error string",
+        model_key="wav2vec_stub",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")
+
+
+@register("flame_decode_landmarks", oracle=None, tags=("inference", "N16", "udf"))
+def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N16 FLAME decode: (shape, exp) codes → mesh verts + landmark subset
+    (dpl/flame/flame.py:241-312 re-expressed; the stub is an honest linear
+    blend-shape miniature). Codes are embedding slices — the same column
+    code-splitting the reference does on EMOCA output
+    (dpl/emoca/inference.py:95-105). Broadcast-weight pattern: the decoder
+    basis loads once per executor, not per row."""
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice("embedding", 1, 8).alias("shape_code"),
+        F.slice("embedding", 9, 8).alias("exp_code"),
+    )
+
+    def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for vec_id, sh, ex in zip(pdf["vec_id"], pdf["shape_code"], pdf["exp_code"]):
+            verts, lmks = model.decode(
+                np.asarray(sh, dtype=np.float64), np.asarray(ex, dtype=np.float64)
+            )
+            rows.append(
+                {
+                    "vec_id": vec_id,
+                    "n_verts": verts.shape[0],
+                    "n_landmarks": lmks.shape[0],
+                    "verts_norm": round(float(np.linalg.norm(verts)), 6),
+                    "lmk0_x": round(float(lmks[0, 0]), 6),
+                    "error": None,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["vec_id", "n_verts", "n_landmarks", "verts_norm", "lmk0_x", "error"],
+        )
+
+    def factory():
+        from talkinghead_datapipeline_spark.operators.models import FlameDecoderStub
+
+        return FlameDecoderStub()
+
+    out = batched_inference(
+        emb,
+        output_schema=(
+            "vec_id bigint, n_verts bigint, n_landmarks bigint, "
+            "verts_norm double, lmk0_x double, error string"
+        ),
+        model_key="flame_stub",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")
+
+
+@register("flame_render_pipeline", oracle=None, tags=("inference", "N16", "N17", "udf"))
+def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N16→N17 fused: decode codes to a mesh and render it to binary frames
+    inside ONE mapInPandas stage — the operator fusion the reference gets
+    only by materializing crops to disk between nodes (SURVEY §2.b N15).
+    Output is the render sink contract: binary payload + typed metadata."""
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice("embedding", 1, 8).alias("shape_code"),
+        F.slice("embedding", 9, 8).alias("exp_code"),
+        F.slice("embedding", 17, 3).alias("cam_code"),
+    )
+
+    def infer(models, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        flame, renderer = models
+        rows = []
+        for vec_id, sh, ex, cam in zip(
+            pdf["vec_id"], pdf["shape_code"], pdf["exp_code"], pdf["cam_code"]
+        ):
+            verts, _ = flame.decode(
+                np.asarray(sh, dtype=np.float64), np.asarray(ex, dtype=np.float64)
+            )
+            frame = renderer.render(verts, np.asarray(cam, dtype=np.float64))
+            rows.append(
+                {
+                    "vec_id": vec_id,
+                    "n_bytes": len(frame),
+                    "frame_digest": hashlib.md5(frame).hexdigest(),
+                    "error": None,
+                }
+            )
+        return pd.DataFrame(rows, columns=["vec_id", "n_bytes", "frame_digest", "error"])
+
+    def factory():
+        from talkinghead_datapipeline_spark.operators.models import (
+            FlameDecoderStub,
+            RendererStub,
+        )
+
+        return (FlameDecoderStub(), RendererStub())
+
+    out = batched_inference(
+        emb,
+        output_schema="vec_id bigint, n_bytes bigint, frame_digest string, error string",
+        model_key="flame_render_stub",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")

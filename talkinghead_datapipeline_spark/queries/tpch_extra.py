@@ -339,3 +339,57 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "totacctbal",
         )
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube queries): three
+    aggregation grains in one pass — Spark expands to a single Expand +
+    hash agg, not three scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'retail_price' AS measure, round(p_retailprice, 2) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, round(CAST(p_size AS DOUBLE), 2) AS value
+    FROM part
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long melt) — the inverse of pivot_status_by_segment;
+    Spark's native unpivot is a zero-shuffle Expand node."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("retail_price"),
+        F.round(F.col("p_size").cast("double"), 2).alias("size"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

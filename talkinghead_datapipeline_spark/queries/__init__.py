@@ -37,6 +37,7 @@ _MODULES = (
     "streaming_queries",
     "multimodal",
     "inference_nodes",
+    "assembly",
 )
 
 

@@ -1,0 +1,83 @@
+"""Sink-layer tests (SURVEY §2.b N19-N23): partitioned parquet, bucketed
+tables (exchange-free joins), npz container export round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.operators import sinks
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    sinks.write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # Partition pruning: reading one status only lists that directory.
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+    assert "PartitionFilters" in plan or "o_orderstatus" in plan
+
+
+def test_write_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    # Managed tables land in the session's default warehouse (static conf);
+    # DROP TABLE in the finally removes the files.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sinks.write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4)
+    sinks.write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 4)
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    # Disable broadcast so the join must co-locate — bucketing makes both
+    # sides exchange-free (no ShuffleExchange above the scans).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_write_npz_per_key_roundtrip(spark, sf_dir, tmp_path):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") % 4).alias("clip"),
+            F.col("vec_id").alias("_row_idx"),
+            "embedding",
+            F.col("label").cast("double").alias("label"),
+        )
+    )
+    out_dir = str(tmp_path / "npz")
+    manifest = sinks.write_npz_per_key(
+        emb, out_dir, "clip", ["embedding", "label"]
+    ).collect()
+    assert {r.key for r in manifest} == {"0", "1", "2", "3"}
+    assert sum(r.n_rows for r in manifest) == 20
+    # Round-trip one container against the source of truth.
+    rows = (
+        emb.filter(F.col("clip") == 1).orderBy("_row_idx").collect()
+    )
+    with np.load(f"{out_dir}/1.npz") as z:
+        assert z["embedding"].shape == (len(rows), 64)
+        np.testing.assert_allclose(
+            z["embedding"], np.stack([np.asarray(r.embedding) for r in rows])
+        )
+        np.testing.assert_allclose(z["label"], [r.label for r in rows])
+
+
+def test_hdf5_sink_is_feature_gated():
+    with pytest.raises(NotImplementedError):
+        sinks.write_hdf5_per_key()

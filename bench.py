@@ -40,8 +40,13 @@ HEADLINE = (
     "s9_tumbling_volume",
     "n10_bbox_transform_chain",
     "dedup_exact_keep_first",
+    "minhash_lsh_near_dups",
     "text_quality_score",
+    "text_bpe_token_count",
     "sim_brute_cosine_topk",
+    "sim_lsh_bucket_topk",
+    "q6_forecast_revenue",
+    "wide_source_assembly",
 )
 
 

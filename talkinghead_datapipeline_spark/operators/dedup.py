@@ -44,24 +44,38 @@ def word_tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` exactly once and pass it to ``body`` as a bound
+    lambda variable (via a 1-element ``transform``).
+
+    Rationale: referencing an *expression* inside a higher-order-function
+    lambda inlines it — ``element_at(split(...), i)`` re-runs the split for
+    every element visit (O(elements) regex evaluations per row). A lambda
+    variable is evaluated once per row, like a ``let`` binding."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of lowercased whitespace-tokenized text.
 
     Guarded for short inputs: Spark's ``sequence(1, stop)`` DESCENDS when
     stop < 1, which would index position 0 and error.
     """
-    toks = word_tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(word_tokens(text), build)
 
 
 def minhash_sig_array(shingles: Column) -> Column:
@@ -106,60 +120,60 @@ def band_key(band: int) -> Column:
 
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over token multiset: bit j set iff the ±1 votes of
-    per-token hash bit j sum positive."""
-    # Single fold: accumulator = [ones_count(bit 0..31), n_tokens]; each
-    # token hash is computed and scanned once. The finish lambda folds the
-    # accumulator (a bound variable — evaluated once) into the fingerprint,
-    # so the md5 transform is never re-inlined by projection collapse.
-    hashes = F.transform(word_tokens(text), portable_hash32)
-    init = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS + 1)
+    per-token hash bit j sum positive.
 
-    def merge(acc: Column, h: Column) -> Column:
-        return F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS)),
-            lambda c, j: F.when(j == SIMHASH_BITS, c + 1).otherwise(
-                c
-                + (
-                    F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("bigint")
-                    % 2
-                )
-            ),
-        )
+    The token-hash array is let-bound (md5 runs once per token), then each
+    bit's vote is an allocation-free integer fold — 32 scalar folds beat
+    one fold with an array accumulator by a wide margin in the interpreted
+    higher-order-function path."""
 
-    def finish(acc: Column) -> Column:
-        # bit j set iff ones > n/2  ⇔  sum(±1 votes) > 0
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            F.lit(0).cast("bigint"),
-            lambda s, j: s
-            + F.when(
-                2 * F.element_at(acc, (j + 1).cast("int"))
-                > F.element_at(acc, SIMHASH_BITS + 1),
-                F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
-            ).otherwise(0),
-        )
+    def vote_fn(j: int):
+        # NOTE: closure, not lambda default args — PySpark binds HOF
+        # variables by lambda arity, and default args count as parameters.
+        return lambda s, h: s + F.shiftright(h, j).bitwiseAND(F.lit(1))
 
-    return F.aggregate(hashes, init, merge, finish)
+    def build(hashes: Column) -> Column:
+        n_tokens = F.size(hashes)
+        acc = F.lit(0).cast("bigint")
+        for j in range(SIMHASH_BITS):
+            ones = F.aggregate(hashes, F.lit(0).cast("bigint"), vote_fn(j))
+            # ones > n/2  ⇔  sum(±1 votes) > 0
+            acc = acc + F.when(
+                2 * ones > n_tokens, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    return bind_once(F.transform(word_tokens(text), portable_hash32), build)
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (the classic near-dup shingling unit)."""
-    low = F.lower(text)
-    return F.when(
-        F.length(low) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(low) - (n - 1)),
-                lambda i: F.substr(low, i, F.lit(n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(low: Column) -> Column:
+        return F.when(
+            F.length(low) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(low) - (n - 1)),
+                    lambda i: F.substr(low, i, F.lit(n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(F.lower(text), build)
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
-    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+    """Exact Jaccard over two distinct-element arrays.
+
+    One set operation, not two: |a ∪ b| = |a| + |b| − |a ∩ b| (exact for
+    distinct-element arrays), and the intersection size is let-bound so the
+    intersect runs once — this near-halves the verify cost, which dominates
+    blocked-exact dedup."""
+    return bind_once(
+        F.size(F.array_intersect(a, b)),
+        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i),
+    )
 
 
 def exact_dedup(df: DataFrame, content: str, key: str) -> DataFrame:
@@ -173,30 +187,48 @@ def exact_dedup(df: DataFrame, content: str, key: str) -> DataFrame:
 def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
     """LSH candidate pairs (key_a < key_b) from banded minhash signatures.
 
-    Single scan builds signatures; one self-join per band on the band key
-    (the only shuffle); union + distinct merges bands.
+    Shuffle discipline (the thing that matters at 100 TB): the band
+    self-join and the pair-dedup move ONLY (band, key) / (key, key) rows —
+    never the shingle sets. Shingles rejoin afterwards, once per side, for
+    exactly the distinct candidate pairs that survive banding. The heavy
+    payload therefore crosses the wire O(|candidates|) times instead of
+    O(|corpus| × n_bands + |band collisions|).
     """
-    sigs = df.select(
-        F.col(key), word_shingles(F.col(text)).alias("_sh")
-    ).filter(F.size("_sh") >= 1)
-    sigs = sigs.select(key, "_sh", *minhash_signature(F.col("_sh")))
+    sh = df.select(F.col(key), word_shingles(F.col(text)).alias("_sh")).filter(
+        F.size("_sh") >= 1
+    )
+    sigs = sh.select(key, minhash_sig_array(F.col("_sh")).alias("_sig"))
     n_bands = N_PERM // BAND_WIDTH
-    banded = None
-    for b in range(n_bands):
-        part = sigs.select(key, "_sh", band_key(b).alias("_band"))
-        banded = part if banded is None else banded.unionByName(part)
-    left = banded.select(
-        F.col(key).alias("key_a"), F.col("_sh").alias("_sh_a"), "_band"
-    )
-    right = banded.select(
-        F.col(key).alias("key_b"), F.col("_sh").alias("_sh_b"), "_band"
-    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("bidx"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("_sig", b * BAND_WIDTH + k + 1).cast("string")
+                    for k in range(BAND_WIDTH)
+                ],
+            ).alias("bval"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        key, F.explode(F.array(*band_structs)).alias("_b")
+    ).select(key, F.col("_b.bidx").alias("_bidx"), F.col("_b.bval").alias("_bval"))
+    left = banded.select(F.col(key).alias("key_a"), "_bidx", "_bval")
+    right = banded.select(F.col(key).alias("key_b"), "_bidx", "_bval")
     pairs = (
-        left.join(right, "_band")
+        left.join(right, ["_bidx", "_bval"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "_sh_a", "_sh_b")
-        .dropDuplicates(["key_a", "key_b"])
+        .select("key_a", "key_b")
+        .distinct()
     )
-    return pairs.select(
-        "key_a", "key_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard")
+    sh_a = sh.select(F.col(key).alias("key_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = sh.select(F.col(key).alias("key_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        pairs.join(sh_a, "key_a")
+        .join(sh_b, "key_b")
+        .select(
+            "key_a", "key_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard")
+        )
     )

@@ -232,11 +232,13 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Character-trigram Jaccard near-dups inside (lang, length-bucket) blocks
 # ---------------------------------------------------------------------------
 
-_NGRAM_ORACLE = """
+_NGRAM_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
-             list_distinct(list_transform(range(1, length(lower(text)) - 1),
-                           i -> substr(lower(text), i, 3))) AS grams
+             list_transform(
+               list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                             i -> substr(lower(text), i, 3))),
+               s -> {_HASH32_SQL.format(x='s')}) AS grams
       FROM documents WHERE length(text) >= 3
     ),
     scored AS (
@@ -254,13 +256,16 @@ _NGRAM_ORACLE = """
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks —
     the blocked-exact tier of the dedup stack (blocks bound the quadratic
-    term; at 100 TB block keys come from the cheap metadata columns)."""
+    term; at 100 TB block keys come from the cheap metadata columns).
+    Trigrams are hashed to int32 via the portable md5 prefix before the
+    pair join: the quadratic intersect runs over bigints, not strings, and
+    both engines hash identically so any collision is shared."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
-        D.char_ngrams(F.col("text")).alias("grams"),
+        F.transform(D.char_ngrams(F.col("text")), D.portable_hash32).alias("grams"),
     )
     a = g.select(
         F.col("doc_id").alias("key_a"),

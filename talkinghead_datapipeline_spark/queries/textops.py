@@ -233,3 +233,45 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("es"))
         .alias("predicted_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (north-star: token budgeting for LLM data).
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape, restricted to RE2/Java-common syntax:
+# contractions | optional-space + letters | optional-space + digits |
+# optional-space + punctuation runs. Whitespace itself is not a token.
+_BPE_RE = "'[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+')), 6) AS tokens_per_word
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with a BPE-style pre-tokenizer regex (the GPT-2
+    pattern's portable core): subword-ish token count vs whitespace count
+    per document — pure regexp_extract_all, single scan, codegen-resident.
+    The per-corpus rollup (sum over 100 TB) is a partial-agg reduce."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bpe = F.expr(
+        f"regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}', 0)"
+    )
+    ws = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("tokens_per_word"),
+    )

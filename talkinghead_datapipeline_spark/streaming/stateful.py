@@ -1,0 +1,48 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(north-star: "applyInPandasWithState for custom stateful operators").
+
+Where ``session_window``/``window`` cover the declarative cases
+(streaming_queries.py), arbitrary per-key state — running counters,
+last-seen caches, custom eviction — needs the imperative hook. The shape
+below is the canonical one: group by key, fold each micro-batch's rows into
+a state tuple, emit the updated row. State lives in the state store
+(checkpointed, exactly-once under AvailableNow restarts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value) maintained in explicit group
+    state. Each micro-batch emits one updated row per active user — the
+    streaming twin of ``groupBy(user).agg(count, sum)`` but with state the
+    caller can extend (rate limits, dedup caches, anomaly windows)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

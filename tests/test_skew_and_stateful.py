@@ -1,0 +1,117 @@
+"""Tests: skew-salting operators (results identical to unsalted plans) and
+the applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table, table_path
+from talkinghead_datapipeline_spark.operators import skew
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, ["l_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    salted = skew.salted_join(li, orders, ["l_orderkey"], n_salts=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_join_spreads_rows_across_salts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    salted = skew.with_salt(li, 8)
+    counts = salted.groupBy("_salt").count().collect()
+    assert len(counts) == 8
+    total = sum(r["count"] for r in counts)
+    assert total == li.count()
+    assert all(r["count"] > total / 32 for r in counts)  # roughly uniform
+
+
+def test_two_phase_sum_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    two = (
+        skew.two_phase_sum(
+            li,
+            ["l_returnflag"],
+            {"l_quantity": "raw_qty", "l_extendedprice": "raw_price"},
+            n_salts=4,
+        )
+        .select(
+            "l_returnflag",
+            F.round("raw_qty", 2).alias("sum_qty"),
+            F.round("raw_price", 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert plain == two
+
+
+def test_top_frequent_keys(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    top = skew.top_frequent_keys(ev, "event_type", k=3).collect()
+    assert len(top) == 3
+    assert top[0]["n_rows"] >= top[-1]["n_rows"]
+
+
+def test_stateful_running_totals_available_now(spark, sf_dir):
+    from talkinghead_datapipeline_spark.streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    work = tempfile.mkdtemp(prefix="thdp_stateful_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(table_path(sf_dir, "events"), os.path.join(src, "events.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    query = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            # update mode appends one row per (user, micro-batch); keep the
+            # final state per user.
+            """
+            SELECT user_id, n_events, sum_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM stateful_totals
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected

@@ -38,6 +38,7 @@ _MODULES = (
     "multimodal",
     "inference_nodes",
     "assembly",
+    "functions_suite",
 )
 
 

@@ -393,3 +393,38 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "skew_salted_quantity_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(sum(l_linenumber), 2) AS total_lines
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def skew_salted_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (operators.skew): groupBy(keys + salt)
+    partial-sum → groupBy(keys) merge. With 3×2 distinct groups over the
+    whole fact table this is the textbook hot-key shape — salting bounds
+    the final reduce fan-in per key. Summed measures here are integer-
+    valued, so the re-ordered accumulation is float-exact and the result
+    matches the unsalted plan bit-for-bit."""
+    from talkinghead_datapipeline_spark.operators.skew import two_phase_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_phase_sum(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "raw_qty", "l_linenumber": "raw_lines"},
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("raw_qty", 2).alias("total_qty"),
+        F.round("raw_lines", 2).alias("total_lines"),
+    )

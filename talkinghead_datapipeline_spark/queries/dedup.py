@@ -190,15 +190,17 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the band key is near-uniform (it IS a hash), so no skew."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     f = docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+    # posexplode, not union-of-projections: a union would recompute the
+    # fingerprint fold once per branch (each branch re-plans the scan);
+    # exploding [low16, high16] bands the corpus in ONE pass.
     banded = f.select(
-        "doc_id", "simhash", F.lit(0).alias("bi"), (F.col("simhash") % 65536).alias("bv")
-    ).unionAll(
-        f.select(
-            "doc_id",
-            "simhash",
-            F.lit(1).alias("bi"),
-            F.floor(F.col("simhash") / 65536).alias("bv"),
-        )
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash") % 65536, F.floor(F.col("simhash") / 65536)
+            )
+        ).alias("bi", "bv"),
     )
     a = banded.select(
         F.col("doc_id").alias("key_a"),

@@ -31,7 +31,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields NULL (filterable) instead of an
+    # ANSI DIVIDE_BY_ZERO that would abort the stage at scale.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 _DOT_SQL = (

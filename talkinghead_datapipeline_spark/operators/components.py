@@ -1,0 +1,77 @@
+"""Connected components via iterative min-label propagation (the dedup
+clustering step: near-dup PAIRS → duplicate CLUSTERS → one canonical doc).
+
+The pairwise output of LSH/blocked dedup is a graph; picking a canonical
+row per *component* (not per pair) is what actually deduplicates a corpus —
+A~B, B~C must collapse A,B,C together even when A~C was never emitted.
+
+Algorithm: Pregel-style min-label propagation. Every vertex starts labeled
+with its own id; each round every vertex takes the min of its label and its
+neighbors' labels; fixpoint after ≤ diameter rounds. Each round is one
+shuffle (join + groupBy on vertex id); lineage is cut with localCheckpoint
+so plan depth stays O(1) per round instead of O(rounds) — the standard
+iterative-algorithm discipline on Spark. (GraphFrames implements the same
+loop with large-star/small-star optimizations; this engine keeps the
+dependency-free form.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = min vertex
+    id reachable. Deterministic. Converges in ≤ graph-diameter rounds."""
+    sym = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    labels = (
+        sym.select(F.col("_s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym._s == labels.id)
+            .groupBy("_d")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min._d, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_per_component(
+    df: DataFrame, components: DataFrame, key: str
+) -> DataFrame:
+    """Component-aware dedup: keep the component-minimum row of every
+    duplicate cluster, pass rows without any near-dup edge through."""
+    comp = components.withColumnRenamed("id", key)
+    joined = df.join(comp, key, "left")
+    keep = F.col("comp").isNull() | (F.col(key) == F.col("comp"))
+    return joined.filter(keep).drop("comp")

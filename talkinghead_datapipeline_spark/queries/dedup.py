@@ -349,3 +349,65 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# (iterative min-label propagation vs a recursive-CTE transitive closure)
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(shingles) >= 1),
+    banded AS ({_BANDED_SQL}),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.key_a
+      JOIN sh sb ON sb.doc_id = p.key_b
+    ),
+    fpairs AS (SELECT key_a, key_b FROM scored WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fpairs
+      UNION
+      SELECT key_b AS s, key_a AS d FROM fpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON re.r = e.s
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@register("dedup_cluster_assignments", oracle=_CC_ORACLE, tags=("dedup", "components", "iterative"))
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    minhash near-dup graph (operators.components, Pregel-style min-label
+    propagation with per-round lineage checkpoints). A~B and B~C collapse
+    to one cluster even when A~C was never emitted — the step that turns
+    pairwise LSH output into an actual dedup decision. The oracle computes
+    the same closure with a recursive CTE."""
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.minhash_candidate_pairs(docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.2)
+        .select("key_a", "key_b")
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -29,9 +29,15 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min vertex
     id reachable. Deterministic. Converges in ≤ graph-diameter rounds."""
-    sym = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        # Materialize the edge list ONCE: it is typically the output of a
+        # whole dedup pipeline (LSH bands + Jaccard verify), and without
+        # this checkpoint every propagation round would re-execute that
+        # entire upstream plan.
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("_s").alias("id"))
         .distinct()

@@ -44,6 +44,18 @@ def clear_executor_resources() -> None:
     _RESOURCE_CACHE.clear()
 
 
+def broadcast_weights_factory(df: DataFrame, weights: Any, build: Callable[[Any], Any]):
+    """Torrent-broadcast big model weights once per EXECUTOR (not per task,
+    not via task-closure serialization): ship ``weights`` with
+    ``sc.broadcast`` and return a factory that builds the model from the
+    broadcast value inside the worker. The FLAME basis / checkpoint tensors
+    pattern (dpl/processor/nodes/flame.py:47-58's weights loading) at
+    cluster scale — closure pickling would re-send weights with every task.
+    """
+    bc = df.sparkSession.sparkContext.broadcast(weights)
+    return lambda: build(bc.value)
+
+
 def batched_inference(
     df: DataFrame,
     output_schema: str,

@@ -311,3 +311,74 @@ def lag_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
         ).cast("bigint").alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6/N23 EXACT edge-replicated sliding mean (as_windowed, utils.py:68-98 +
+# average_features, h5.py:235-237). Spark's shrinking frames differ at the
+# edges; the reference pads (w - w//2, w//2) by edge REPLICATION. Collected
+# per-key arrays + clamped indexing reproduce that bit-for-bit — and the
+# DuckDB oracle does the identical clamped fold.
+# ---------------------------------------------------------------------------
+
+_N23_W = 16
+
+
+@register(
+    "n23_window_mean_edgepad",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             list(value ORDER BY event_id) AS arr,
+             list(event_id ORDER BY event_id) AS ids
+      FROM events
+      GROUP BY user_id
+    ),
+    idx AS (
+      SELECT user_id, arr, ids, CAST(unnest(range(0, len(arr))) AS BIGINT) AS i
+      FROM per_user
+    )
+    SELECT user_id,
+           ids[CAST(i AS INT) + 1] AS event_id,
+           round(list_sum(list_transform(range({-(_N23_W - _N23_W // 2)}, {_N23_W // 2}),
+                 k -> arr[CAST(least(greatest(i + k, 0), len(arr) - 1) AS INT) + 1]))
+                 / {_N23_W}.0, 6) AS win_mean
+    FROM idx
+    """,
+    tags=("window", "S6", "N23", "edgepad"),
+)
+def n23_window_mean_edgepad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT reference sliding mean, edge-replicated: window i averages
+    original indices [i-(w-w//2), i+w//2) with indices clamped into range
+    (np.pad mode='edge'), w=16 — N23's feature averaging. Implementation:
+    per-key collected array (one shuffle) + clamped element_at fold per
+    position. Spark Window frames shrink at partition edges and cannot
+    express replication; the array form can, and stays O(n·w) per key."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "value"))).alias("_pairs")
+    )
+    lo, hi = -(_N23_W - _N23_W // 2), _N23_W // 2 - 1
+    arrs = per_user.select(
+        "user_id",
+        F.transform("_pairs", lambda p: p["value"]).alias("arr"),
+        F.transform("_pairs", lambda p: p["event_id"]).alias("ids"),
+    )
+    exploded = arrs.select(
+        "user_id", "arr", F.posexplode("ids").alias("i", "event_id")
+    )
+    n = F.size("arr")
+    win_sum = F.aggregate(
+        F.sequence(F.lit(lo), F.lit(hi)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(
+            F.col("arr"),
+            (F.least(F.greatest(F.col("i") + k, F.lit(0)), n - 1) + 1).cast("int"),
+        ),
+    )
+    return exploded.select(
+        "user_id",
+        "event_id",
+        F.round(win_sum / _N23_W, 6).alias("win_mean"),
+    )

@@ -382,3 +382,103 @@ def n23_window_mean_edgepad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(win_sum / _N23_W, 6).alias("win_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 EXACT savgol (w=7, o=3) WITH edge refit — oracle-matched.
+# The 'interp' edge handling is a fixed linear map: smoothed[i] is a dot
+# product of hat-matrix row coefficients with the first/last w samples
+# (polyfit+polyval == applying the least-squares projector). Both engines
+# evaluate the SAME literal coefficients in the same order, so the edge
+# polynomial refit — "non-SQL-expressible" as a window frame — becomes an
+# exact SQL expression over per-key collected arrays.
+# ---------------------------------------------------------------------------
+
+_SG_W, _SG_O = 7, 3
+
+
+def _sg_hat() -> list[list[float]]:
+    import numpy as np
+
+    V = np.vander(np.arange(_SG_W, dtype=np.float64), _SG_O + 1, increasing=True)
+    return (V @ np.linalg.pinv(V)).tolist()
+
+
+_SG_H = _sg_hat()
+_SG_HALF = _SG_W // 2
+
+
+def _sg_dot_sql(row: int, base: str) -> str:
+    """Σ_j H[row][j] * arr[base + j] — ``base`` is a 1-based SQL index expr."""
+    return " + ".join(
+        f"({_SG_H[row][j]!r} * arr[CAST({base} + {j} AS INT)])" for j in range(_SG_W)
+    )
+
+
+def _sg_case_sql() -> str:
+    head = " ".join(
+        f"WHEN i = {r} THEN {_sg_dot_sql(r, '1')}" for r in range(_SG_HALF)
+    )
+    tail = " ".join(
+        f"WHEN n - i = {n_i} THEN {_sg_dot_sql(_SG_W - n_i, 'n - ' + str(_SG_W) + ' + 1')}"
+        for n_i in range(1, _SG_HALF + 1)
+    )
+    interior = _sg_dot_sql(_SG_HALF, f"i - {_SG_HALF} + 1")
+    return f"CASE WHEN n < {_SG_W} THEN arr[CAST(i + 1 AS INT)] {head} {tail} ELSE {interior} END"
+
+
+@register(
+    "s8_savgol_exact_w7",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             list(value ORDER BY event_id) AS arr,
+             list(event_id ORDER BY event_id) AS ids
+      FROM events GROUP BY user_id
+    ),
+    idx AS (
+      SELECT user_id, arr, ids, len(arr) AS n,
+             CAST(unnest(range(0, len(arr))) AS BIGINT) AS i
+      FROM per_user
+    )
+    SELECT user_id, ids[CAST(i AS INT) + 1] AS event_id,
+           round({_sg_case_sql()}, 6) AS smoothed
+    FROM idx
+    """,
+    tags=("window", "S8", "savgol", "exact"),
+)
+def s8_savgol_exact_w7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact savgol(7,3) INCLUDING the polynomial edge refit, as pure SQL:
+    per-key collected series + per-position hat-matrix dot products
+    (utils S8; emoca.py:91-97 pose smoothing uses w=7). One shuffle
+    (the groupBy), then codegen-resident arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "value"))).alias("_p")
+    )
+    arrs = per_user.select(
+        "user_id",
+        F.transform("_p", lambda p: p["value"]).alias("arr"),
+        F.transform("_p", lambda p: p["event_id"]).alias("ids"),
+    )
+    ex = arrs.select("user_id", "arr", F.posexplode("ids").alias("i", "event_id"))
+    n = F.size("arr")
+    i = F.col("i")
+
+    def dot(row: int, base):
+        # base: 1-based Column index of the window start
+        acc = None
+        for j in range(_SG_W):
+            term = F.lit(_SG_H[row][j]) * F.element_at(
+                F.col("arr"), (base + j).cast("int")
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    expr = F.when(n < _SG_W, F.element_at(F.col("arr"), (i + 1).cast("int")))
+    for r in range(_SG_HALF):
+        expr = expr.when(i == r, dot(r, F.lit(1)))
+    for n_i in range(1, _SG_HALF + 1):
+        expr = expr.when(n - i == n_i, dot(_SG_W - n_i, n - _SG_W + 1))
+    expr = expr.otherwise(dot(_SG_HALF, i - _SG_HALF + 1))
+    return ex.select("user_id", "event_id", F.round(expr, 6).alias("smoothed"))

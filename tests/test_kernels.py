@@ -247,3 +247,32 @@ def test_resample_interp_values_vs_npinterp():
     xh = np.linspace(1 / (2 * tgt_fps), L / 50, 30)
     inside = (xh >= x[0]) & (xh <= x[-1])
     np.testing.assert_allclose(got[inside], np.interp(xh[inside], x, y), atol=1e-9)
+
+
+def test_savgol_exact_w7_query_matches_numpy_exact_tier(spark, sf_dir):
+    """The hat-matrix SQL form of savgol(7,3) must agree with the numpy
+    exact tier (polyfit edge refit) to float tolerance."""
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.operators.rolling import savgol_filter_numpy
+    from talkinghead_datapipeline_spark.queries import all_queries
+
+    out = (
+        all_queries()["s8_savgol_exact_w7"]
+        .spark(spark, sf_dir)
+        .filter("user_id = 1")
+        .orderBy("event_id")
+        .collect()
+    )
+    series = (
+        load_table(spark, sf_dir, "events")
+        .filter("user_id = 1")
+        .orderBy("event_id")
+        .select("value")
+        .collect()
+    )
+    y = np.array([r.value for r in series])
+    expected = np.round(savgol_filter_numpy(y, 7, 3), 6)
+    got = np.array([r.smoothed for r in out])
+    np.testing.assert_allclose(got, expected, atol=1e-6)

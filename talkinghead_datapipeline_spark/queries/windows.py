@@ -6,9 +6,11 @@ time-series fixture: partition = clip (`user_id`), order = frame time
 
 Frame-spec parity note: `as_windowed` (dpl/processor/utils.py:68-98) pads
 edges by replication; SQL window frames shrink at partition edges instead.
-Queries here either restrict to interior rows (savgol) or adopt shrinking
-frames on BOTH engine and oracle sides — the documented divergence from
-SURVEY §2.c S6.
+Simple queries adopt shrinking frames on BOTH engine and oracle sides; the
+EXACT reference semantics are also covered — edge replication via per-key
+collected arrays + clamped indexing (`n23_window_mean_edgepad`), and
+savgol's polynomial edge refit via shared hat-matrix literals
+(`s8_savgol_exact_w7`, `n12_emoca_bbox_pipeline`).
 """
 
 from __future__ import annotations
@@ -24,6 +26,67 @@ from talkinghead_datapipeline_spark.functions.windows import (
     savgol_coefficients,
 )
 from talkinghead_datapipeline_spark.queries import register
+
+# Savitzky-Golay hat-matrix builders (shared by the exact savgol and N12
+# pipeline oracles — same literals on both engines).
+_SG_W, _SG_O = 7, 3
+
+
+def _sg_hat(w: int, o: int) -> list[list[float]]:
+    import numpy as np
+
+    V = np.vander(np.arange(w, dtype=np.float64), o + 1, increasing=True)
+    return (V @ np.linalg.pinv(V)).tolist()
+
+
+def _sg_dot_sql(H: list[list[float]], row: int, base: str, arr: str) -> str:
+    """Σ_j H[row][j] * arr[base + j] — ``base`` is a 1-based SQL index expr."""
+    w = len(H)
+    return " + ".join(
+        f"({H[row][j]!r} * {arr}[CAST({base} + {j} AS INT)])" for j in range(w)
+    )
+
+
+def _sg_case_sql(H: list[list[float]], arr: str = "arr") -> str:
+    """Full savgol-with-edge-refit as one SQL CASE over a collected array
+    (requires columns ``i`` 0-based position and ``n`` series length)."""
+    w, half = len(H), len(H) // 2
+    head = " ".join(
+        f"WHEN i = {r} THEN {_sg_dot_sql(H, r, '1', arr)}" for r in range(half)
+    )
+    tail = " ".join(
+        f"WHEN n - i = {n_i} THEN {_sg_dot_sql(H, w - n_i, f'n - {w} + 1', arr)}"
+        for n_i in range(1, half + 1)
+    )
+    interior = _sg_dot_sql(H, half, f"i - {half} + 1", arr)
+    return (
+        f"CASE WHEN n < {w} THEN {arr}[CAST(i + 1 AS INT)] {head} {tail} "
+        f"ELSE {interior} END"
+    )
+
+
+def _sg_case_col(H: list[list[float]], arr_col, i, n):
+    """The Spark twin of _sg_case_sql — same literals, same fold order."""
+    w, half = len(H), len(H) // 2
+
+    def dot(row: int, base):
+        acc = None
+        for j in range(w):
+            term = F.lit(H[row][j]) * F.element_at(arr_col, (base + j).cast("int"))
+            acc = term if acc is None else acc + term
+        return acc
+
+    expr = F.when(n < w, F.element_at(arr_col, (i + 1).cast("int")))
+    for r in range(half):
+        expr = expr.when(i == r, dot(r, F.lit(1)))
+    for n_i in range(1, half + 1):
+        expr = expr.when(n - i == n_i, dot(w - n_i, n - w + 1))
+    return expr.otherwise(dot(half, i - half + 1))
+
+
+_SG_H = _sg_hat(_SG_W, _SG_O)
+_SG_HALF = _SG_W // 2
+
 
 # ---------------------------------------------------------------------------
 # N12 — rolling min/max extent over neighboring frames
@@ -177,26 +240,103 @@ def s8_savgol_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("n12_emoca_bbox_pipeline", oracle=None, tags=("window", "N12", "udf"))
-def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full EmocaLikeBboxes chain (bboxes.py:84-195): rolling extent w=5 →
-    exact savgol(25,3) center smoothing → q=0.75 size equalization. The
-    savgol stage's edge refit is non-SQL-expressible → rows-only check;
-    the SQL-expressible stages are oracle-covered by n12_rolling_extent +
-    s10_quantile_per_flag."""
-    from talkinghead_datapipeline_spark.operators.rolling import rolling_extent_bboxes
-
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    out = rolling_extent_bboxes(
-        ev, "user_id", "event_id", "value", window=5, smooth_window=25, equalize_q=0.75
+def _n12_oracle() -> str:
+    H25 = _sg_hat(25, 3)
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id,
+             min(value) OVER w AS lo,
+             max(value) OVER w AS hi
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ),
+    derived AS (
+      SELECT user_id, event_id, lo, hi,
+             (lo + hi) / 2 AS center, hi - lo AS size
+      FROM base
+    ),
+    eq AS (
+      SELECT user_id, round(quantile_cont(size, 0.75) / 2, 0) * 2 AS size_eq
+      FROM derived GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT user_id,
+             list(center ORDER BY event_id) AS arr,
+             list(event_id ORDER BY event_id) AS ids,
+             list(lo ORDER BY event_id) AS los,
+             list(hi ORDER BY event_id) AS his,
+             list(size ORDER BY event_id) AS sizes
+      FROM derived GROUP BY user_id
+    ),
+    idx AS (
+      SELECT user_id, arr, ids, los, his, sizes, len(arr) AS n,
+             CAST(unnest(range(0, len(arr))) AS BIGINT) AS i
+      FROM per_user
     )
-    return out.select(
+    SELECT x.user_id,
+           ids[CAST(i AS INT) + 1] AS event_id,
+           round(los[CAST(i AS INT) + 1], 6) AS lo,
+           round(his[CAST(i AS INT) + 1], 6) AS hi,
+           round({_sg_case_sql(H25)}, 6) AS center,
+           round(sizes[CAST(i AS INT) + 1], 6) AS size,
+           round(e.size_eq, 6) AS size_eq
+    FROM idx x JOIN eq e ON x.user_id = e.user_id
+    """
+
+
+@register(
+    "n12_emoca_bbox_pipeline",
+    oracle=_n12_oracle(),
+    tags=("window", "N12", "savgol", "pipeline"),
+)
+def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EmocaLikeBboxes chain (bboxes.py:84-195), ALL stages oracle-
+    checked: rolling extent w=5 (O(N) window frame) → exact savgol(25,3)
+    center smoothing WITH edge refit (shared hat-matrix literals, see
+    s8_savgol_exact_w7) → q=0.75 size equalization (quantile + even-parity
+    round, make_equal_size bboxes.py:180-194). Two shuffles total: the
+    window partition and the per-key collect (same key → exchange reuse)."""
+    H25 = _sg_hat(25, 3)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 2)
+    derived = ev.select(
         "user_id",
         "event_id",
-        F.round("lo", 6).alias("lo"),
-        F.round("hi", 6).alias("hi"),
-        F.round("center", 6).alias("center"),
-        F.round("size", 6).alias("size"),
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    ).withColumns(
+        {"center": (F.col("lo") + F.col("hi")) / 2, "size": F.col("hi") - F.col("lo")}
+    )
+    eq = derived.groupBy("user_id").agg(
+        (F.round(F.percentile("size", F.lit(0.75)) / 2, 0) * 2).alias("size_eq")
+    )
+    per_user = derived.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "lo", "hi", "center", "size"))
+        ).alias("_p")
+    )
+    arrs = per_user.select(
+        "user_id",
+        F.transform("_p", lambda p: p["center"]).alias("arr"),
+        F.transform("_p", lambda p: p["event_id"]).alias("ids"),
+        F.transform("_p", lambda p: p["lo"]).alias("los"),
+        F.transform("_p", lambda p: p["hi"]).alias("his"),
+        F.transform("_p", lambda p: p["size"]).alias("sizes"),
+    )
+    ex = arrs.select(
+        "user_id", "arr", "los", "his", "sizes",
+        F.posexplode("ids").alias("i", "event_id"),
+    )
+    at = lambda c: F.element_at(F.col(c), (F.col("i") + 1).cast("int"))  # noqa: E731
+    smoothed = _sg_case_col(H25, F.col("arr"), F.col("i"), F.size("arr"))
+    return ex.join(eq, "user_id").select(
+        "user_id",
+        "event_id",
+        F.round(at("los"), 6).alias("lo"),
+        F.round(at("his"), 6).alias("hi"),
+        F.round(smoothed, 6).alias("center"),
+        F.round(at("sizes"), 6).alias("size"),
         F.round("size_eq", 6).alias("size_eq"),
     )
 
@@ -394,37 +534,6 @@ def n23_window_mean_edgepad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact SQL expression over per-key collected arrays.
 # ---------------------------------------------------------------------------
 
-_SG_W, _SG_O = 7, 3
-
-
-def _sg_hat() -> list[list[float]]:
-    import numpy as np
-
-    V = np.vander(np.arange(_SG_W, dtype=np.float64), _SG_O + 1, increasing=True)
-    return (V @ np.linalg.pinv(V)).tolist()
-
-
-_SG_H = _sg_hat()
-_SG_HALF = _SG_W // 2
-
-
-def _sg_dot_sql(row: int, base: str) -> str:
-    """Σ_j H[row][j] * arr[base + j] — ``base`` is a 1-based SQL index expr."""
-    return " + ".join(
-        f"({_SG_H[row][j]!r} * arr[CAST({base} + {j} AS INT)])" for j in range(_SG_W)
-    )
-
-
-def _sg_case_sql() -> str:
-    head = " ".join(
-        f"WHEN i = {r} THEN {_sg_dot_sql(r, '1')}" for r in range(_SG_HALF)
-    )
-    tail = " ".join(
-        f"WHEN n - i = {n_i} THEN {_sg_dot_sql(_SG_W - n_i, 'n - ' + str(_SG_W) + ' + 1')}"
-        for n_i in range(1, _SG_HALF + 1)
-    )
-    interior = _sg_dot_sql(_SG_HALF, f"i - {_SG_HALF} + 1")
-    return f"CASE WHEN n < {_SG_W} THEN arr[CAST(i + 1 AS INT)] {head} {tail} ELSE {interior} END"
 
 
 @register(
@@ -442,7 +551,7 @@ def _sg_case_sql() -> str:
       FROM per_user
     )
     SELECT user_id, ids[CAST(i AS INT) + 1] AS event_id,
-           round({_sg_case_sql()}, 6) AS smoothed
+           round({_sg_case_sql(_SG_H)}, 6) AS smoothed
     FROM idx
     """,
     tags=("window", "S8", "savgol", "exact"),
@@ -462,23 +571,5 @@ def s8_savgol_exact_w7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("_p", lambda p: p["event_id"]).alias("ids"),
     )
     ex = arrs.select("user_id", "arr", F.posexplode("ids").alias("i", "event_id"))
-    n = F.size("arr")
-    i = F.col("i")
-
-    def dot(row: int, base):
-        # base: 1-based Column index of the window start
-        acc = None
-        for j in range(_SG_W):
-            term = F.lit(_SG_H[row][j]) * F.element_at(
-                F.col("arr"), (base + j).cast("int")
-            )
-            acc = term if acc is None else acc + term
-        return acc
-
-    expr = F.when(n < _SG_W, F.element_at(F.col("arr"), (i + 1).cast("int")))
-    for r in range(_SG_HALF):
-        expr = expr.when(i == r, dot(r, F.lit(1)))
-    for n_i in range(1, _SG_HALF + 1):
-        expr = expr.when(n - i == n_i, dot(_SG_W - n_i, n - _SG_W + 1))
-    expr = expr.otherwise(dot(_SG_HALF, i - _SG_HALF + 1))
+    expr = _sg_case_col(_SG_H, F.col("arr"), F.col("i"), F.size("arr"))
     return ex.select("user_id", "event_id", F.round(expr, 6).alias("smoothed"))

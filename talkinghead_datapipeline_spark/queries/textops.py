@@ -275,3 +275,42 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
         F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling (data-quality gate before any training-data run).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(length(text)), 6) AS avg_chars,
+           round(quantile_cont(length(text), 0.5), 6) AS med_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "profiling"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: row counts, empty-text rate, language
+    cardinality, length distribution — the null-rate/cardinality sweep every
+    ingest runs before touching 100 TB (one pass, partial aggs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    empty = F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(empty).cast("bigint").alias("n_empty"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias("med_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

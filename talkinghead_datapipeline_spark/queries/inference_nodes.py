@@ -23,7 +23,34 @@ from talkinghead_datapipeline_spark.catalog import load_table
 from talkinghead_datapipeline_spark.queries import register
 
 
-@register("wav2vec_features_stub", oracle=None, tags=("inference", "N6", "udf"))
+def _wav2vec_oracle() -> str:
+    # The stub is analytically invertible: the 3200-sample tiled waveform's
+    # 320-sample blocks are exactly 5 embedding cycles, so every feature
+    # frame equals mean(embedding) · proj, and ‖feats‖ = √T·|mean|·‖proj‖.
+    # ‖proj‖ is a deterministic literal (same seeded basis the UDF loads).
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.operators.models import Wav2vecStub
+
+    proj_norm = float(np.linalg.norm(Wav2vecStub()._proj[0]))
+    n_frames = int(64 * 50 / 16000 * 50 - 0.25)  # length contract → 9
+    return f"""
+    SELECT vec_id,
+           CAST({n_frames} AS BIGINT) AS n_frames,
+           CAST(8 AS BIGINT) AS feat_dim,
+           round(sqrt({float(n_frames)!r})
+                 * abs(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE))) / len(embedding))
+                 * {proj_norm!r}, 6) AS feat_norm
+    FROM embeddings
+    """
+
+
+@register(
+    "wav2vec_features_stub",
+    oracle=_wav2vec_oracle(),
+    tags=("inference", "N6", "udf"),
+)
 def wav2vec_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N6 wav2vec: waveform → (T, dim) features @50 fps + frame count.
 
@@ -31,7 +58,9 @@ def wav2vec_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stub preserves the reference's length contract
     ``int(len/sr*fps - 0.25)`` (dpl/wav2vec/inference.py:52). Batched via
     mapInPandas with a per-executor model singleton — the distributed form
-    of the reference's DataLoader + CUDA loop (audio.py:83-92)."""
+    of the reference's DataLoader + CUDA loop (audio.py:83-92). The oracle
+    checks the UDF output against the stub's closed form — a real
+    end-to-end check of the Arrow/mapInPandas path, not a rows-only pass."""
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

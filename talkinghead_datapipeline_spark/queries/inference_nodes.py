@@ -7,8 +7,11 @@ error-channel quarantine — with the deterministic stand-in models from
 operators.models (GPU weights are out of scope for the oracle harness;
 the real model drops in by swapping the factory).
 
-These are rows-only entries (no oracle_sql): the stub math uses seeded
-numpy bases that SQL cannot reproduce. The SQL-checkable halves of these
+Even with seeded numpy bases, most stub outputs are value-checked: the
+wav2vec and FLAME oracles embed the basis-derived constants as SQL
+literals and recompute the features analytically, so the mapInPandas path
+is compared end-to-end. Only the render query stays rows-only (md5 over
+raw float bytes is not SQL-expressible). The SQL-native halves of these
 nodes (volume envelope S9, code split N14, resample S7, blinks S5) have
 separate oracle-matched queries.
 """
@@ -100,14 +103,52 @@ def wav2vec_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("error").isNull()).drop("error")
 
 
-@register("flame_decode_landmarks", oracle=None, tags=("inference", "N16", "udf"))
+def _flame_oracle() -> str:
+    # The stub decode is linear: lmk0[c] = template[v0,c] + Σ_k S[v0,c,k]·
+    # shape[k] + Σ_k E[v0,c,k]·exp[k] with v0 = lmk_idx[0]. Embed that one
+    # vertex's basis rows as literals — the oracle recomputes the landmark
+    # arithmetically while Spark runs the full matrix decode in the UDF.
+    from talkinghead_datapipeline_spark.operators.models import FlameDecoderStub
+
+    m = FlameDecoderStub()
+    v0 = int(m.lmk_idx[0])
+
+    def comp(c: int) -> str:
+        terms = [repr(float(m.template[v0, c]))]
+        terms += [
+            f"({float(m.shape_dirs[v0, c, k])!r} * CAST(embedding[{k + 1}] AS DOUBLE))"
+            for k in range(m.shape_dirs.shape[2])
+        ]
+        terms += [
+            f"({float(m.exp_dirs[v0, c, k])!r} * CAST(embedding[{k + 9}] AS DOUBLE))"
+            for k in range(m.exp_dirs.shape[2])
+        ]
+        return " + ".join(terms)
+
+    return f"""
+    SELECT vec_id,
+           CAST(64 AS BIGINT) AS n_verts,
+           CAST(12 AS BIGINT) AS n_landmarks,
+           round({comp(0)}, 6) AS lmk0_x,
+           round({comp(1)}, 6) AS lmk0_y
+    FROM embeddings
+    """
+
+
+@register(
+    "flame_decode_landmarks",
+    oracle=_flame_oracle(),
+    tags=("inference", "N16", "udf"),
+)
 def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N16 FLAME decode: (shape, exp) codes → mesh verts + landmark subset
     (dpl/flame/flame.py:241-312 re-expressed; the stub is an honest linear
     blend-shape miniature). Codes are embedding slices — the same column
     code-splitting the reference does on EMOCA output
     (dpl/emoca/inference.py:95-105). Broadcast-weight pattern: the decoder
-    basis loads once per executor, not per row."""
+    basis loads once per executor, not per row. The oracle reproduces the
+    first landmark analytically from the same seeded basis, so the full
+    UDF decode path is value-checked, not just row-counted."""
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -129,14 +170,14 @@ def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id": vec_id,
                     "n_verts": verts.shape[0],
                     "n_landmarks": lmks.shape[0],
-                    "verts_norm": round(float(np.linalg.norm(verts)), 6),
                     "lmk0_x": round(float(lmks[0, 0]), 6),
+                    "lmk0_y": round(float(lmks[0, 1]), 6),
                     "error": None,
                 }
             )
         return pd.DataFrame(
             rows,
-            columns=["vec_id", "n_verts", "n_landmarks", "verts_norm", "lmk0_x", "error"],
+            columns=["vec_id", "n_verts", "n_landmarks", "lmk0_x", "lmk0_y", "error"],
         )
 
     def factory():
@@ -148,7 +189,7 @@ def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         output_schema=(
             "vec_id bigint, n_verts bigint, n_landmarks bigint, "
-            "verts_norm double, lmk0_x double, error string"
+            "lmk0_x double, lmk0_y double, error string"
         ),
         model_key="flame_stub",
         model_factory=factory,

@@ -55,6 +55,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Opt-in round-robin rebalance ahead of compute-DENSE per-row work
+    (md5 shingle folds, 32-bit vote folds, pandas-UDF inference).
+
+    Single-row-group fixture files are unsplittable: Spark gives the scan
+    one task no matter how many cores exist, so a hash fold over the corpus
+    runs 1-threaded. When the plan currently yields fewer partitions than
+    the machine has cores, one cheap shuffle of the raw rows buys full-width
+    execution of everything downstream. This is deliberately NOT applied in
+    ``load_table``: for scan-bound queries the extra exchange costs more
+    than it saves (measured at sf0.1), and at production scale inputs
+    already arrive as many splits, making this a no-op (the guard condition
+    ``partitions < cores`` fails).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

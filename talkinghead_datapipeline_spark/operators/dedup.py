@@ -78,18 +78,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return bind_once(word_tokens(text), build)
 
 
-def minhash_sig_array(shingles: Column) -> Column:
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct 32-bit hashes of the n-word shingles — md5 runs ONCE per
+    shingle here, and both the signature fold and the exact-Jaccard verify
+    reuse the same bigint array. Hash collisions merge identically in every
+    engine (same md5 prefix), so Jaccard-over-hashes stays oracle-exact."""
+    return F.array_distinct(F.transform(word_shingles(text, n), portable_hash32))
+
+
+def minhash_sig_from_hashes(hashes: Column) -> Column:
     """K-permutation MinHash signature as ONE array column, computed in a
-    single fold over the shingle hashes.
+    single fold over pre-hashed shingles.
 
     Performance note: naively emitting K separate ``array_min(transform(…))``
-    columns makes Catalyst evaluate the md5 token-hash transform K times
-    (projection collapse re-inlines it); a single ``aggregate`` with a
-    K-wide accumulator hashes each shingle exactly once.
+    columns makes Catalyst evaluate the hash transform K times (projection
+    collapse re-inlines it); a single ``aggregate`` with a K-wide
+    accumulator visits each shingle hash exactly once.
     """
     a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
     b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
-    hashes = F.transform(shingles, portable_hash32)
     init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), N_PERM)
 
     def merge(acc: Column, h: Column) -> Column:
@@ -102,6 +109,11 @@ def minhash_sig_array(shingles: Column) -> Column:
         )
 
     return F.aggregate(hashes, init, merge)
+
+
+def minhash_sig_array(shingles: Column) -> Column:
+    """MinHash signature from string shingles (hashes then folds)."""
+    return minhash_sig_from_hashes(F.transform(shingles, portable_hash32))
 
 
 def minhash_signature(shingles: Column) -> list[Column]:
@@ -189,50 +201,79 @@ def exact_dedup(df: DataFrame, content: str, key: str) -> DataFrame:
 
 
 def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
-    """LSH candidate pairs (key_a < key_b) from banded minhash signatures.
+    """LSH candidate pairs (key_a < key_b) with exact Jaccard, in ONE pass.
 
-    Shuffle discipline (the thing that matters at 100 TB): the band
-    self-join and the pair-dedup move ONLY (band, key) / (key, key) rows —
-    never the shingle sets. Shingles rejoin afterwards, once per side, for
-    exactly the distinct candidate pairs that survive banding. The heavy
-    payload therefore crosses the wire O(|candidates|) times instead of
-    O(|corpus| × n_bands + |band collisions|).
+    Scale design: one corpus scan computes hashed shingles (md5 once per
+    shingle) and folds the signature from them; one ``collect_list``
+    shuffle gathers band buckets of (key, 8-int signature, hashed-gram
+    array); candidate pairs then expand map-side via array HOFs with the
+    exact-Jaccard verify fused into the same expression — no self-join, no
+    DISTINCT, no rejoin. A pair colliding on several bands is emitted only
+    at its FIRST matching band (later bands check band-0 slice equality).
+    The shuffled payload is the 8-byte hash array, not shingle strings —
+    n_bands copies of ~1/4 the text bytes; bucket sizes stay bounded at
+    scale because identical band keys imply high similarity, and the band
+    key is near-uniform so there is no skew.
     """
-    sh = df.select(F.col(key), word_shingles(F.col(text)).alias("_sh")).filter(
-        F.size("_sh") >= 1
-    )
-    sigs = sh.select(key, minhash_sig_array(F.col("_sh")).alias("_sig"))
+    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
+
+    sh = rebalance_for_compute(df).select(
+        F.col(key), hashed_shingles(F.col(text)).alias("_g")
+    ).filter(F.size("_g") >= 1)
+    sigs = sh.select(key, "_g", minhash_sig_from_hashes(F.col("_g")).alias("_sig"))
     n_bands = N_PERM // BAND_WIDTH
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("bidx"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.element_at("_sig", b * BAND_WIDTH + k + 1).cast("string")
-                    for k in range(BAND_WIDTH)
-                ],
-            ).alias("bval"),
+    band_vals = [
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at("_sig", b * BAND_WIDTH + k + 1).cast("string")
+                for k in range(BAND_WIDTH)
+            ],
         )
         for b in range(n_bands)
     ]
     banded = sigs.select(
-        key, F.explode(F.array(*band_structs)).alias("_b")
-    ).select(key, F.col("_b.bidx").alias("_bidx"), F.col("_b.bval").alias("_bval"))
-    left = banded.select(F.col(key).alias("key_a"), "_bidx", "_bval")
-    right = banded.select(F.col(key).alias("key_b"), "_bidx", "_bval")
-    pairs = (
-        left.join(right, ["_bidx", "_bval"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .distinct()
+        key, "_g", "_sig", F.posexplode(F.array(*band_vals)).alias("_bidx", "_bval")
     )
-    sh_a = sh.select(F.col(key).alias("key_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = sh.select(F.col(key).alias("key_b"), F.col("_sh").alias("_sh_b"))
+    buckets = (
+        banded.groupBy("_bidx", "_bval")
+        # sort_array orders members by key (first struct field), making the
+        # slice-based expansion emit key_a < key_b deterministically.
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(key).alias("k"),
+                        F.col("_sig").alias("sig"),
+                        F.col("_g").alias("g"),
+                    )
+                )
+            ).alias("mem")
+        )
+        .filter(F.size("mem") > 1)
+    )
+    # isz is materialized in the struct so the intersect runs once per pair
+    # (inlining it into a jaccard expression would evaluate it twice).
+    pair_expr = F.expr(
+        f"""
+        filter(
+          flatten(transform(mem, (x, i) ->
+            transform(slice(mem, i + 2, size(mem)), y ->
+              named_struct(
+                'key_a', x.k, 'key_b', y.k,
+                'isz', CAST(size(array_intersect(x.g, y.g)) AS DOUBLE),
+                'usz', CAST(size(x.g) + size(y.g) AS DOUBLE),
+                'b0_eq', slice(x.sig, 1, {BAND_WIDTH}) = slice(y.sig, 1, {BAND_WIDTH}))))),
+          p -> _bidx = 0 OR NOT p.b0_eq)
+        """
+    )
     return (
-        pairs.join(sh_a, "key_a")
-        .join(sh_b, "key_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select(
-            "key_a", "key_b", jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard")
+            "p.key_a",
+            "p.key_b",
+            F.try_divide(F.col("p.isz"), F.col("p.usz") - F.col("p.isz")).alias(
+                "jaccard"
+            ),
         )
     )

@@ -252,18 +252,26 @@ def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
         )
         .filter(F.size("mem") > 1)
     )
-    # isz is materialized in the struct so the intersect runs once per pair
-    # (inlining it into a jaccard expression would evaluate it twice).
+    # Index-arithmetic expansion (element_at, never slice(mem, ...): the
+    # slice form copies the bucket array once per member — O(c^2) array
+    # allocations per bucket, which matters for the large skewed buckets a
+    # 100 TB corpus produces). isz is materialized in the struct so the
+    # intersect runs once per pair (inlining it into a jaccard expression
+    # would evaluate it twice). Band-0 equality compares the four leading
+    # signature entries element-wise — no sub-array materialization.
+    b0_eq = " AND ".join(
+        f"mem[i-1].sig[{k}] = mem[j-1].sig[{k}]" for k in range(BAND_WIDTH)
+    )
     pair_expr = F.expr(
         f"""
         filter(
-          flatten(transform(mem, (x, i) ->
-            transform(slice(mem, i + 2, size(mem)), y ->
+          flatten(transform(sequence(1, size(mem) - 1), i ->
+            transform(sequence(i + 1, size(mem)), j ->
               named_struct(
-                'key_a', x.k, 'key_b', y.k,
-                'isz', CAST(size(array_intersect(x.g, y.g)) AS DOUBLE),
-                'usz', CAST(size(x.g) + size(y.g) AS DOUBLE),
-                'b0_eq', slice(x.sig, 1, {BAND_WIDTH}) = slice(y.sig, 1, {BAND_WIDTH}))))),
+                'key_a', mem[i-1].k, 'key_b', mem[j-1].k,
+                'isz', CAST(size(array_intersect(mem[i-1].g, mem[j-1].g)) AS DOUBLE),
+                'usz', CAST(size(mem[i-1].g) + size(mem[j-1].g) AS DOUBLE),
+                'b0_eq', {b0_eq})))),
           p -> _bidx = 0 OR NOT p.b0_eq)
         """
     )

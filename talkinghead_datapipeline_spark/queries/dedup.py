@@ -224,16 +224,20 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem"))
         .filter(F.size("mem") > 1)
     )
+    # Index-arithmetic expansion: element_at lookups, never slice() — the
+    # slice form copies the bucket array once per member, O(c^2) array
+    # allocations per bucket, which matters for the large skewed buckets
+    # a 100 TB corpus produces (equal at sf0.1 where buckets are small).
     pair_expr = F.expr(
         f"""
         filter(
-          flatten(transform(mem, (x, i) ->
-            transform(slice(mem, i + 2, size(mem)), y ->
+          flatten(transform(sequence(1, size(mem) - 1), i ->
+            transform(sequence(i + 1, size(mem)), j ->
               named_struct(
-                'key_a', x.doc_id,
-                'key_b', y.doc_id,
-                'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT),
-                'low_eq', x.simhash % 65536 = y.simhash % 65536)))),
+                'key_a', mem[i-1].doc_id,
+                'key_b', mem[j-1].doc_id,
+                'hamming', CAST(bit_count(mem[i-1].simhash ^ mem[j-1].simhash) AS BIGINT),
+                'low_eq', mem[i-1].simhash % 65536 = mem[j-1].simhash % 65536)))),
           p -> p.hamming <= {_HAMMING_MAX} AND (bi = 0 OR NOT p.low_eq))
         """
     )

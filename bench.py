@@ -53,6 +53,8 @@ HEADLINE = (
     "multimodal_frame_sample",
     "grouping_sets_order_stats",
     "simhash_hamming_near_dups",
+    "q8_market_share",
+    "q21_lone_blamed_supplier",
 )
 
 

@@ -28,6 +28,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "relational",
     "tpch_extra",
+    "tpch_full",
     "windows",
     "kernels",
     "textops",

@@ -55,6 +55,8 @@ HEADLINE = (
     "simhash_hamming_near_dups",
     "q8_market_share",
     "q21_lone_blamed_supplier",
+    "pack_token_budget",
+    "stratified_sample_by_lang",
 )
 
 

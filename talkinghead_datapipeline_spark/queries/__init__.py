@@ -35,6 +35,7 @@ _MODULES = (
     "similarity",
     "timeseries",
     "dedup",
+    "dataprep",
     "streaming_queries",
     "multimodal",
     "inference_nodes",

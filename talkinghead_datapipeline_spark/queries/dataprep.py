@@ -1,0 +1,339 @@
+"""Training-data preparation operators: deterministic splits, sampling,
+class balancing, sequence packing, and table profiling.
+
+North-star extensions (BASELINE.json): beyond dedup/similarity/text
+analysis, a large-scale training pipeline needs the *assembly* steps —
+carving a corpus into train/val/test, rebalancing skewed classes,
+sampling with weights, and packing documents into fixed token budgets.
+All of it is hash-deterministic (no RNG state, no sampling seed drift
+between runs or engines): randomness comes from the portable md5-prefix
+hash (operators/dedup.py), so the DuckDB oracle reproduces every
+decision bit-for-bit and a re-run over 100 TB assigns every row
+identically — the property that makes splits auditable.
+
+Scale notes: splits and weighted sampling are pure projections (zero
+shuffles, fully pushdown-friendly); stratified/balanced sampling shuffle
+once on the stratum key; packing shuffles once on (source, shard) where
+the shard count bounds per-task state, so no single reducer ever sees a
+whole source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+from talkinghead_datapipeline_spark.queries import register
+
+# Portable uniform hash: md5-prefix of a salted key, as bigint in [0, 2^32).
+_H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _salted_hash(salt: str, key: F.Column) -> F.Column:
+    return portable_hash32(F.concat(F.lit(salt), key.cast("string")))
+
+
+def _salted_hash_sql(salt: str, key: str) -> str:
+    return _H32_SQL.format(x=f"'{salt}' || CAST({key} AS VARCHAR)")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (80/10/10 by hash bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           {_salted_hash_sql('split|', 'doc_id')} % 100 AS bucket,
+           CASE WHEN {_salted_hash_sql('split|', 'doc_id')} % 100 < 80 THEN 'train'
+                WHEN {_salted_hash_sql('split|', 'doc_id')} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("dataprep", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket train/val/test assignment — the canonical leak-proof
+    split: membership depends only on the key, so adding or removing rows
+    never reassigns existing ones (unlike randomSplit, whose outcome
+    depends on partitioning). Pure map-side projection; at 100 TB this is
+    a zero-shuffle pass, and the split column becomes a partition column
+    on write so each split prunes to its own files."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _salted_hash("split|", F.col("doc_id")) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sample: 10% per language, hash-ranked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_salted_hash_sql('strat|', 'doc_id')}, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= ceil(0.1 * n_lang)
+    """,
+    tags=("dataprep", "sample", "window"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per-language sample (ceil, so tiny strata keep ≥1 row).
+    Rows are ranked by a salted hash, making the sample deterministic and
+    uniformly spread regardless of input order. One shuffle on the stratum
+    key; both window functions share the single sort. At 100 TB a skewed
+    stratum serializes its rank — the balanced/weighted variants below are
+    the skew-free alternatives when exact per-stratum counts aren't
+    required."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        _salted_hash("strat|", F.col("doc_id")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("_n"),
+    )
+    return ranked.filter(F.col("_rn") <= F.ceil(0.1 * F.col("_n"))).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsample: cap every label at the minority-class count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "class_balanced_downsample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY {_salted_hash_sql('bal|', 'vec_id')}, vec_id) AS rn
+      FROM embeddings
+    ),
+    cap AS (
+      SELECT min(n) AS cap
+      FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label FROM ranked, cap WHERE rn <= cap
+    """,
+    tags=("dataprep", "sample", "balance"),
+)
+def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every class to the minority-class size (hash-ranked, so
+    the kept subset is deterministic). The cap is a 1-row aggregate
+    broadcast into the filter — no second shuffle of the fact table; the
+    only wide exchange is the per-label rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.min("_n").alias("_cap"))
+    )
+    w = W.partitionBy("label").orderBy(
+        _salted_hash("bal|", F.col("vec_id")), "vec_id"
+    )
+    ranked = emb.select("vec_id", "label", F.row_number().over(w).alias("_rn"))
+    return (
+        ranked.join(F.broadcast(cap))
+        .filter(F.col("_rn") <= F.col("_cap"))
+        .select("vec_id", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sample: P(keep) proportional to document length
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_by_length",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST({_salted_hash_sql('w|', 'doc_id')} AS DOUBLE) / 4294967296.0
+          < CAST(n_chars AS DOUBLE)
+            / (SELECT max(n_chars) FROM documents)
+    """,
+    tags=("dataprep", "sample"),
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional Bernoulli sample: keep a document iff its
+    hash-uniform u ∈ [0,1) falls under n_chars/max(n_chars). The uniform
+    is h/2^32 (exact in double: power-of-two denominator), so both engines
+    decide identically. The max is a 1-row broadcast; the pass itself is
+    map-side — the shape for importance-weighted corpus mixing at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("_mx"))
+    u = _salted_hash("w|", F.col("doc_id")).cast("double") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(mx))
+        .filter(u < F.col("n_chars").cast("double") / F.col("_mx").cast("double"))
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (concat-and-cut, per (source, shard))
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_N_SHARDS = 8
+
+_PACK_RANK_SQL = _salted_hash_sql("pack|", "doc_id")
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_PACK_RANK_SQL} % {_N_SHARDS} AS shard,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, source, shard, n_tok,
+           COALESCE(sum(n_tok) OVER (
+             PARTITION BY source, shard
+             ORDER BY {_PACK_RANK_SQL}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start,
+           CAST(floor(COALESCE(sum(n_tok) OVER (
+             PARTITION BY source, shard
+             ORDER BY {_PACK_RANK_SQL}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM t
+    """,
+    tags=("dataprep", "packing", "window"),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents are laid end-to-end in
+    hash order and cut into {budget}-token bins — each doc gets its global
+    token offset and bin id, the layout LLM trainers consume. Packing is
+    inherently sequential, so the stream is sharded by hash: each
+    (source, shard) packs independently in one window pass, bounding
+    per-task state at any corpus size (shard count scales with the
+    cluster, not the data). One shuffle total; the running sum shares the
+    rank's sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    rank = _salted_hash("pack|", F.col("doc_id"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        (rank % _N_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        rank.alias("_rank"),
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("_rank", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    return t.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        start.alias("tok_start"),
+        F.floor(start / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column stats in one scan (data-quality surface)
+# ---------------------------------------------------------------------------
+
+_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_branch_sql(col: str, is_num: bool) -> str:
+    if is_num:
+        mn, mx = f"round(CAST(min({col}) AS DOUBLE), 2)", f"round(CAST(max({col}) AS DOUBLE), 2)"
+        ms, xs = "NULL", "NULL"
+    else:
+        mn, mx = "NULL", "NULL"
+        ms, xs = f"min({col})", f"max({col})"
+    return f"""
+      SELECT '{col}' AS column_name,
+             count(*) AS n_rows,
+             count(*) - count({col}) AS n_nulls,
+             count(DISTINCT {col}) AS n_distinct,
+             {mn} AS min_num, {mx} AS max_num,
+             CAST({ms} AS VARCHAR) AS min_str, CAST({xs} AS VARCHAR) AS max_str
+      FROM orders"""
+
+
+@register(
+    "table_profile_orders",
+    oracle=" UNION ALL ".join(
+        [_profile_branch_sql(c, True) for c in _NUM_COLS]
+        + [_profile_branch_sql(c, False) for c in _STR_COLS]
+    ),
+    tags=("dataprep", "profile"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (rows, nulls, distinct, min/max) of `orders` in
+    ONE scan: all metrics aggregate together (the multi-count-distinct
+    expands into a single Expand pass), then one 1-row→N-rows inline
+    unpivots into the profile table. The oracle unions per-column scans —
+    same result, N scans — which is exactly the rewrite this shape exists
+    to avoid at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count("*").alias("_n")]
+    for c in _NUM_COLS + _STR_COLS:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+
+    def branch(c: str, is_num: bool) -> F.Column:
+        if is_num:
+            mn = F.round(F.col(f"_mn_{c}").cast("double"), 2)
+            mx = F.round(F.col(f"_mx_{c}").cast("double"), 2)
+            ms = xs = F.lit(None).cast("string")
+        else:
+            mn = mx = F.lit(None).cast("double")
+            ms, xs = F.col(f"_mn_{c}").cast("string"), F.col(f"_mx_{c}").cast("string")
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+            ms.alias("min_str"),
+            xs.alias("max_str"),
+        )
+
+    branches = [branch(c, True) for c in _NUM_COLS] + [
+        branch(c, False) for c in _STR_COLS
+    ]
+    return one.select(F.inline(F.array(*branches)))

@@ -98,3 +98,25 @@ def test_minhash_pairs_shuffle_carries_keys_not_shingles(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_split_assignment_is_map_only(spark, sf_dir):
+    # Hash-bucket splits must stay a pure projection: no Exchange at any
+    # scale, so the pass parallelizes linearly with input splits.
+    plan = _plan(spark, sf_dir, "split_train_val_test")
+    assert "Exchange" not in plan
+
+
+def test_pack_token_budget_single_shuffle(spark, sf_dir):
+    # Packing shards by hash so ONE exchange (on source, shard) feeds both
+    # window functions; rank and running sum must share the sort.
+    plan = _plan(spark, sf_dir, "pack_token_budget")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    # All per-column metrics aggregate in one parquet pass (Expand-based
+    # multi-distinct), never one scan per column like the oracle's UNION.
+    plan = _plan(spark, sf_dir, "table_profile_orders")
+    assert plan.count("Scan parquet") == 1

@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 Bbox = dict[str, Column]
 
 
+def round_half_away(x: Column) -> Column:
+    """Integer rounding, half away from zero, as pure double arithmetic.
+
+    Spark's ``round(x, 0)`` routes every row through java.math.BigDecimal —
+    measured ~3x the cost of the whole surrounding kernel chain at 600k
+    rows. This form stays inside whole-stage codegen and is exact for
+    |x| < 2^52: a double's fractional part ``x - floor(x)`` is exactly
+    representable, so the ``>= 0.5`` comparison decides identically to
+    BigDecimal HALF_UP (and to DuckDB's std::round oracle). Returns LONG.
+    """
+    ax = F.abs(x)
+    fl = F.floor(ax)
+    mag = F.when(ax - fl >= 0.5, fl + 1).otherwise(fl)
+    return F.when(x < 0, -mag).otherwise(mag)
+
+
 def make_bbox(x1: Column, y1: Column, x2: Column, y2: Column, score: Column) -> Bbox:
     return {"x1": x1, "y1": y1, "x2": x2, "y2": y2, "score": score}
 
@@ -44,7 +60,7 @@ def pad_bbox(b: Bbox, pad: float) -> Bbox:
     """S2 (utils.py:42-50): pad all sides; fractional pad = round(pad·max_side)."""
     if isinstance(pad, float) and not pad.is_integer():
         max_side = F.greatest(b["x2"] - b["x1"], b["y2"] - b["y1"])
-        pad_e = F.round(F.lit(pad) * max_side, 0)
+        pad_e = round_half_away(F.lit(pad) * max_side)
     else:
         pad_e = F.lit(pad)
     return make_bbox(
@@ -59,18 +75,35 @@ def pad_bbox(b: Bbox, pad: float) -> Bbox:
 def to_integer(b: Bbox, preserve_size: bool = True) -> Bbox:
     """S3 (utils.py:7-24): integer-round corners; preserve w/h exactly when
     asked; score → round(score·100)."""
-    x1i = F.round(b["x1"], 0).cast("bigint")
-    y1i = F.round(b["y1"], 0).cast("bigint")
+    x1i = round_half_away(b["x1"])
+    y1i = round_half_away(b["y1"])
     if preserve_size:
-        x2i = x1i + F.round(b["x2"] - b["x1"], 0).cast("bigint")
-        y2i = y1i + F.round(b["y2"] - b["y1"], 0).cast("bigint")
+        x2i = x1i + round_half_away(b["x2"] - b["x1"])
+        y2i = y1i + round_half_away(b["y2"] - b["y1"])
     else:
-        x2i = F.round(b["x2"], 0).cast("bigint")
-        y2i = F.round(b["y2"], 0).cast("bigint")
+        x2i = round_half_away(b["x2"])
+        y2i = round_half_away(b["y2"])
     return make_bbox(
         x1=x1i, y1=y1i, x2=x2i, y2=y2i,
-        score=F.round(b["score"] * 100, 0).cast("bigint"),
+        score=round_half_away(b["score"] * 100),
     )
+
+
+def stage_bbox(df, b: Bbox, keep: list[str]):
+    """Materialize a bbox stage as aliased columns and return the new
+    DataFrame plus a column-reference bbox for the next kernel.
+
+    Chaining kernels as raw expressions multiplies subtree copies (each
+    stage references its input corners several times; ``round_half_away``
+    references its argument 4x), and past a few stages the generated code
+    exceeds the JIT/codegen method limits and execution falls back to
+    interpreted eval — measured 9x slower at sf0.1. Staging through
+    aliases keeps every value computed once: CollapseProject will not
+    re-inline a non-cheap alias referenced more than once, and the
+    projections still pipeline inside one whole-stage-codegen span (no
+    shuffle, no materialization)."""
+    out = df.select(*keep, *[v.alias(k) for k, v in b.items()])
+    return out, {k: F.col(k) for k in b}
 
 
 def l2(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:

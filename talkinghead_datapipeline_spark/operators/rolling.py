@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from talkinghead_datapipeline_spark.functions import geometry as G
 from talkinghead_datapipeline_spark.functions.windows import savgol_coefficients
 
 
@@ -124,6 +125,8 @@ def rolling_extent_bboxes(
             F.percentile("size", F.lit(equalize_q)).alias("_q_size")
         )
         out = out.join(eq, key).withColumn(
-            "size_eq", F.round(F.col("_q_size") / 2, 0) * 2
+            # round_half_away (codegen) over BigDecimal round; cast keeps
+            # the column double as before (consumers round it for output).
+            "size_eq", (G.round_half_away(F.col("_q_size") / 2) * 2).cast("double")
         ).drop("_q_size")
     return out

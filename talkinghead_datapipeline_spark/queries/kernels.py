@@ -74,6 +74,7 @@ def n10_bbox_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1→S2→S3 kernel chain (bboxes.py:31: to_integer(pad_bbox(to_square(b))))
     as one fused column-expression projection — single scan, zero shuffles."""
     li = load_table(spark, sf_dir, "lineitem")
+    keep = ["l_orderkey", "l_linenumber"]
     raw = G.make_bbox(
         x1=F.col("l_discount") * 100,
         y1=F.col("l_tax") * 100,
@@ -81,8 +82,14 @@ def n10_bbox_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         y2=F.col("l_tax") * 100 + F.col("l_extendedprice") / 1000,
         score=F.lit(1.0) / (1 + F.col("l_linenumber")),
     )
-    out = G.to_integer(G.pad_bbox(G.to_square(raw), 0.1), preserve_size=True)
-    return li.select(
+    # Each kernel stage is staged through aliases (one codegen span, every
+    # corner computed once) — see geometry.stage_bbox for why chaining the
+    # raw expressions regresses to interpreted eval.
+    df, b = G.stage_bbox(li, raw, keep)
+    df, b = G.stage_bbox(df, G.to_square(b), keep)
+    df, b = G.stage_bbox(df, G.pad_bbox(b, 0.1), keep)
+    out = G.to_integer(b, preserve_size=True)
+    return df.select(
         "l_orderkey",
         "l_linenumber",
         out["x1"].alias("bx1"),

@@ -84,6 +84,39 @@ def _sg_case_col(H: list[list[float]], arr_col, i, n):
     return expr.otherwise(dot(half, i - half + 1))
 
 
+def _sg_rowbase_cols(w: int, i, n):
+    """Hat-matrix row index and 1-based window base for position ``i`` of a
+    length-``n`` series — the scalar twin of _sg_case_sql's branch
+    structure (same precedence: head, then tail, then interior)."""
+    half = w // 2
+    r = F.when(i < half, i).when(n - i <= half, w - (n - i)).otherwise(F.lit(half))
+    b = (
+        F.when(i < half, F.lit(1))
+        .when(n - i <= half, n - w + 1)
+        .otherwise(i - half + 1)
+    )
+    return r, b
+
+
+def _sg_dot_dynamic(hrow, arr_col, b, w: int):
+    """Σ_j hrow[j] · arr[b + j], unrolled in the oracle's fold order.
+
+    The w=25 CASE form (_sg_case_col) unrolls 26 branches × 25 terms —
+    ~650 element_at calls in one expression — which overflows janino's
+    64 KB method limit: the ERROR CodeGenerator path silently de-codegens
+    the whole stage (measured interpreted fallback at sf0.01). Selecting
+    the hat row BY INDEX first keeps one 25-term dot product; ``hrow``
+    and ``b`` must be pre-staged as aliased columns so each evaluates
+    once. Identical IEEE result: same literals, same left-assoc sum."""
+    acc = None
+    for j in range(w):
+        term = F.element_at(hrow, j + 1) * F.element_at(
+            arr_col, (b + j).cast("int")
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
 _SG_H = _sg_hat(_SG_W, _SG_O)
 _SG_HALF = _SG_W // 2
 
@@ -329,7 +362,17 @@ def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("ids").alias("i", "event_id"),
     )
     at = lambda c: F.element_at(F.col(c), (F.col("i") + 1).cast("int"))  # noqa: E731
-    smoothed = _sg_case_col(H25, F.col("arr"), F.col("i"), F.size("arr"))
+    # Stage the hat row + window base as aliases (each evaluated once);
+    # see _sg_dot_dynamic for why the unrolled CASE form must not be used
+    # at w=25.
+    hmat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in H25])
+    r25, b25 = _sg_rowbase_cols(25, F.col("i"), F.size("arr"))
+    ex = ex.withColumns(
+        {"_hrow": F.element_at(hmat, (r25 + 1).cast("int")), "_b": b25}
+    )
+    smoothed = F.when(
+        F.size("arr") < 25, F.element_at("arr", (F.col("i") + 1).cast("int"))
+    ).otherwise(_sg_dot_dynamic(F.col("_hrow"), F.col("arr"), F.col("_b"), 25))
     return ex.join(eq, "user_id").select(
         "user_id",
         "event_id",

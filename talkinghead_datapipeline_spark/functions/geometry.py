@@ -9,9 +9,9 @@ take and return ``dict[str, Column]`` so chains stay composable:
 ``to_integer(pad_bbox(to_square(b), 0.1))`` mirrors the reference's
 TransformRawBboxesNode chain (dpl/processor/nodes/bboxes.py:12-42).
 
-Rounding note: the reference uses Python ``round`` (banker's); these kernels
-use SQL ``round`` (half-away-from-zero), pinned in tests/test_kernels.py as a
-documented divergence (SURVEY §7 risk register).
+Rounding note: the reference uses Python ``round`` / ``np.rint`` — HALF-TO-
+EVEN (banker's). These kernels match it exactly via ``round_half_even``; the
+DuckDB oracles use ``roundbankers(x, 0)`` so both engines share the tie rule.
 """
 
 from __future__ import annotations
@@ -38,6 +38,28 @@ def round_half_away(x: Column) -> Column:
     return F.when(x < 0, -mag).otherwise(mag)
 
 
+def round_half_even(x: Column) -> Column:
+    """Integer rounding, HALF-TO-EVEN — exact Python ``round``/``np.rint``
+    parity (dpl/processor/utils.py to_integer/pad_bbox use Python round),
+    as pure double arithmetic that stays inside whole-stage codegen (same
+    BigDecimal-avoidance rationale as ``round_half_away``; Spark's
+    ``bround`` also routes through BigDecimal).
+
+    Exact for |x| < 2^52: the fractional part is exactly representable, so
+    the three-way <0.5 / >0.5 / ==0.5 branch decides identically to
+    ``np.rint``; on the exact tie the even neighbor of ``floor(x)`` is
+    chosen (works for negatives too: Spark ``%`` keeps the dividend sign,
+    and any nonzero remainder marks ``fl`` odd). Returns LONG.
+    """
+    fl = F.floor(x)
+    frac = x - fl
+    return (
+        F.when(frac > 0.5, fl + 1)
+        .when(frac < 0.5, fl)
+        .otherwise(F.when(fl % 2 == 0, fl).otherwise(fl + 1))
+    )
+
+
 def make_bbox(x1: Column, y1: Column, x2: Column, y2: Column, score: Column) -> Bbox:
     return {"x1": x1, "y1": y1, "x2": x2, "y2": y2, "score": score}
 
@@ -60,7 +82,7 @@ def pad_bbox(b: Bbox, pad: float) -> Bbox:
     """S2 (utils.py:42-50): pad all sides; fractional pad = round(pad·max_side)."""
     if isinstance(pad, float) and not pad.is_integer():
         max_side = F.greatest(b["x2"] - b["x1"], b["y2"] - b["y1"])
-        pad_e = round_half_away(F.lit(pad) * max_side)
+        pad_e = round_half_even(F.lit(pad) * max_side)
     else:
         pad_e = F.lit(pad)
     return make_bbox(
@@ -75,17 +97,17 @@ def pad_bbox(b: Bbox, pad: float) -> Bbox:
 def to_integer(b: Bbox, preserve_size: bool = True) -> Bbox:
     """S3 (utils.py:7-24): integer-round corners; preserve w/h exactly when
     asked; score → round(score·100)."""
-    x1i = round_half_away(b["x1"])
-    y1i = round_half_away(b["y1"])
+    x1i = round_half_even(b["x1"])
+    y1i = round_half_even(b["y1"])
     if preserve_size:
-        x2i = x1i + round_half_away(b["x2"] - b["x1"])
-        y2i = y1i + round_half_away(b["y2"] - b["y1"])
+        x2i = x1i + round_half_even(b["x2"] - b["x1"])
+        y2i = y1i + round_half_even(b["y2"] - b["y1"])
     else:
-        x2i = round_half_away(b["x2"])
-        y2i = round_half_away(b["y2"])
+        x2i = round_half_even(b["x2"])
+        y2i = round_half_even(b["y2"])
     return make_bbox(
         x1=x1i, y1=y1i, x2=x2i, y2=y2i,
-        score=round_half_away(b["score"] * 100),
+        score=round_half_even(b["score"] * 100),
     )
 
 

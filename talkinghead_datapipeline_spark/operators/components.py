@@ -28,7 +28,20 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min vertex
-    id reachable. Deterministic. Converges in ≤ graph-diameter rounds."""
+    id reachable. Deterministic.
+
+    Each round does one neighbor-min propagation PLUS one pointer-jumping
+    hop (``comp ← label(comp)``), so label distance doubles per round and
+    convergence needs O(log diameter) rounds — a 1M-row duplicate chain
+    converges in ~20 rounds where plain propagation would need 1M. The
+    changed-row check is folded into the round's own checkpointed output
+    (``_prev`` column + filter-count over local data) instead of a separate
+    join against the previous labels.
+
+    Raises RuntimeError if the fixpoint is not reached within ``max_iter``
+    rounds — silently-wrong labels would keep extra "canonical" duplicates
+    downstream, so refusing is the only safe exit.
+    """
     sym = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
@@ -50,26 +63,41 @@ def connected_components(
             .groupBy("_d")
             .agg(F.min("comp").alias("_nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min._d, "left")
             .select(
                 "id",
+                F.col("comp").alias("_prev"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("_nmin"), F.col("comp"))
                 ).alias("comp"),
             )
+            # checkpoint: referenced twice by the pointer-jump self-join.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        hop = stepped.select(F.col("id").alias("_cid"), F.col("comp").alias("_cc"))
+        jumped = (
+            stepped.join(hop, stepped.comp == hop._cid, "left")
+            .select(
+                "id",
+                "_prev",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        # comp is monotone non-increasing, so "<" is the full changed test;
+        # jumped is checkpointed — this count is a local scan, not a join.
+        changed = jumped.filter(F.col("comp") < F.col("_prev")).count()
+        labels = jumped.select("id", "comp")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — raise max_iter; returning "
+        "partial labels would split components and under-deduplicate"
+    )
 
 
 def canonical_per_component(

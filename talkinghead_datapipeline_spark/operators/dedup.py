@@ -5,9 +5,11 @@ designed for 100 TB:
 
 - **exact**: groupBy on a content digest — one shuffle on a uniform key.
 - **MinHash+LSH**: shingle → portable 32-bit hash → K permutation minima →
-  band keys → candidate pairs via band self-join → exact-Jaccard verify.
-  The self-join shuffles only (band_key) groups; at scale, bucket sizes are
-  bounded because identical band keys imply high similarity.
+  band keys → candidate pairs via band-bucket expansion → exact-Jaccard
+  verify. One shuffle on the band key. Bucket size equals duplicate-cluster
+  size (identical docs share every band), so oversized buckets switch to
+  O(c) star expansion (``max_bucket``) and the cluster query collapses
+  exact duplicates BEFORE banding.
 - **SimHash**: per-token hash bit-votes folded into a 32-bit fingerprint;
   near-dup = small Hamming distance (bucket by fingerprint prefix at scale).
 - **n-gram Jaccard**: exact character-shingle similarity inside cheap blocks.
@@ -200,7 +202,55 @@ def exact_dedup(df: DataFrame, content: str, key: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
+def dedup_edge_graph(
+    df: DataFrame,
+    key: str,
+    text: str,
+    jaccard_min: float = 0.2,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Scale-safe near-duplicate edge list (key_a, key_b) for clustering:
+    exact-dedup pre-pass + LSH over representatives + re-attach edges.
+
+    The mega-bucket killer for LSH is the duplicate cluster itself — every
+    member shares every band, so bucket size equals cluster size and the
+    pair expansion is quadratic in ONE task. Composing exact dedup in
+    front removes exactly that mass: identical texts collapse to their
+    min-key representative (one digest shuffle), banding runs over
+    representatives only, and each dropped member re-attaches via a
+    (representative, member) edge — O(cluster) edges instead of O(cluster²)
+    pairs, with identical connected components as the uncomposed form
+    (identical texts share every band and verify at jaccard = 1, so they
+    were always in their representative's component).
+
+    Eligibility matches the pair generator: docs with ≥ 3 tokens (≥ 1
+    shingle). Returns the union of verified LSH pairs (jaccard ≥
+    ``jaccard_min``) over representatives and the exact-duplicate edges.
+    """
+    from pyspark.sql.window import Window as W
+
+    eligible = df.filter(F.size(word_tokens(F.col(text))) >= 3)
+    wdg = eligible.select(
+        F.col(key).alias("id"), F.col(text).alias("_t"), F.md5(text).alias("_dg")
+    )
+    lab = wdg.withColumn("_rep", F.min("id").over(W.partitionBy("_dg")))
+    reps = lab.filter(F.col("id") == F.col("_rep")).select(
+        F.col("id").alias(key), F.col("_t").alias(text)
+    )
+    exact_edges = lab.filter(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("key_a"), F.col("id").alias("key_b")
+    )
+    lsh_edges = (
+        minhash_candidate_pairs(reps, key, text, max_bucket=max_bucket)
+        .filter(F.col("jaccard") >= jaccard_min)
+        .select("key_a", "key_b")
+    )
+    return lsh_edges.unionByName(exact_edges)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, key: str, text: str, max_bucket: int = 1024
+) -> DataFrame:
     """LSH candidate pairs (key_a < key_b) with exact Jaccard, in ONE pass.
 
     Scale design: one corpus scan computes hashed shingles (md5 once per
@@ -211,9 +261,20 @@ def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
     DISTINCT, no rejoin. A pair colliding on several bands is emitted only
     at its FIRST matching band (later bands check band-0 slice equality).
     The shuffled payload is the 8-byte hash array, not shingle strings —
-    n_bands copies of ~1/4 the text bytes; bucket sizes stay bounded at
-    scale because identical band keys imply high similarity, and the band
-    key is near-uniform so there is no skew.
+    n_bands copies of ~1/4 the text bytes.
+
+    **Mega-bucket containment** (``max_bucket``): bucket size is NOT
+    bounded by hashing — every member of a duplicate cluster shares
+    identical band values, so a bucket is as large as the duplicate
+    cluster (web boilerplate: millions), and the all-pairs expansion is
+    O(c²) inside ONE task. Buckets larger than ``max_bucket`` therefore
+    emit STAR pairs only — every member against the bucket minimum —
+    which is O(c), still connects the whole bucket into one component
+    for clustering, and is a sound approximation precisely because an
+    oversized bucket's members agree on a full signature band (i.e. are
+    near-identical). For exact full-pair output compose ``exact_dedup``
+    in front so duplicate clusters collapse to one representative before
+    banding (see queries.dedup.dedup_cluster_assignments).
     """
     from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
 
@@ -259,19 +320,25 @@ def minhash_candidate_pairs(df: DataFrame, key: str, text: str) -> DataFrame:
     # intersect runs once per pair (inlining it into a jaccard expression
     # would evaluate it twice). Band-0 equality compares the four leading
     # signature entries element-wise — no sub-array materialization.
-    b0_eq = " AND ".join(
-        f"mem[i-1].sig[{k}] = mem[j-1].sig[{k}]" for k in range(BAND_WIDTH)
-    )
+    def _pair_struct(i: str, j: str) -> str:
+        b0_eq = " AND ".join(
+            f"mem[{i}-1].sig[{k}] = mem[{j}-1].sig[{k}]" for k in range(BAND_WIDTH)
+        )
+        return f"""named_struct(
+                'key_a', mem[{i}-1].k, 'key_b', mem[{j}-1].k,
+                'isz', CAST(size(array_intersect(mem[{i}-1].g, mem[{j}-1].g)) AS DOUBLE),
+                'usz', CAST(size(mem[{i}-1].g) + size(mem[{j}-1].g) AS DOUBLE),
+                'b0_eq', {b0_eq})"""
+
     pair_expr = F.expr(
         f"""
         filter(
-          flatten(transform(sequence(1, size(mem) - 1), i ->
-            transform(sequence(i + 1, size(mem)), j ->
-              named_struct(
-                'key_a', mem[i-1].k, 'key_b', mem[j-1].k,
-                'isz', CAST(size(array_intersect(mem[i-1].g, mem[j-1].g)) AS DOUBLE),
-                'usz', CAST(size(mem[i-1].g) + size(mem[j-1].g) AS DOUBLE),
-                'b0_eq', {b0_eq})))),
+          CASE WHEN size(mem) <= {int(max_bucket)} THEN
+            flatten(transform(sequence(1, size(mem) - 1), i ->
+              transform(sequence(i + 1, size(mem)), j -> {_pair_struct("i", "j")})))
+          ELSE
+            transform(sequence(2, size(mem)), j -> {_pair_struct("1", "j")})
+          END,
           p -> _bidx = 0 OR NOT p.b0_eq)
         """
     )

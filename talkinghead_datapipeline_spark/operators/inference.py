@@ -73,9 +73,14 @@ def batched_inference(
     continues, mirroring run_sequence's RuntimeError containment
     (dpl/processor/nodes/base.py:137-142) at batch grain (audio.py:65-70).
     """
+    from pyspark.sql.types import StructType
+
     from talkinghead_datapipeline_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
+    # Parse the DDL properly (driver-side, once): naive comma-splitting
+    # breaks on struct<...>/map<k,v>/decimal(p,s) field types.
+    out_cols = StructType.fromDDL(output_schema).fieldNames()
 
     def _infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = get_executor_resource(model_key, model_factory)
@@ -86,11 +91,14 @@ def batched_inference(
                     out[error_col] = None
                 yield out
             except Exception as exc:  # noqa: BLE001 — quarantine, don't abort
-                quarantined = pdf.copy()
-                quarantined[error_col] = f"{type(exc).__name__}: {exc}"
-                yield quarantined.reindex(
-                    columns=[f.strip().split(" ")[0] for f in output_schema.split(",")]
+                # missing model-output columns become object-dtype None
+                # (NOT float NaN — Arrow nulls them cleanly for any type).
+                none_col = pd.Series([None] * len(pdf), dtype=object, index=pdf.index)
+                quarantined = pd.DataFrame(
+                    {c: pdf[c] if c in pdf.columns else none_col for c in out_cols}
                 )
+                quarantined[error_col] = f"{type(exc).__name__}: {exc}"
+                yield quarantined
 
     return df.mapInPandas(_infer, schema=output_schema)
 

@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from talkinghead_datapipeline_spark.functions import geometry as G
 from talkinghead_datapipeline_spark.functions.windows import savgol_coefficients
 
 
@@ -120,13 +119,15 @@ def rolling_extent_bboxes(
         out = savgol_smooth(out, key, order_col, ["center"], smooth_window)
     if equalize_q is not None:
         # quantile-equalize: every frame gets the per-key q-quantile size,
-        # rounded to even parity like make_equal_size (bboxes.py:180-194).
+        # with exact make_equal_size parity (bboxes.py:180-194):
+        # size = quantile.astype(int) — truncation, and sizes >= 0 so
+        # floor == int() — then `size += size % 2` even-parity bump.
         eq = out.groupBy(key).agg(
             F.percentile("size", F.lit(equalize_q)).alias("_q_size")
         )
+        tr = F.floor(F.col("_q_size")).cast("bigint")
         out = out.join(eq, key).withColumn(
-            # round_half_away (codegen) over BigDecimal round; cast keeps
-            # the column double as before (consumers round it for output).
-            "size_eq", (G.round_half_away(F.col("_q_size") / 2) * 2).cast("double")
+            # cast keeps the column double as before (consumers round it).
+            "size_eq", (tr + tr % 2).cast("double")
         ).drop("_q_size")
     return out

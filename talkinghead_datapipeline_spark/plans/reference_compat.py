@@ -249,15 +249,19 @@ def _fixed_bboxes(ctx: GraphContext, p: dict[str, Any]) -> None:
         F.min("_ymin").alias("ymin"),
         F.max("_ymax").alias("ymax"),
     )
-    side = 1.1 * scale * ((F.col("xmax") - F.col("xmin")) + (F.col("ymax") - F.col("ymin"))) / 2
-    cx = (F.col("xmin") + F.col("xmax")) / 2
-    cy = (F.col("ymin") + F.col("ymax")) / 2
+    # bboxes.py:74-78: radius/xc/yc pass through int() — truncation toward
+    # zero, which Spark's double→bigint CAST matches exactly — so the output
+    # boxes are integer-cornered like the reference's np.int64 boxes.
+    size = ((F.col("xmax") - F.col("xmin")) + (F.col("ymax") - F.col("ymin"))) / 2 * 1.1
+    radius = (scale * size / 2.0).cast("bigint")
+    cx = ((F.col("xmin") + F.col("xmax")) / 2.0).cast("bigint")
+    cy = ((F.col("ymin") + F.col("ymax")) / 2.0).cast("bigint")
     box = extent.select(
         "clip_name",
-        (cx - side / 2).alias("x1"),
-        (cy - side / 2).alias("y1"),
-        (cx + side / 2).alias("x2"),
-        (cy + side / 2).alias("y2"),
+        (cx - radius).alias("x1"),
+        (cy - radius).alias("y1"),
+        (cx + radius).alias("x2"),
+        (cy + radius).alias("y2"),
     )
     ctx.put(
         "bboxes",
@@ -481,9 +485,9 @@ def _a2en(ctx: GraphContext, p: dict[str, Any]) -> None:
     audio = ctx.get("wav2vec_volume")
     joined = per_frame.groupBy("clip_name").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.collect_list(F.struct("frame_idx", "jaw", "left_blink", "right_blink")).alias(
-            "_frames"
-        ),
+        F.collect_list(
+            F.struct("frame_idx", "jaw", "exp", "left_blink", "right_blink")
+        ).alias("_frames"),
     ).join(audio, "clip_name")
 
     def pack(_model, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -499,13 +503,22 @@ def _a2en(ctx: GraphContext, p: dict[str, Any]) -> None:
             v = np.asarray(vol, dtype=np.float64)
             if len(v) == 0 or len(w) == 0:
                 raise ValueError(f"empty audio for clip {name} (a2en.py:38-39)")
+            frames = sorted(fr, key=lambda r: r["frame_idx"])
+            # the reference npz carries ALL of: wav2vec, volume, exp, jaw,
+            # left/right/average blink (a2en.py:29-45 + get_blinks_data).
+            lb = [float(r["left_blink"]) for r in frames]
+            rb = [float(r["right_blink"]) for r in frames]
             rows.append(
                 {
                     "clip_name": name,
                     "n_frames": n,
                     "wav2vec_resampled": _resample_np(w, n).tolist(),
                     "volume_resampled": _resample_np(v[:, None], n)[:, 0].tolist(),
-                    "jaw": [float(r["jaw"]) for r in sorted(fr, key=lambda r: r["frame_idx"])],
+                    "exp": [[float(x) for x in r["exp"]] for r in frames],
+                    "jaw": [float(r["jaw"]) for r in frames],
+                    "left_blink": lb,
+                    "right_blink": rb,
+                    "average_blink": [(a + b) / 2 for a, b in zip(lb, rb)],
                     "error": None,
                 }
             )
@@ -513,7 +526,8 @@ def _a2en(ctx: GraphContext, p: dict[str, Any]) -> None:
             rows,
             columns=[
                 "clip_name", "n_frames", "wav2vec_resampled",
-                "volume_resampled", "jaw", "error",
+                "volume_resampled", "exp", "jaw",
+                "left_blink", "right_blink", "average_blink", "error",
             ],
         )
 
@@ -527,7 +541,10 @@ def _a2en(ctx: GraphContext, p: dict[str, Any]) -> None:
         output_schema=(
             "clip_name string, n_frames bigint, "
             "wav2vec_resampled array<array<double>>, "
-            "volume_resampled array<double>, jaw array<double>, error string"
+            "volume_resampled array<double>, exp array<array<double>>, "
+            "jaw array<double>, left_blink array<double>, "
+            "right_blink array<double>, average_blink array<double>, "
+            "error string"
         ),
         model_key="a2en_pack",
         model_factory=lambda: None,

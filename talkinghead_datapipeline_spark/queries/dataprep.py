@@ -216,10 +216,10 @@ _PACK_RANK_SQL = _salted_hash_sql("pack|", "doc_id")
       FROM documents WHERE length(text) > 0
     )
     SELECT doc_id, source, shard, n_tok,
-           COALESCE(sum(n_tok) OVER (
+           CAST(COALESCE(sum(n_tok) OVER (
              PARTITION BY source, shard
              ORDER BY {_PACK_RANK_SQL}, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
            CAST(floor(COALESCE(sum(n_tok) OVER (
              PARTITION BY source, shard
              ORDER BY {_PACK_RANK_SQL}, doc_id

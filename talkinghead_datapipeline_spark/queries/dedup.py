@@ -107,8 +107,12 @@ _MINHASH_PAIRS_ORACLE = f"""
 
 @register("minhash_lsh_near_dups", oracle=_MINHASH_PAIRS_ORACLE, tags=("dedup", "minhash", "join"))
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: LSH band self-join (the only shuffle, on band
-    keys) → exact Jaccard verification ≥ 0.2 on candidates only."""
+    """Near-duplicate pairs: LSH band buckets (one shuffle, on band keys) →
+    exact Jaccard verification ≥ 0.2 on candidates only. Mega-buckets
+    (duplicate clusters) are contained by the operator's max_bucket star
+    expansion — never triggered at oracle scales (max bucket 4 at sf0.1),
+    so the uncapped self-join oracle stays exact. Low-recall N_PERM=8 / 2
+    bands of 4 is an oracle-determinism choice, not a production setting."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
     return pairs.select(
@@ -159,6 +163,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HAMMING_MAX = 10
+# Buckets beyond this switch from all-pairs to star expansion; never reached
+# at oracle scales (so oracles stay exact) but bounds the single-task
+# quadratic under duplicate-heavy / band-saturated corpora.
+_MAX_BUCKET = 1024
 
 _SIMHASH_PAIRS_ORACLE = f"""
     WITH h AS (
@@ -199,8 +207,15 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bit_count(xor)`` verify fused into the same ``filter`` lambda. A pair
     matching on both bands is emitted only at band 0 (its low halves are
     equal), so no dedup pass is needed. 3.7x faster than the self-join
-    form at sf0.1. At 100 TB the band key is near-uniform (it IS a hash),
-    so buckets stay small and the quadratic expansion stays bounded."""
+    form at sf0.1.
+
+    Bucket sizes are NOT uniformly small: a 16-bit band has only 65,536
+    values, so buckets grow linearly with corpus size, and a duplicate
+    cluster lands entirely in one bucket. Buckets beyond _MAX_BUCKET
+    therefore emit star pairs to the bucket minimum (O(c), still connects
+    the cluster; sound because such members agree on half the fingerprint)
+    — the cap never triggers at oracle scales (max observed bucket: 291 at
+    sf0.1), so the uncapped self-join oracle stays exact."""
     docs = rebalance_for_compute(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") > 0)
@@ -226,18 +241,25 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Index-arithmetic expansion: element_at lookups, never slice() — the
     # slice form copies the bucket array once per member, O(c^2) array
-    # allocations per bucket, which matters for the large skewed buckets
-    # a 100 TB corpus produces (equal at sf0.1 where buckets are small).
+    # allocations per bucket (equal at sf0.1 where buckets are small).
+    # Oversized buckets (duplicate clusters / saturated 16-bit bands)
+    # switch to O(c) star expansion against the bucket minimum.
+    def _ps(i: str, j: str) -> str:
+        return f"""named_struct(
+                'key_a', mem[{i}-1].doc_id,
+                'key_b', mem[{j}-1].doc_id,
+                'hamming', CAST(bit_count(mem[{i}-1].simhash ^ mem[{j}-1].simhash) AS BIGINT),
+                'low_eq', mem[{i}-1].simhash % 65536 = mem[{j}-1].simhash % 65536)"""
+
     pair_expr = F.expr(
         f"""
         filter(
-          flatten(transform(sequence(1, size(mem) - 1), i ->
-            transform(sequence(i + 1, size(mem)), j ->
-              named_struct(
-                'key_a', mem[i-1].doc_id,
-                'key_b', mem[j-1].doc_id,
-                'hamming', CAST(bit_count(mem[i-1].simhash ^ mem[j-1].simhash) AS BIGINT),
-                'low_eq', mem[i-1].simhash % 65536 = mem[j-1].simhash % 65536)))),
+          CASE WHEN size(mem) <= {_MAX_BUCKET} THEN
+            flatten(transform(sequence(1, size(mem) - 1), i ->
+              transform(sequence(i + 1, size(mem)), j -> {_ps("i", "j")})))
+          ELSE
+            transform(sequence(2, size(mem)), j -> {_ps("1", "j")})
+          END,
           p -> p.hamming <= {_HAMMING_MAX} AND (bi = 0 OR NOT p.low_eq))
         """
     )
@@ -409,22 +431,23 @@ _CC_ORACLE = f"""
 @register("dedup_cluster_assignments", oracle=_CC_ORACLE, tags=("dedup", "components", "iterative"))
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
-    minhash near-dup graph (operators.components, Pregel-style min-label
-    propagation with per-round lineage checkpoints). A~B and B~C collapse
-    to one cluster even when A~C was never emitted — the step that turns
-    pairwise LSH output into an actual dedup decision. The oracle computes
-    the same closure with a recursive CTE."""
+    scale-safe near-dup edge graph (operators.dedup.dedup_edge_graph —
+    exact-dedup pre-pass collapses identical texts BEFORE banding, so a
+    million-copy boilerplate cluster contributes O(c) representative
+    edges, never an O(c²) mega-bucket expansion), then Pregel-style
+    min-label propagation with pointer jumping (operators.components).
+    A~B and B~C collapse to one cluster even when A~C was never emitted.
+    The oracle computes the UNCOMPOSED closure with a recursive CTE — the
+    outputs are provably identical (identical texts share every band and
+    verify at jaccard = 1), so the oracle doubles as an equivalence proof
+    of the composition."""
     from talkinghead_datapipeline_spark.operators.components import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        D.minhash_candidate_pairs(docs, "doc_id", "text")
-        .filter(F.col("jaccard") >= 0.2)
-        .select("key_a", "key_b")
-    )
-    comps = connected_components(pairs)
+    edges = D.dedup_edge_graph(docs, "doc_id", "text", jaccard_min=0.2)
+    comps = connected_components(edges)
     return comps.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -45,13 +45,14 @@ _SQUARE_SQL = """
       FROM raw_bbox
 """
 
-# S2 pad fraction 0.1 of max side (post-square: max side == side), rounded.
+# S2 pad fraction 0.1 of max side (post-square: max side == side), rounded
+# half-to-even (roundbankers) — Python round() parity, matching utils.py.
 _PAD_SQL = """
       SELECT l_orderkey, l_linenumber, score,
-             x1 - round(0.1 * greatest(x2 - x1, y2 - y1)) AS x1,
-             y1 - round(0.1 * greatest(x2 - x1, y2 - y1)) AS y1,
-             x2 + round(0.1 * greatest(x2 - x1, y2 - y1)) AS x2,
-             y2 + round(0.1 * greatest(x2 - x1, y2 - y1)) AS y2
+             x1 - roundbankers(0.1 * greatest(x2 - x1, y2 - y1), 0) AS x1,
+             y1 - roundbankers(0.1 * greatest(x2 - x1, y2 - y1), 0) AS y1,
+             x2 + roundbankers(0.1 * greatest(x2 - x1, y2 - y1), 0) AS x2,
+             y2 + roundbankers(0.1 * greatest(x2 - x1, y2 - y1), 0) AS y2
       FROM squared
 """
 
@@ -60,11 +61,11 @@ _N10_ORACLE = f"""
          squared AS ({_SQUARE_SQL}),
          padded AS ({_PAD_SQL})
     SELECT l_orderkey, l_linenumber,
-           CAST(round(x1) AS BIGINT)                     AS bx1,
-           CAST(round(y1) AS BIGINT)                     AS by1,
-           CAST(round(x1) AS BIGINT) + CAST(round(x2 - x1) AS BIGINT) AS bx2,
-           CAST(round(y1) AS BIGINT) + CAST(round(y2 - y1) AS BIGINT) AS by2,
-           CAST(round(score * 100) AS BIGINT)            AS bscore
+           CAST(roundbankers(x1, 0) AS BIGINT)           AS bx1,
+           CAST(roundbankers(y1, 0) AS BIGINT)           AS by1,
+           CAST(roundbankers(x1, 0) AS BIGINT) + CAST(roundbankers(x2 - x1, 0) AS BIGINT) AS bx2,
+           CAST(roundbankers(y1, 0) AS BIGINT) + CAST(roundbankers(y2 - y1, 0) AS BIGINT) AS by2,
+           CAST(roundbankers(score * 100, 0) AS BIGINT)  AS bscore
     FROM padded
 """
 

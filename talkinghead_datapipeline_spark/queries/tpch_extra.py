@@ -426,5 +426,9 @@ def skew_salted_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.round("raw_qty", 2).alias("total_qty"),
-        F.round("raw_lines", 2).alias("total_lines"),
+        # cast to double BEFORE round: DuckDB's round() widens integer sums
+        # to DOUBLE while Spark's round() keeps BIGINT — the registry-header
+        # cast convention this query violated in round 1 (driver hash FAIL
+        # on 40024 vs 40024.0).
+        F.round(F.col("raw_lines").cast("double"), 2).alias("total_lines"),
     )

@@ -258,12 +258,36 @@ def s8_savgol_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s8_savgol_exact", oracle=None, tags=("window", "S8", "udf"))
+_SG_H25 = _sg_hat(25, 3)
+
+
+@register(
+    "s8_savgol_exact",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             list(value ORDER BY event_id) AS arr,
+             list(event_id ORDER BY event_id) AS ids
+      FROM events GROUP BY user_id
+    ),
+    idx AS (
+      SELECT user_id, arr, ids, len(arr) AS n,
+             CAST(unnest(range(0, len(arr))) AS BIGINT) AS i
+      FROM per_user
+    )
+    SELECT user_id, ids[CAST(i AS INT) + 1] AS event_id,
+           round({_sg_case_sql(_SG_H25)}, 6) AS smoothed
+    FROM idx
+    """,
+    tags=("window", "S8", "udf"),
+)
 def s8_savgol_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact scipy-parity savgol(w=25, o=3) incl. 'interp' edge refit —
-    applyInPandas per user series (operators.rolling). Non-SQL-expressible
-    (polynomial edge refit), so no oracle: correctness is pinned by
-    tests/test_kernels.py against the numpy reference."""
+    applyInPandas per user series (operators.rolling). The edge refit is a
+    fixed linear map (hat-matrix rows), so the oracle expresses it as a SQL
+    CASE over per-key collected arrays (same scheme as s8_savgol_exact_w7);
+    round-6 on both sides absorbs polyfit-vs-projector ULP noise. This entry
+    driver-verifies the applyInPandas operator path itself."""
     from talkinghead_datapipeline_spark.operators.rolling import savgol_smooth
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
@@ -290,7 +314,12 @@ def _n12_oracle() -> str:
       FROM base
     ),
     eq AS (
-      SELECT user_id, round(quantile_cont(size, 0.75) / 2, 0) * 2 AS size_eq
+      -- make_equal_size (bboxes.py:180-194): size = quantile.astype(int)
+      -- (truncation; sizes >= 0 so floor == int()), then parity bump.
+      SELECT user_id,
+             CAST(CAST(floor(quantile_cont(size, 0.75)) AS BIGINT)
+                  + CAST(floor(quantile_cont(size, 0.75)) AS BIGINT) % 2
+                  AS DOUBLE) AS size_eq
       FROM derived GROUP BY user_id
     ),
     per_user AS (
@@ -327,8 +356,8 @@ def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full EmocaLikeBboxes chain (bboxes.py:84-195), ALL stages oracle-
     checked: rolling extent w=5 (O(N) window frame) → exact savgol(25,3)
     center smoothing WITH edge refit (shared hat-matrix literals, see
-    s8_savgol_exact_w7) → q=0.75 size equalization (quantile + even-parity
-    round, make_equal_size bboxes.py:180-194). Two shuffles total: the
+    s8_savgol_exact_w7) → q=0.75 size equalization (quantile truncated to
+    int + even-parity bump, make_equal_size bboxes.py:180-194). Two shuffles total: the
     window partition and the per-key collect (same key → exchange reuse)."""
     H25 = _sg_hat(25, 3)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
@@ -341,8 +370,12 @@ def n12_emoca_bbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumns(
         {"center": (F.col("lo") + F.col("hi")) / 2, "size": F.col("hi") - F.col("lo")}
     )
+    # make_equal_size parity (bboxes.py:180-194): astype(int) truncation
+    # (sizes >= 0, so floor == int()) then even-parity bump — NOT nearest-
+    # even rounding.
+    _q = F.floor(F.percentile("size", F.lit(0.75))).cast("bigint")
     eq = derived.groupBy("user_id").agg(
-        (F.round(F.percentile("size", F.lit(0.75)) / 2, 0) * 2).alias("size_eq")
+        (_q + _q % 2).cast("double").alias("size_eq")
     )
     per_user = derived.groupBy("user_id").agg(
         F.array_sort(

@@ -19,8 +19,24 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists on the sink's filesystem (Hadoop FS API —
+    works for any scheme, not just local).
+
+    Sink-read failures must NOT be conflated with "first run": a transient
+    read error (corrupt footer, concurrent writer) treated as first-run
+    would silently drop or duplicate previously-written rows. Existence is
+    checked explicitly; real read errors propagate.
+    """
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(jconf).exists(jpath)
 
 
 def pending_keys(candidates: DataFrame, done: DataFrame, key: str | list[str]) -> DataFrame:
@@ -39,10 +55,15 @@ def incremental_append(
     (the recompute flag mirrors the reference's override, base.py:135).
     Returns the number of rows appended."""
     spark = candidates.sparkSession
-    try:
-        done = spark.read.parquet(sink_path)
+    if _sink_exists(spark, sink_path):
+        try:
+            done = spark.read.parquet(sink_path)
+        except AnalysisException as e:
+            # existing-but-unreadable sink is an error, never "first run" —
+            # appending blind would duplicate every previously-written key.
+            raise RuntimeError(f"sink {sink_path} exists but is unreadable") from e
         todo = candidates if recompute else pending_keys(candidates, done, key)
-    except Exception:  # first run: sink does not exist yet
+    else:  # first run: sink does not exist yet
         todo = candidates
     n = todo.count()
     if n:
@@ -115,11 +136,14 @@ def run_foreach_batch_upsert(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df)
-        try:
+        if _sink_exists(spark, sink_path):
+            # an existing-but-unreadable sink must raise (fail the batch;
+            # the checkpoint retries it) — treating it as "first batch"
+            # would overwrite the whole sink with this batch alone.
             existing = spark.read.parquet(sink_path)
             kept = existing.join(out.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(out)
-        except Exception:  # first batch: no sink yet
+        else:  # first batch: no sink yet
             merged = out
         # Stage then swap: the sink must stay readable mid-rewrite.
         staged = merged.localCheckpoint(eager=True)

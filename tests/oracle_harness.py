@@ -11,9 +11,11 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from decimal import Decimal
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from talkinghead_datapipeline_spark.catalog import TPCH_TABLES, table_path
@@ -29,13 +31,26 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_value(v: Any) -> Any:
-    """Canonicalize one cell for cross-engine comparison."""
+    """Canonicalize one cell for cross-engine comparison.
+
+    Numeric values carry a TYPE-CLASS TAG ("b"/"i"/"f"/"d") so an integer
+    column on one engine never equals a float column on the other — the
+    driver's value hash is dtype-sensitive (round 1: Spark BIGINT 40024
+    hash-mismatched DuckDB DOUBLE 40024.0 while the old ``==`` compare
+    passed). A local pass must predict a driver pass.
+    """
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return float(v)
+            return ("f", "NaN")
+        return ("f", float(v))
+    if isinstance(v, Decimal):
+        return ("d", str(v))
     if isinstance(v, (pd.Timestamp,)):
         return v.to_pydatetime().isoformat()
     if hasattr(v, "isoformat"):

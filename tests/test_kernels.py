@@ -161,11 +161,9 @@ def test_bbox_chain_matches_numpy(spark):
     ).toPandas()
     for i, row in pdf.iterrows():
         sq = _np_to_square((row.x1, row.y1, row.x2, row.y2))
-        # SQL round() (half-away-from-zero) can differ from Python banker's
-        # round at exact .5 — compare against the SQL convention.
-        side = max(sq[2] - sq[0], sq[3] - sq[1])
-        p = np.floor(0.1 * side + 0.5)
-        want = (sq[0] - p, sq[1] - p, sq[2] + p, sq[3] + p)
+        # reference parity: pad uses Python round() = half-to-even
+        # (dpl/processor/utils.py pad_bbox), mirrored by _np_pad.
+        want = _np_pad(sq, 0.1)
         np.testing.assert_allclose(
             got.iloc[i][["ox1", "oy1", "ox2", "oy2"]].to_numpy().astype(float),
             want,
@@ -182,6 +180,22 @@ def test_bbox_chain_matches_numpy(spark):
 # ---------------------------------------------------------------------------
 # S4/S5 — blink EAR vs numpy
 # ---------------------------------------------------------------------------
+
+
+def test_round_half_even_reference_parity(spark):
+    """round_half_even must match np.rint / Python round() exactly,
+    including ties and negatives (dpl/processor/utils.py parity)."""
+    vals = [12.5, 13.5, -12.5, -13.5, 0.5, 1.5, 2.5, -0.5, -2.5, 2.3, -2.7, 7.0]
+    pdf = pd.DataFrame({"x": vals})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(G.round_half_even(F.col("x")).alias("r"))
+        .toPandas()["r"]
+        .tolist()
+    )
+    want = [int(np.rint(v)) for v in vals]
+    assert got == want
+    assert want == [round(v) for v in vals]  # np.rint == Python round here
 
 
 def test_blink_ear_matches_numpy(spark):

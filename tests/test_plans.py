@@ -91,6 +91,60 @@ def test_minhash_pairs_shuffle_carries_keys_not_shingles(spark, sf_dir):
     ) or "key_a" in plan
 
 
+def test_mega_bucket_star_expansion(spark):
+    """A 10k-member duplicate cluster (every member shares every band) must
+    expand in O(c) star pairs under max_bucket, and the composed
+    dedup_edge_graph must collapse it BEFORE banding — no single-task
+    O(c²) stage anywhere (VERDICT r1 #4)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+    from talkinghead_datapipeline_spark.operators.dedup import (
+        dedup_edge_graph,
+        minhash_candidate_pairs,
+    )
+
+    n = 10_000
+    text = "the same boilerplate paragraph repeated across the whole corpus"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(n)), "text": [text] * n})
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=64)
+    # star pairs to the bucket minimum, emitted at band 0 only
+    assert pairs.count() == n - 1
+    assert pairs.filter(F.col("key_a") == 0).count() == n - 1
+    # composed form: exact-dedup pre-pass leaves ONE representative, so the
+    # LSH stage sees no bucket at all — just (rep, member) edges.
+    edges = dedup_edge_graph(docs, "doc_id", "text")
+    assert edges.count() == n - 1
+    comps = connected_components(edges)
+    assert comps.count() == n
+    assert comps.agg(F.countDistinct("comp")).collect()[0][0] == 1
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    """Pointer jumping collapses a length-64 chain within the default
+    round budget; an impossible round budget raises instead of returning
+    silently-wrong labels (ADVICE r1)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = pd.DataFrame({"key_a": list(range(63)), "key_b": list(range(1, 64))})
+    edges = spark.createDataFrame(chain)
+    comps = connected_components(edges, max_iter=10)  # needs ~log2(64) rounds
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    assert got == {i: 0 for i in range(64)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 @pytest.mark.parametrize(
     "name",
     ["sim_brute_cosine_topk", "q3_top_revenue_orders", "q10_returned_item_customers"],

@@ -38,3 +38,46 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_driver_priority_prefix_covers_all_families():
+    """The first 50 registry entries (the driver's observed correctness
+    window) must include every operator family."""
+    names = list(_SPECS)
+    prefix = set(names[:50])
+    families = {
+        "dedup": "minhash_lsh_near_dups",
+        "similarity": "sim_lsh_bucket_topk",
+        "textops": "text_bpe_token_count",
+        "dataprep": "pack_token_budget",
+        "streaming": "streaming_user_sessions",
+        "multimodal": "multimodal_image_channel_means",
+        "inference": "flame_decode_landmarks",
+        "assembly": "a2en_feature_assembly",
+        "timeseries": "s7_resample_linear",
+        "kernels": "n10_bbox_transform_chain",
+        "relational": "flagship_segment_leaders",
+        "functions": "array_hof_suite",
+    }
+    missing = {fam: q for fam, q in families.items() if q not in prefix}
+    assert not missing, f"families outside driver window: {missing}"
+
+
+def test_compare_is_numeric_type_sensitive():
+    """Round-1 regression: Spark BIGINT 40024 vs DuckDB DOUBLE 40024.0
+    passed the old ``==`` compare but failed the driver's dtype-sensitive
+    hash. The hardened compare must FAIL it locally."""
+    import pandas as pd
+
+    from tests.oracle_harness import compare_frames
+
+    spark_pdf = pd.DataFrame({"total_lines": pd.array([40024], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"total_lines": pd.array([40024.0], dtype="float64")})
+    res = compare_frames("widening_regression", spark_pdf, oracle_pdf)
+    assert not res.ok, "int-vs-float widening must be a local FAIL"
+    same = compare_frames(
+        "widening_ok",
+        pd.DataFrame({"x": pd.array([40024.0], dtype="float64")}),
+        pd.DataFrame({"x": pd.array([40024.0], dtype="float64")}),
+    )
+    assert same.ok

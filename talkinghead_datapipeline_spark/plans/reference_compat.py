@@ -98,9 +98,27 @@ def _infer(ctx, input_key, schema, model_key, factory, batch_fn, output_key):
 @ref_node("VideoToImagesNode")
 def _video_to_images(ctx: GraphContext, p: dict[str, Any]) -> None:
     """N2 demux: video binary → (clip_name, frame_idx, image) frame rows.
-    Real plumbing = frame-grain posexplode; the byte-chunk 'codec' stands in
-    for the ffmpeg subprocess (ffmpeg.py:18-21)."""
+    With an ffmpeg binary (params ``ffmpeg_exe`` or PATH) this runs the
+    REAL subprocess demux (sources.media.video_to_frames — the reference's
+    FFMPEG_TO_IMG_CMD, ffmpeg.py:18-21); otherwise the deterministic
+    byte-chunk 'codec' keeps the frame-grain contract exercisable."""
+    import shutil as _sh
+
     video = ctx.get("video")
+    exe = p.get("ffmpeg_exe") or _sh.which("ffmpeg")
+    if exe is not None:
+        from talkinghead_datapipeline_spark.operators.inference import (
+            split_error_channel,
+        )
+        from talkinghead_datapipeline_spark.sources.media import video_to_frames
+
+        frames = video_to_frames(
+            video.select("clip_name", F.col("video").alias("content")),
+            ext=p.get("ext", ".jpg"),
+            ffmpeg_exe=exe,
+        )
+        ctx.put("images", split_error_channel(frames)[0])
+        return
     n_frames = F.floor(F.length("video") / FRAME_BYTES).cast("int")
     frames = video.select(
         "clip_name",

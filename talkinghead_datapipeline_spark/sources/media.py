@@ -13,20 +13,44 @@ from the relative path: ``"_".join(rel_path.with_suffix("").parts)``
   representation: decode happens late, inside Arrow-batched UDFs, only for
   rows that survive pushed-down filters.
 
-ffmpeg-backed transcode/demux (N2-N5) is feature-gated: the binary is not
-in this runtime, so ``video_to_frames`` raises unless ffmpeg is present —
-the frame-grain schema and partitioning contract is exercised in tests via
-the deterministic fake decoder (operators.models.fake_decode_image).
+ffmpeg-backed transcode/demux (N2-N5) runs the real subprocess pipeline
+(``mapInPandas`` → temp file → ffmpeg → read outputs back as rows) with the
+reference's exact command templates (dpl/processor/nodes/ffmpeg.py:13-26).
+The GATE is the binary, not the code: when no ffmpeg executable is
+available the operators raise NotImplementedError driver-side; tests
+exercise the full subprocess path against a stub executable.
 """
 
 from __future__ import annotations
 
 import shutil
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FFMPEG = shutil.which("ffmpeg")
+
+# Reference command templates (dpl/processor/nodes/ffmpeg.py:13-26), as arg
+# vectors: same flags, no shell. `< /dev/null` becomes stdin=DEVNULL;
+# stdout/stderr are swallowed exactly like the reference's sp.run call.
+_FFMPEG_BASE_ARGS = ("-hide_banner", "-loglevel", "panic", "-nostats")
+_FFMPEG_TO_IMG_ARGS = ("-start_number", "0", "-qscale:v", "3")
+
+
+def _resolve_ffmpeg(ffmpeg_exe: str | None) -> str:
+    """Driver-side gate: fail fast when the binary is absent (the reference
+    assumes ffmpeg on PATH; this runtime usually lacks it). An explicit
+    ``ffmpeg_exe`` bypasses PATH — also how tests inject a stub binary,
+    since live python workers do not see driver-side PATH edits."""
+    exe = ffmpeg_exe or shutil.which("ffmpeg")
+    if exe is None:
+        raise NotImplementedError(
+            "ffmpeg not available in this runtime; pass ffmpeg_exe= or add "
+            "the binary to PATH (frame-grain semantics are also covered by "
+            "image_frames_from_dir + fake decode in tests)"
+        )
+    return exe
 
 
 def clip_name_from_path(path: Column, root: str) -> Column:
@@ -82,12 +106,132 @@ def image_frames_from_dir(spark: SparkSession, root: str, glob: str = "*.jpg") -
     )
 
 
-def video_to_frames(df: DataFrame, video_col: str = "content") -> DataFrame:
-    """N2 demux (video → frame rows). Requires the external ffmpeg binary
-    (dpl/processor/nodes/ffmpeg.py:18-21); feature-gated in this runtime."""
-    if FFMPEG is None:
-        raise NotImplementedError(
-            "ffmpeg not available in this runtime; frame-grain ingest is "
-            "exercised via image_frames_from_dir + fake decode in tests"
-        )
-    raise NotImplementedError("ffmpeg demux UDF not yet implemented")
+def video_to_frames(
+    df: DataFrame,
+    video_col: str = "content",
+    key_col: str = "clip_name",
+    ext: str = ".jpg",
+    ffmpeg_exe: str | None = None,
+) -> DataFrame:
+    """N2 demux: video binary → one row per frame (key, frame_idx, image).
+
+    The reference shells out per clip with FFMPEG_TO_IMG_CMD
+    (dpl/processor/nodes/ffmpeg.py:18-21,114-133: ``-start_number 0
+    -qscale:v 3 {target}/%6d{ext} -y``) under a joblib process pool; here
+    the pool is the executor fleet — ``mapInPandas`` writes each video to
+    a task-local temp file, runs the same command, and yields the produced
+    frame files as rows. Each clip demuxes inside its own generator step,
+    so one giant video never holds a whole batch's frames in memory.
+    A failed clip yields one error row (E8 containment; the reference's
+    sp.run ignores failures silently — checked returncode is a deliberate
+    upgrade routed to the error channel, not an abort)."""
+    exe = _resolve_ffmpeg(ffmpeg_exe)
+    cols = [key_col, "frame_idx", "image", "error"]
+    out_schema = f"{key_col} string, frame_idx bigint, image binary, error string"
+
+    def demux(batches):
+        import os
+        import re
+        import subprocess
+        import tempfile
+
+        for pdf in batches:
+            for name, blob in zip(pdf[key_col], pdf[video_col]):
+                rows = []
+                try:
+                    with tempfile.TemporaryDirectory() as td:
+                        src = os.path.join(td, "in.video")
+                        with open(src, "wb") as fh:
+                            fh.write(bytes(blob))
+                        tgt = os.path.join(td, "frames")
+                        os.makedirs(tgt)
+                        cmd = [
+                            exe, *_FFMPEG_BASE_ARGS, "-i", src,
+                            *_FFMPEG_TO_IMG_ARGS,
+                            os.path.join(tgt, f"%6d{ext}"), "-y",
+                        ]
+                        subprocess.run(
+                            cmd,
+                            stdin=subprocess.DEVNULL,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.STDOUT,
+                            check=True,
+                        )
+                        for fn in sorted(os.listdir(tgt)):
+                            m = re.match(r"\s*(\d+)", fn)
+                            if not m:
+                                continue
+                            with open(os.path.join(tgt, fn), "rb") as fh:
+                                rows.append(
+                                    {
+                                        key_col: name,
+                                        "frame_idx": int(m.group(1)),
+                                        "image": fh.read(),
+                                        "error": None,
+                                    }
+                                )
+                except Exception as exc:  # noqa: BLE001 — E8 containment
+                    rows = [
+                        {
+                            key_col: name,
+                            "frame_idx": None,
+                            "image": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(demux, schema=out_schema)
+
+
+def transcode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    key_col: str = "clip_name",
+    target_suffix: str = ".wav",
+    out_col: str = "media",
+    ffmpeg_exe: str | None = None,
+) -> DataFrame:
+    """N1/N4/N5 convert: media binary → transcoded binary, one row per clip.
+
+    The reference's FFMPEG_CONVERT_CMD (dpl/processor/nodes/ffmpeg.py:13-16,
+    146-156: ``ffmpeg -i {source} {target} -y``) — VideoToWav and AacToWav
+    are this with ``target_suffix='.wav'`` (the suffix selects the muxer,
+    exactly as the reference's target path does). Same mapInPandas shape
+    and error containment as ``video_to_frames``."""
+    exe = _resolve_ffmpeg(ffmpeg_exe)
+    cols = [key_col, out_col, "error"]
+    out_schema = f"{key_col} string, {out_col} binary, error string"
+
+    def convert(batches):
+        import os
+        import subprocess
+        import tempfile
+
+        for pdf in batches:
+            for name, blob in zip(pdf[key_col], pdf[content_col]):
+                try:
+                    with tempfile.TemporaryDirectory() as td:
+                        src = os.path.join(td, "in.media")
+                        with open(src, "wb") as fh:
+                            fh.write(bytes(blob))
+                        tgt = os.path.join(td, f"out{target_suffix}")
+                        cmd = [exe, *_FFMPEG_BASE_ARGS, "-i", src, tgt, "-y"]
+                        subprocess.run(
+                            cmd,
+                            stdin=subprocess.DEVNULL,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.STDOUT,
+                            check=True,
+                        )
+                        with open(tgt, "rb") as fh:
+                            row = {key_col: name, out_col: fh.read(), "error": None}
+                except Exception as exc:  # noqa: BLE001 — E8 containment
+                    row = {
+                        key_col: name,
+                        out_col: None,
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                yield pd.DataFrame([row], columns=cols)
+
+    return df.mapInPandas(convert, schema=out_schema)

@@ -7,10 +7,11 @@ node's *data contract* — input/output schema, shapes, batching — while being
 a pure deterministic function, so pipelines are testable end-to-end and the
 real model drops in by swapping the factory.
 
-``FlameDecoderStub`` is special: the real FLAME decode (dpl/flame/flame.py:
-241-312) is pure linear algebra (blendshapes + LBS), so the stub implements
-an honest miniature of it — fixed random basis matrices, linear decode —
-rather than a hash fake.
+``FlameLbsDecoder`` is special: the real FLAME decode (dpl/flame/flame.py:
+241-312) is pure linear algebra, so it is implemented for REAL — blend
+shapes, Rodrigues, kinematic chain, linear blend skinning, barycentric
+landmarks in numpy — over synthetic seeded bases (the licensed MPG weights
+file is the only thing stubbed; its npz drops in field-for-field).
 
 Media decode (image/audio/video) is NOT implemented here — the codec
 libraries are not in the runtime. ``decode_image``/``decode_audio`` raise
@@ -75,28 +76,145 @@ class EmocaEncoderStub:
         return out
 
 
-class FlameDecoderStub:
-    """N16 miniature: linear blend-shape decode, honest linear algebra.
+class FlameLbsDecoder:
+    """N16 with the REAL FLAME forward math (dpl/flame/flame.py:241-312,
+    dpl/flame/lbs.py:148-250,106-145), re-derived in numpy:
 
-    verts = template + S @ shape + E @ exp  (shape (V,3));
-    landmarks = fixed vertex subset (the barycentric-extraction analog,
-    dpl/flame/lbs.py:107-146 simplified to vertex picks).
+      1. blend shapes:  v_shaped = template + shapedirs · [shape ‖ exp]
+      2. joints:        J = J_regressor · v_shaped
+      3. Rodrigues:     axis-angle pose → per-joint rotation matrices
+      4. kinematics:    world transforms down the parent chain, made
+                        relative to the rest pose (A_j)
+      5. skinning:      T_v = Σ_j w_vj · A_j ; verts = T_v · (v_shaped +
+                        pose-corrective offsets)
+      6. landmarks:     barycentric mix of landmark-face corner vertices
+                        (vertices2landmarks)
+
+    The FLAME kinematic tree is [global, neck, jaw, eye_l, eye_r] with the
+    reference's pose layout (global 3 ‖ jaw 3; neck/eyes at rest,
+    flame.py:262-271). Bases are synthetic seeded draws — the MPG weights
+    file is licensed and out of scope — so the math is exact while the
+    numbers are reproducible; the real basis npz drops in field-for-field.
+
+    At rest pose every A_j is the identity, so the whole pipeline must
+    reduce to the affine map ``rest_landmark_affine`` — which is exactly
+    what the DuckDB oracle of ``flame_decode_landmarks`` checks: a value
+    check of steps 1-6 end to end, not a stand-in.
     """
 
-    def __init__(self, n_verts: int = 64, n_shape: int = 8, n_exp: int = 8, n_lmk: int = 12):
-        rng = _seeded_rng("flame_basis")
-        self.template = rng.normal(size=(n_verts, 3))
-        self.shape_dirs = rng.normal(size=(n_verts, 3, n_shape)) * 0.1
-        self.exp_dirs = rng.normal(size=(n_verts, 3, n_exp)) * 0.1
-        self.lmk_idx = rng.choice(n_verts, size=n_lmk, replace=False)
+    PARENTS = (-1, 0, 1, 1, 1)
+    N_JOINTS = len(PARENTS)
 
-    def decode(self, shape: np.ndarray, exp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        verts = (
-            self.template
-            + self.shape_dirs @ shape[: self.shape_dirs.shape[2]]
-            + self.exp_dirs @ exp[: self.exp_dirs.shape[2]]
+    def __init__(self, n_verts: int = 64, n_shape: int = 8, n_exp: int = 8, n_lmk: int = 12):
+        rng = _seeded_rng("flame_lbs_basis")
+        V, J = n_verts, self.N_JOINTS
+        self.n_shape, self.n_exp = n_shape, n_exp
+        self.template = rng.normal(size=(V, 3))
+        self.shapedirs = rng.normal(size=(V, 3, n_shape + n_exp)) * 0.1
+        self.posedirs = rng.normal(size=((J - 1) * 9, V * 3)) * 0.01
+        jr = rng.random(size=(J, V))
+        self.j_regressor = jr / jr.sum(axis=1, keepdims=True)
+        w = rng.random(size=(V, J)) ** 2
+        self.lbs_weights = w / w.sum(axis=1, keepdims=True)
+        self.faces = rng.integers(0, V, size=(4 * n_lmk, 3))
+        self.lmk_faces_idx = rng.choice(len(self.faces), size=n_lmk, replace=False)
+        bary = rng.random(size=(n_lmk, 3))
+        self.lmk_bary = bary / bary.sum(axis=1, keepdims=True)
+
+    @staticmethod
+    def _rodrigues(rot_vecs: np.ndarray) -> np.ndarray:
+        """(N,3) axis-angle → (N,3,3) rotations; exact identity at zero
+        (the epsilon shifts only the angle, the axis collapses to 0)."""
+        angle = np.linalg.norm(rot_vecs + 1e-8, axis=1, keepdims=True)
+        d = rot_vecs / angle
+        c = np.cos(angle)[:, :, None]
+        s = np.sin(angle)[:, :, None]
+        z = np.zeros(len(rot_vecs))
+        K = np.stack(
+            [z, -d[:, 2], d[:, 1], d[:, 2], z, -d[:, 0], -d[:, 1], d[:, 0], z],
+            axis=1,
+        ).reshape(-1, 3, 3)
+        return np.eye(3)[None] + s * K + (1 - c) * (K @ K)
+
+    def _rigid_transform(self, R: np.ndarray, joints: np.ndarray) -> np.ndarray:
+        """World transforms down the parent chain, relative to rest pose:
+        A_j = world_j with its translation corrected by −R_world·j_rest."""
+        B, J = R.shape[:2]
+        rel = joints.copy()
+        rel[:, 1:] -= joints[:, list(self.PARENTS[1:])]
+        local = np.zeros((B, J, 4, 4))
+        local[:, :, :3, :3] = R
+        local[:, :, :3, 3] = rel
+        local[:, :, 3, 3] = 1.0
+        world = [local[:, 0]]
+        for j in range(1, J):
+            world.append(world[self.PARENTS[j]] @ local[:, j])
+        A = np.stack(world, axis=1)
+        A[:, :, :3, 3] -= np.einsum("bjxy,bjy->bjx", A[:, :, :3, :3], joints)
+        return A
+
+    def decode_batch(
+        self,
+        shape: np.ndarray,
+        exp: np.ndarray,
+        pose: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(B,ns), (B,ne), optional (B,6) → verts (B,V,3), landmarks (B,L,3)."""
+        B = shape.shape[0]
+        betas = np.concatenate(
+            [shape[:, : self.n_shape], exp[:, : self.n_exp]], axis=1
         )
-        return verts, verts[self.lmk_idx]
+        full_pose = np.zeros((B, self.N_JOINTS, 3))
+        if pose is not None:
+            full_pose[:, 0] = pose[:, :3]  # global rotation
+            full_pose[:, 2] = pose[:, 3:6]  # jaw; neck/eyes stay at rest
+        v_shaped = self.template[None] + np.einsum(
+            "bl,vcl->bvc", betas, self.shapedirs
+        )
+        joints = np.einsum("jv,bvc->bjc", self.j_regressor, v_shaped)
+        R = self._rodrigues(full_pose.reshape(-1, 3)).reshape(
+            B, self.N_JOINTS, 3, 3
+        )
+        pose_feature = (R[:, 1:] - np.eye(3)[None, None]).reshape(B, -1)
+        v_posed = v_shaped + (pose_feature @ self.posedirs).reshape(B, -1, 3)
+        A = self._rigid_transform(R, joints)
+        T = np.einsum("vj,bjxy->bvxy", self.lbs_weights, A)
+        verts = (
+            np.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed)
+            + T[:, :, :3, 3]
+        )
+        corners = verts[:, self.faces[self.lmk_faces_idx]]  # (B, L, 3, 3)
+        lmks = np.einsum("blfc,lf->blc", corners, self.lmk_bary)
+        return verts, lmks
+
+    def decode(
+        self,
+        shape: np.ndarray,
+        exp: np.ndarray,
+        pose: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Single-sample convenience wrapper over ``decode_batch``."""
+        v, lm = self.decode_batch(
+            np.asarray(shape)[None],
+            np.asarray(exp)[None],
+            None if pose is None else np.asarray(pose)[None],
+        )
+        return v[0], lm[0]
+
+    def rest_landmark_affine(self, lmk: int) -> tuple[np.ndarray, np.ndarray]:
+        """Landmark ``lmk`` at rest pose as an affine map of betas:
+        returns (base (3,), coefs (3, n_betas)) with
+        landmark[c] = base[c] + coefs[c] · betas — the oracle's literals."""
+        corner_verts = self.faces[self.lmk_faces_idx[lmk]]
+        b = self.lmk_bary[lmk]
+        base = b @ self.template[corner_verts]
+        coefs = np.einsum("f,fck->ck", b, self.shapedirs[corner_verts])
+        return base, coefs
+
+
+# Backwards-compatible alias: the honest-linear miniature grew into the
+# full LBS implementation; the old name remains the registry vocabulary.
+FlameDecoderStub = FlameLbsDecoder
 
 
 class RendererStub:

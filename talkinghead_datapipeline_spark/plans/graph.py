@@ -223,7 +223,7 @@ def _batched_inference(ctx: GraphContext, p: dict[str, Any]) -> None:
 
     factory = {
         "wav2vec": models.Wav2vecStub,
-        "flame": models.FlameDecoderStub,
+        "flame": models.FlameLbsDecoder,
         "renderer": models.RendererStub,
         "emoca": models.EmocaEncoderStub,
     }[p["model"]]

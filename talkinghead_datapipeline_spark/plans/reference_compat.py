@@ -370,8 +370,11 @@ def _emoca(ctx: GraphContext, p: dict[str, Any]) -> None:
 
 @ref_node("FlameNode")
 def _flame(ctx: GraphContext, p: dict[str, Any]) -> None:
-    """N16: (shape, exp) → verts + landmarks3d via the linear blendshape
-    stand-in; n_shape/n_exp params select the code slice widths."""
+    """N16: (shape, exp, pose) → verts + landmarks3d via the REAL LBS
+    pipeline (FlameLbsDecoder — blend shapes, Rodrigues, kinematic chain,
+    skinning, barycentric landmarks; dpl/flame/flame.py:241-312).
+    n_shape/n_exp params select the code slice widths; pose is the 6-dim
+    global+jaw axis-angle the reference feeds FLAME (flame.py:262-271)."""
     n_shape = int(p.get("n_shape", 8))
     n_exp = int(p.get("n_exp", 8))
 
@@ -379,12 +382,14 @@ def _flame(ctx: GraphContext, p: dict[str, Any]) -> None:
         import numpy as np
 
         rows = []
-        for name, idx, sh, ex in zip(
-            pdf["clip_name"], pdf["frame_idx"], pdf["shape"], pdf["exp"]
+        for name, idx, sh, ex, po in zip(
+            pdf["clip_name"], pdf["frame_idx"], pdf["shape"], pdf["exp"],
+            pdf["pose"],
         ):
             verts, lmk = model.decode(
                 np.asarray(sh[:n_shape], dtype=np.float64),
                 np.asarray(ex[:n_exp], dtype=np.float64),
+                np.asarray(po[:6], dtype=np.float64),
             )
             rows.append(
                 {
@@ -400,9 +405,9 @@ def _flame(ctx: GraphContext, p: dict[str, Any]) -> None:
         )
 
     def factory():
-        from talkinghead_datapipeline_spark.operators.models import FlameDecoderStub
+        from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
 
-        return FlameDecoderStub()
+        return FlameLbsDecoder()
 
     _infer(
         ctx,

@@ -104,24 +104,23 @@ def wav2vec_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _flame_oracle() -> str:
-    # The stub decode is linear: lmk0[c] = template[v0,c] + Σ_k S[v0,c,k]·
-    # shape[k] + Σ_k E[v0,c,k]·exp[k] with v0 = lmk_idx[0]. Embed that one
-    # vertex's basis rows as literals — the oracle recomputes the landmark
-    # arithmetically while Spark runs the full matrix decode in the UDF.
-    from talkinghead_datapipeline_spark.operators.models import FlameDecoderStub
+    # At rest pose the full LBS pipeline (Rodrigues → kinematic chain →
+    # skinning → barycentric landmarks) must reduce to an affine map of the
+    # betas: every per-joint transform is exactly the identity. The oracle
+    # embeds that affine map (rest_landmark_affine) as literals — so a bug
+    # anywhere in the geometry pipeline (a wrong relative-transform
+    # correction, a mis-normalized skinning weight) breaks the hash even
+    # though the oracle itself is linear.
+    from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
 
-    m = FlameDecoderStub()
-    v0 = int(m.lmk_idx[0])
+    m = FlameLbsDecoder()
+    base, coefs = m.rest_landmark_affine(0)
 
     def comp(c: int) -> str:
-        terms = [repr(float(m.template[v0, c]))]
+        terms = [repr(float(base[c]))]
         terms += [
-            f"({float(m.shape_dirs[v0, c, k])!r} * CAST(embedding[{k + 1}] AS DOUBLE))"
-            for k in range(m.shape_dirs.shape[2])
-        ]
-        terms += [
-            f"({float(m.exp_dirs[v0, c, k])!r} * CAST(embedding[{k + 9}] AS DOUBLE))"
-            for k in range(m.exp_dirs.shape[2])
+            f"({float(coefs[c, k])!r} * CAST(embedding[{k + 1}] AS DOUBLE))"
+            for k in range(coefs.shape[1])
         ]
         return " + ".join(terms)
 
@@ -141,14 +140,17 @@ def _flame_oracle() -> str:
     tags=("inference", "N16", "udf"),
 )
 def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N16 FLAME decode: (shape, exp) codes → mesh verts + landmark subset
-    (dpl/flame/flame.py:241-312 re-expressed; the stub is an honest linear
-    blend-shape miniature). Codes are embedding slices — the same column
+    """N16 FLAME decode with the REAL LBS math (dpl/flame/flame.py:241-312,
+    dpl/flame/lbs.py:148-250): blend shapes → Rodrigues → kinematic chain →
+    linear blend skinning → barycentric landmarks, in numpy over synthetic
+    seeded bases. Codes are embedding slices — the same column
     code-splitting the reference does on EMOCA output
     (dpl/emoca/inference.py:95-105). Broadcast-weight pattern: the decoder
-    basis loads once per executor, not per row. The oracle reproduces the
-    first landmark analytically from the same seeded basis, so the full
-    UDF decode path is value-checked, not just row-counted."""
+    basis loads once per executor, not per row. Decoded at rest pose, where
+    the pipeline provably reduces to an affine map of the betas — which is
+    what the oracle recomputes, value-checking every LBS stage end-to-end
+    (the pose path is exercised by flame_render_pipeline and pinned against
+    hand-computed rotations in tests)."""
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -181,9 +183,9 @@ def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def factory():
-        from talkinghead_datapipeline_spark.operators.models import FlameDecoderStub
+        from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
 
-        return FlameDecoderStub()
+        return FlameLbsDecoder()
 
     out = batched_inference(
         emb,
@@ -210,7 +212,8 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.slice("embedding", 1, 8).alias("shape_code"),
         F.slice("embedding", 9, 8).alias("exp_code"),
-        F.slice("embedding", 17, 3).alias("cam_code"),
+        F.slice("embedding", 17, 6).alias("pose_code"),
+        F.slice("embedding", 23, 3).alias("cam_code"),
     )
 
     def infer(models, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -220,11 +223,16 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         flame, renderer = models
         rows = []
-        for vec_id, sh, ex, cam in zip(
-            pdf["vec_id"], pdf["shape_code"], pdf["exp_code"], pdf["cam_code"]
+        for vec_id, sh, ex, po, cam in zip(
+            pdf["vec_id"], pdf["shape_code"], pdf["exp_code"],
+            pdf["pose_code"], pdf["cam_code"],
         ):
+            # nonzero global+jaw pose: the Rodrigues/kinematic-chain path
+            # runs for real here (rest pose covers the oracle-checked query)
             verts, _ = flame.decode(
-                np.asarray(sh, dtype=np.float64), np.asarray(ex, dtype=np.float64)
+                np.asarray(sh, dtype=np.float64),
+                np.asarray(ex, dtype=np.float64),
+                np.asarray(po, dtype=np.float64),
             )
             frame = renderer.render(verts, np.asarray(cam, dtype=np.float64))
             rows.append(
@@ -239,11 +247,11 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def factory():
         from talkinghead_datapipeline_spark.operators.models import (
-            FlameDecoderStub,
+            FlameLbsDecoder,
             RendererStub,
         )
 
-        return (FlameDecoderStub(), RendererStub())
+        return (FlameLbsDecoder(), RendererStub())
 
     out = batched_inference(
         emb,

@@ -61,17 +61,20 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
 
     Single-row-group fixture files are unsplittable: Spark gives the scan
     one task no matter how many cores exist, so a hash fold over the corpus
-    runs 1-threaded. When the plan currently yields fewer partitions than
-    the machine has cores, one cheap shuffle of the raw rows buys full-width
-    execution of everything downstream. This is deliberately NOT applied in
-    ``load_table``: for scan-bound queries the extra exchange costs more
-    than it saves (measured at sf0.1), and at production scale inputs
-    already arrive as many splits, making this a no-op (the guard condition
-    ``partitions < cores`` fails).
+    runs 1-threaded. When the scan has fewer input FILES than the machine
+    has cores, one cheap shuffle of the raw rows buys full-width execution
+    of everything downstream. The guard reads ``df.inputFiles()`` — a
+    driver-side file-index lookup — instead of ``df.rdd.getNumPartitions()``,
+    which would force a full plan-to-RDD conversion per call. This is
+    deliberately NOT applied in ``load_table``: for scan-bound queries the
+    extra exchange costs more than it saves (measured at sf0.1), and at
+    production scale inputs already arrive as many splits, making this a
+    no-op (the guard fails; non-file sources report no files and are left
+    untouched).
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    if 0 < len(df.inputFiles()) < cores:
         return df.repartition(cores)
     return df
 

@@ -42,6 +42,8 @@ def connected_components(
     rounds — silently-wrong labels would keep extra "canonical" duplicates
     downstream, so refusing is the only safe exit.
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     sym = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))

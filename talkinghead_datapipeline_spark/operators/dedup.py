@@ -233,7 +233,15 @@ def dedup_edge_graph(
     wdg = eligible.select(
         F.col(key).alias("id"), F.col(text).alias("_t"), F.md5(text).alias("_dg")
     )
-    lab = wdg.withColumn("_rep", F.min("id").over(W.partitionBy("_dg")))
+    lab = (
+        wdg.withColumn("_rep", F.min("id").over(W.partitionBy("_dg")))
+        # Materialize ONCE: both output branches (representatives → LSH,
+        # dropped members → exact edges) consume this frame, and the
+        # branches get distinct expression ids so ReuseExchange cannot
+        # dedupe them — without the checkpoint the corpus scan + digest
+        # shuffle would run twice.
+        .localCheckpoint(eager=True)
+    )
     reps = lab.filter(F.col("id") == F.col("_rep")).select(
         F.col("id").alias(key), F.col("_t").alias(text)
     )

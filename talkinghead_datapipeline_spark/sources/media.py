@@ -184,6 +184,77 @@ def video_to_frames(
     return df.mapInPandas(demux, schema=out_schema)
 
 
+def frames_to_video(
+    df: DataFrame,
+    image_col: str = "image",
+    key_col: str = "clip_name",
+    idx_col: str = "frame_idx",
+    ext: str = ".jpg",
+    target_suffix: str = ".mp4",
+    ffmpeg_exe: str | None = None,
+) -> DataFrame:
+    """N3 mux: frame rows → one video binary per clip (ToVideoBaseNode).
+
+    The reference's FFMPEG_TO_VIDEO_CMD (dpl/processor/nodes/ffmpeg.py:23-26,
+    136-143: ``-i {source}/%6d{ext} -start_number 0 -qscale:v 3 {target}
+    -y``) consumes a frame DIRECTORY; here each clip's frames are gathered
+    with ``applyInPandas`` (the grouped-sink shape), written to a task-local
+    temp dir under the reference's %6d naming, muxed, and the video bytes
+    returned as one row. One shuffle on the clip key — the same partitioning
+    every frame-grain operator uses, so Exchange reuse applies."""
+    exe = _resolve_ffmpeg(ffmpeg_exe)
+    from talkinghead_datapipeline_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    cols = [key_col, "video", "n_frames", "error"]
+    out_schema = f"{key_col} string, video binary, n_frames bigint, error string"
+
+    def mux(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+        import subprocess
+        import tempfile
+
+        name = pdf[key_col].iloc[0]
+        try:
+            ordered = pdf.sort_values(idx_col)
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "frames")
+                os.makedirs(src)
+                for n, blob in enumerate(ordered[image_col]):
+                    with open(os.path.join(src, "%6d%s" % (n, ext)), "wb") as fh:
+                        fh.write(bytes(blob))
+                tgt = os.path.join(td, f"out{target_suffix}")
+                cmd = [
+                    exe, *_FFMPEG_BASE_ARGS,
+                    "-i", os.path.join(src, f"%6d{ext}"),
+                    *_FFMPEG_TO_IMG_ARGS, tgt, "-y",
+                ]
+                subprocess.run(
+                    cmd,
+                    stdin=subprocess.DEVNULL,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.STDOUT,
+                    check=True,
+                )
+                with open(tgt, "rb") as fh:
+                    row = {
+                        key_col: name,
+                        "video": fh.read(),
+                        "n_frames": len(ordered),
+                        "error": None,
+                    }
+        except Exception as exc:  # noqa: BLE001 — E8 containment
+            row = {
+                key_col: name,
+                "video": None,
+                "n_frames": len(pdf),
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        return pd.DataFrame([row], columns=cols)
+
+    return df.groupBy(key_col).applyInPandas(mux, schema=out_schema)
+
+
 def transcode_media(
     df: DataFrame,
     content_col: str = "content",

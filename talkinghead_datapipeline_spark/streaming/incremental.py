@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -58,9 +57,12 @@ def incremental_append(
     if _sink_exists(spark, sink_path):
         try:
             done = spark.read.parquet(sink_path)
-        except AnalysisException as e:
-            # existing-but-unreadable sink is an error, never "first run" —
-            # appending blind would duplicate every previously-written key.
+        except Exception as e:
+            # existence is already established, so ANY read failure here is
+            # an error, never "first run" — appending blind would duplicate
+            # every previously-written key. (Corrupt footers surface as
+            # raw JVM errors, not AnalysisException, hence the broad catch
+            # behind the existence gate.)
             raise RuntimeError(f"sink {sink_path} exists but is unreadable") from e
         todo = candidates if recompute else pending_keys(candidates, done, key)
     else:  # first run: sink does not exist yet

@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 from talkinghead_datapipeline_spark.sources.media import (
+    frames_to_video,
     transcode_media,
     video_to_frames,
 )
@@ -31,7 +32,10 @@ _STUB = textwrap.dedent(
       [[ "${args[k]}" == "-i" ]] && src="${args[k+1]}"
     done
     tgt="${args[$((${#args[@]}-2))]}"
-    if [[ "$tgt" == *%6d* ]]; then
+    if [[ "$src" == *%6d* ]]; then
+      d="${src%/*}"
+      { printf 'MUXED:'; cat "$d"/*; } > "$tgt"
+    elif [[ "$tgt" == *%6d* ]]; then
       d="${tgt%/*}"; ext="${tgt##*%6d}"
       for n in 0 1 2; do
         { printf 'FRAME%d:' "$n"; cat "$src"; } > "$d/$(printf '%6d' "$n")$ext"
@@ -81,6 +85,19 @@ def test_transcode_media_subprocess(spark, stub_ffmpeg):
     ).collect()
     got = {r.clip_name: bytes(r.media) for r in out}
     assert got == {"a": b"TRANSCODED:AAA", "b": b"TRANSCODED:BBB"}
+    assert all(r.error is None for r in out)
+
+
+def test_demux_mux_roundtrip(spark, stub_ffmpeg):
+    # N2 → N3: explode a clip to frames, then mux the frames back — the
+    # grouped applyInPandas sink writes %6d-named files like the reference.
+    frames = video_to_frames(_clips(spark), ffmpeg_exe=stub_ffmpeg)
+    out = frames_to_video(
+        frames.drop("error"), ffmpeg_exe=stub_ffmpeg
+    ).collect()
+    got = {r.clip_name: (bytes(r.video), r.n_frames) for r in out}
+    assert got["a"] == (b"MUXED:FRAME0:AAAFRAME1:AAAFRAME2:AAA", 3)
+    assert got["b"][1] == 3
     assert all(r.error is None for r in out)
 
 

@@ -195,6 +195,20 @@ def test_incremental_append_memoizes(spark, tmp_path):
     assert incremental_append(batch2, sink, "k", recompute=True) == 2
 
 
+def test_incremental_append_raises_on_unreadable_sink(spark, tmp_path):
+    """An existing-but-unreadable sink must RAISE, never be treated as a
+    first run (ADVICE r1): appending blind would duplicate every
+    previously-written key; overwriting would drop them."""
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"this is not parquet")
+    batch = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+    with pytest.raises(RuntimeError, match="exists but is unreadable"):
+        incremental_append(batch, str(sink), "k")
+    # the corrupt sink was not clobbered by the failed run
+    assert (sink / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
 def test_streaming_available_now_tumbling(spark, sf_dir, tmp_path):
     import shutil as sh
 

@@ -61,7 +61,7 @@ _DRIVER_PRIORITY = (
     "ngram_jaccard_near_dups",
     "emb_near_dup_pairs",
     "dedup_cluster_assignments",
-    "dedup_exact_groups",
+    "corpus_clean_pipeline",
     "dedup_exact_keep_first",
     # text analysis
     "text_token_stats",
@@ -100,7 +100,7 @@ _DRIVER_PRIORITY = (
     "s7_resample_linear",
     "asof_prior_view_value",
     "sessionize_users",
-    "pivot_status_by_segment",
+    "range_interval_join",
     "json_props_extract",
     # geometry / landmark kernels
     "s5_blink_features",

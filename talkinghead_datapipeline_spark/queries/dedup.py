@@ -428,6 +428,124 @@ _CC_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Flagship composition: the full LLM corpus-cleaning pass in ONE query —
+# quality filter → near-dup cluster canonicalization → leak-proof split.
+# ---------------------------------------------------------------------------
+
+_SW_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "data"))
+_QUALITY_SQL = f"""0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+       + 0.5 * (1.0 - CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')))"""
+_SPLIT_H_SQL = "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+_CLEAN_ORACLE = f"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE length(text) > 0 AND {_QUALITY_SQL} >= 0.6
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM kept
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               s -> {_HASH32_SQL.format(x='s')})) AS grams
+      FROM toks WHERE len(t) >= 3
+    ),
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(grams) >= 1),
+    banded AS ({_BANDED_SQL}),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.grams, sb.grams))) AS jaccard
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.key_a
+      JOIN sh sb ON sb.doc_id = p.key_b
+    ),
+    fpairs AS (SELECT key_a, key_b FROM scored WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fpairs
+      UNION
+      SELECT key_b AS s, key_a AS d FROM fpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON re.r = e.s
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT k.doc_id, k.lang, k.n_tok,
+           CASE WHEN {_SPLIT_H_SQL} % 100 < 80 THEN 'train'
+                WHEN {_SPLIT_H_SQL} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+    WHERE c.component IS NULL OR k.doc_id = c.component
+"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=_CLEAN_ORACLE,
+    tags=("dedup", "dataprep", "text", "pipeline", "flagship"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM pre-training corpus-cleaning pass as ONE lazy plan:
+    quality filter (capped length score + non-stopword ratio ≥ 0.6) →
+    scale-safe near-dup clustering (dedup_edge_graph: exact-dedup pre-pass
+    + LSH over representatives + pointer-jumping components) → one
+    canonical doc per duplicate cluster → leak-proof hash split. This is
+    the composition a reference user actually runs on a corpus; every
+    stage reuses the individually-oracled operator, and the whole
+    composition is hash-checked against a single DuckDB query (quality
+    CTE → recursive-CTE closure → canonical anti-filter → split CASE).
+
+    Scale: filter is map-side pushdown, clustering shuffles are bounded by
+    the dedup_edge_graph design, the split is a zero-shuffle projection —
+    no stage concentrates a duplicate cluster in one task.
+    """
+    from talkinghead_datapipeline_spark.operators.components import (
+        canonical_per_component,
+        connected_components,
+    )
+    from talkinghead_datapipeline_spark.queries.dataprep import _salted_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tokens = F.split(F.col("text"), r"\s+")
+    low_tokens = F.split(F.lower(F.col("text")), r"\s+")
+    length_score = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    sw = F.size(
+        F.filter(low_tokens, lambda w: w.isin("the", "a", "and", "of", "to", "in", "is", "data"))
+    ).cast("double")
+    quality = 0.5 * length_score + 0.5 * (F.lit(1.0) - sw / F.size(tokens))
+    kept = docs.filter(quality >= 0.6).select(
+        "doc_id", "lang", "text", F.size(tokens).cast("bigint").alias("n_tok")
+    )
+    edges = D.dedup_edge_graph(kept, "doc_id", "text", jaccard_min=0.2)
+    comps = connected_components(edges)
+    canon = canonical_per_component(kept, comps, "doc_id")
+    bucket = _salted_hash("split|", F.col("doc_id")) % 100
+    return canon.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 @register("dedup_cluster_assignments", oracle=_CC_ORACLE, tags=("dedup", "components", "iterative"))
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the

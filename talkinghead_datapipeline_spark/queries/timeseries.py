@@ -79,6 +79,78 @@ def s7_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range (point-in-interval) join — binned equi-join scale path
+# (operators.rangejoin). Alert windows = per-user P95 spikes, 10 minutes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_interval_join",
+    oracle="""
+    WITH thr AS (
+      SELECT user_id, quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY user_id
+    ),
+    alerts AS (
+      SELECT e.user_id, e.event_id AS alert_id, e.ts AS start_ts,
+             e.ts + INTERVAL 10 MINUTE AS end_ts
+      FROM events e JOIN thr USING (user_id)
+      WHERE e.value >= thr.p95
+    ),
+    hits AS (
+      SELECT a.user_id, a.alert_id, e.event_id
+      FROM alerts a JOIN events e
+        ON e.user_id = a.user_id AND e.ts >= a.start_ts AND e.ts < a.end_ts
+    )
+    SELECT user_id, alert_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(event_id) AS BIGINT) AS first_hit,
+           CAST(max(event_id) AS BIGINT) AS last_hit
+    FROM hits GROUP BY user_id, alert_id
+    """,
+    tags=("timeseries", "rangejoin", "join"),
+)
+def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: per-user P95 spikes open 10-minute
+    alert windows; count the events landing in each window. The naive
+    non-equi join plans to BroadcastNestedLoopJoin (O(n·m) + a whole-side
+    broadcast); operators.rangejoin bins time into 10-minute buckets,
+    explodes each interval into its ≤2 covered bins, and equi-joins on
+    (user_id, bin) — a plain shuffled join partitioned like every other
+    time-series stage, refined by the exact containment predicate. The
+    oracle runs the naive non-equi join, proving the binned plan emits
+    exactly the same pairs."""
+    from talkinghead_datapipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    thr = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95")
+    )
+    alerts = (
+        ev.join(thr, "user_id")
+        .filter(F.col("value") >= F.col("p95"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("alert_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+        )
+    )
+    hits = point_in_interval_join(
+        ev, alerts, "ts", "start_ts", "end_ts", keys=["user_id"], bin_width_sec=600
+    )
+    return hits.groupBy("user_id", "alert_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("event_id").alias("first_hit"),
+        F.max("event_id").alias("last_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join — most recent prior observation (the S7/interval-join cousin;
 # reference analog: aligning audio features to video frames).
 # ---------------------------------------------------------------------------

@@ -91,6 +91,15 @@ def test_minhash_pairs_shuffle_carries_keys_not_shingles(spark, sf_dir):
     ) or "key_a" in plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # The binned range join must plan to a hash/sort-merge equi-join on
+    # (user_id, bin); a raw non-equi join would degenerate to
+    # BroadcastNestedLoopJoin (O(n*m)).
+    plan = _plan(spark, sf_dir, "range_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
 def test_mega_bucket_star_expansion(spark):
     """A 10k-member duplicate cluster (every member shares every band) must
     expand in O(c) star pairs under max_bucket, and the composed

@@ -322,6 +322,40 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's native VariantType:
+    ``parse_json`` shreds the JSON once into the columnar variant encoding
+    and ``variant_get`` does typed path access — the scale path for
+    repeated multi-field access (vs re-parsing the string per
+    ``get_json_object`` call; at 100 TB the variant column is parsed once
+    at ingest and every downstream read is binary field access). The
+    oracle reads the same fields with DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    v = ev.select("event_type", k.alias("k"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.min("k").alias("min_k"),
+        F.count_distinct(F.col("k")).cast("bigint").alias("n_distinct_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Correlated-agg subquery (TPC-H Q17 shape): per-group threshold from an
 # aggregate of the same table.

@@ -19,6 +19,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    key_col: str = "content_hash",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST row per content hash within
+    the watermark horizon — ``dropDuplicatesWithinWatermark``, the
+    streaming twin of ``operators.dedup.exact_dedup`` and the ingest-side
+    guard of the corpus dedup stack (duplicates that arrive within the
+    horizon never reach the sink; state for a hash is evicted once the
+    watermark passes it, so state size is bounded by the horizon's
+    arrival volume — the property that makes it safe on an unbounded
+    crawl firehose, where a plain ``dropDuplicates`` would grow state
+    forever)."""
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, sum_value) maintained in explicit group
     state. Each micro-batch emits one updated row per active user — the

@@ -72,6 +72,50 @@ def test_top_frequent_keys(spark, sf_dir):
     assert top[0]["n_rows"] >= top[-1]["n_rows"]
 
 
+def test_streaming_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per content
+    hash: three files with overlapping hashes stream through AvailableNow
+    and only unique hashes reach the sink."""
+    import pandas as pd
+
+    from talkinghead_datapipeline_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "content_hash": ["a", "b", "a", "c", "b", "d"],
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+        }
+    )
+    # one file => one micro-batch under AvailableNow with maxFilesPerTrigger
+    # unset; duplicates both within and across rows are covered.
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(src / "batch"))
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, content_hash string, ts timestamp"
+    ).parquet(str(src / "batch"))
+    query = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.sql("SELECT * FROM stream_dedup").collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 4, "d": 6}
+
+
 def test_stateful_running_totals_available_now(spark, sf_dir):
     from talkinghead_datapipeline_spark.streaming.stateful import running_user_totals
 

@@ -77,6 +77,54 @@ def emb_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_label_centroids",
+    oracle="""
+    WITH idx AS (
+      SELECT label, embedding,
+             CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT label, pos,
+             CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS x
+      FROM idx
+    ),
+    per_pos AS (
+      SELECT label, pos, round(avg(x), 6) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cells GROUP BY label, pos
+    )
+    SELECT label, max(n) AS n_vecs, list(m ORDER BY pos) AS centroid
+    FROM per_pos
+    GROUP BY label
+    """,
+    tags=("similarity", "array", "agg"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise vector mean) — the k-means/IVF
+    coarse-quantizer training primitive. Scale shape: posexplode the
+    vector to (label, pos, x) rows — a map-side Generate, no data
+    amplification beyond the vector's own cells — partial-aggregate
+    per (label, pos) map-side, ONE shuffle on the composite key, then
+    reassemble the array with a sorted collect per label. No per-row UDF,
+    no whole-vector accumulator in driver memory: a 10^9-vector corpus
+    aggregates exactly like any other hash agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    per_pos = cells.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return per_pos.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+    )
+
+
+@register(
     "sim_brute_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

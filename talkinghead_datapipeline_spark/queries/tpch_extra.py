@@ -396,6 +396,41 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join_revenue",
+    oracle="""
+    SELECT s_nationkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    tags=("join", "skew", "salting"),
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join (operators.skew.salted_join): the skewed fact side
+    gets a uniform salt, the dim side replicates n_salts times, and the
+    join key becomes (key, salt) — one hot supplier's rows spread over 8
+    shuffle partitions instead of one straggler task. Semantics-preserving
+    by construction, so the oracle is the PLAIN join: the driver hash
+    proves the salted plan emits exactly the plain join's rows. (AQE's
+    skew-join split is the automatic variant; explicit salting also covers
+    aggregation fan-in and non-AQE engines.)"""
+    from talkinghead_datapipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, ["s_suppkey"], n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "skew_salted_quantity_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -120,9 +120,18 @@ def run(
         elif key in bound:
             n, status = -1, "input"  # inputs are not re-materialized
         else:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
             out_path = os.path.join(output_dir, f"{key}.parquet")
-            df.write.mode("overwrite").parquet(out_path)
-            n = spark.read.parquet(out_path).count()
+            # row count rides the write job as an observed metric — no
+            # second read-back scan per table (the report stays one job
+            # per output, like the reference's single pass).
+            obs = Observation(f"rows_{key}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(out_path)
+            n = obs.get["n"]
             status = "written"
         entry = {
             "name": key,

@@ -20,6 +20,40 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Queries whose plan INTENTIONALLY contains a nested-loop join: each joins
+# against a broadcast side of at most a handful of rows (1-row query
+# vector, tiny anchor table), where BroadcastNestedLoopJoin IS the right
+# plan — a per-row loop over <10 broadcast rows, not an O(n*m) blowup.
+_NESTED_LOOP_OK = {
+    "sim_brute_cosine_topk",
+    "sim_lsh_bucket_topk",
+    "sim_ivf_probe_topk",
+    "sim_cosine_topk_per_label",
+    "q11_important_part_values",  # HAVING-threshold scalar subquery (1 row)
+    "q22_dormant_rich_customers",  # avg-balance scalar subquery (1 row)
+    "q14_promo_revenue_ratio",
+    "q8_market_share",
+    "q15_top_supplier",  # max-revenue scalar subquery (1 row)
+    "class_balanced_downsample",  # minority-cap scalar aggregate (1 row)
+    "weighted_sample_by_length",  # max-length scalar aggregate (1 row)
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_no_accidental_nested_loop_or_cartesian(spark, sf_dir, name):
+    """Global plan-quality net: NO query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where the broadcast side is
+    provably tiny (whitelist above). A refactor that drops an equi-join
+    key silently degenerates to one of these — at 100 TB that is the
+    difference between a join and a job that never finishes."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name} degenerated to a nested-loop join"
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q6_forecast_revenue")
     assert "PushedFilters: [" in plan

@@ -57,6 +57,14 @@ HEADLINE = (
     "q21_lone_blamed_supplier",
     "pack_token_budget",
     "stratified_sample_by_lang",
+    # round-2 additions (r1 keys above are unchanged for comparability);
+    # the iterative composites (dedup_cluster_assignments,
+    # corpus_clean_pipeline) stay out: their local-mode time is dominated
+    # by fixed per-round scheduling, not data volume.
+    "range_interval_join",
+    "emb_label_centroids",
+    "variant_props_extract",
+    "skew_salted_join_revenue",
 )
 
 

@@ -54,7 +54,7 @@ _MODULES = (
 # the local DuckDB-differential pytest replica.
 _DRIVER_PRIORITY = (
     # dedup family
-    "minhash_signatures",
+    "decontaminate_against_benchmark",
     "minhash_lsh_near_dups",
     "simhash_fingerprint",
     "simhash_hamming_near_dups",

@@ -429,6 +429,72 @@ _CC_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training docs that share any 5-token
+# shingle with the held-out benchmark set.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # shingle width; benchmark = every 97th doc (synthetic eval set)
+
+_DECON_ORACLE = f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 range(1, len(string_split_regex(lower(text), '\\s+')) - {_DECON_N - 2}),
+                 i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+{_DECON_N - 1}], ' '))),
+               s -> {_HASH32_SQL.format(x='s')})) AS g
+      FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS h FROM grams WHERE doc_id % 97 = 0
+    ),
+    bset AS (
+      SELECT list(h) AS bh FROM bench
+    ),
+    hits AS (
+      SELECT doc_id
+      FROM grams, bset
+      WHERE doc_id % 97 != 0 AND list_has_any(g, bset.bh)
+    )
+    SELECT doc_id, CAST(1 AS BIGINT) AS contaminated FROM hits
+"""
+
+
+@register(
+    "decontaminate_against_benchmark",
+    oracle=_DECON_ORACLE,
+    tags=("dedup", "text", "decontamination"),
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leak guard every pre-training
+    corpus needs: a training document is CONTAMINATED when it shares any
+    {n}-token shingle with the benchmark set (here: every 97th doc stands
+    in for the eval suite). Scale shape: the benchmark's shingle-hash set
+    is tiny (eval suites are), so it BROADCASTS; training docs explode to
+    (doc, gram-hash) rows map-side and a broadcast LEFT SEMI join + one
+    distinct produces the flag — the big side never shuffles its text,
+    and the only wide exchange is the final distinct on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", D.hashed_shingles(F.col("text"), n=_DECON_N).alias("_g")
+    ).filter(F.size("_g") >= 1)
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("_g").alias("h"))
+        .distinct()
+    )
+    train_hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("_g").alias("h"))
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train_hits.select("doc_id", F.lit(1).cast("bigint").alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition: the full LLM corpus-cleaning pass in ONE query —
 # quality filter → near-dup cluster canonicalization → leak-proof split.
 # ---------------------------------------------------------------------------

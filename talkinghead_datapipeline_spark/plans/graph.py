@@ -198,6 +198,51 @@ def _dedup_keep_canonical(ctx: GraphContext, p: dict[str, Any]) -> None:
     ctx.put(p["output"], df.join(losers, p["key"], "left_anti"))
 
 
+@node("dedup_components")
+def _dedup_components(ctx: GraphContext, p: dict[str, Any]) -> None:
+    """Scale-correct canonicalization: exact-dedup pre-pass + LSH edge
+    graph + pointer-jumping connected components, keep one canonical row
+    per duplicate cluster (the composition dedup_keep_canonical's greedy
+    form approximates)."""
+    from talkinghead_datapipeline_spark.operators.components import (
+        canonical_per_component,
+        connected_components,
+    )
+    from talkinghead_datapipeline_spark.operators.dedup import dedup_edge_graph
+
+    df = ctx.get(p["input"])
+    edges = dedup_edge_graph(
+        df,
+        p["key"],
+        p["text"],
+        jaccard_min=p.get("threshold", 0.8),
+        max_bucket=p.get("max_bucket", 1024),
+    )
+    ctx.put(p["output"], canonical_per_component(df, connected_components(edges), p["key"]))
+
+
+@node("range_join")
+def _range_join(ctx: GraphContext, p: dict[str, Any]) -> None:
+    """Binned point-in-interval join (operators.rangejoin) — equi-join on
+    (keys, time bin) + exact refine, never a nested-loop plan."""
+    from talkinghead_datapipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ctx.put(
+        p["output"],
+        point_in_interval_join(
+            ctx.get(p["points"]),
+            ctx.get(p["intervals"]),
+            p["point_ts"],
+            p["start_ts"],
+            p["end_ts"],
+            keys=p.get("keys", []),
+            bin_width_sec=p.get("bin_width_sec", 600),
+        ),
+    )
+
+
 @node("salted_join")
 def _salted_join(ctx: GraphContext, p: dict[str, Any]) -> None:
     from talkinghead_datapipeline_spark.operators.skew import salted_join

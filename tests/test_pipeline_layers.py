@@ -256,6 +256,72 @@ def test_scan_binary_dir_key_derivation(spark, tmp_path):
     assert rows["speaker2_clip02"]["meta"]["n_bytes"] == len(b"\x00fakevideo2")
 
 
+def test_graph_components_and_range_join_nodes(spark, sf_dir):
+    """Round-2 graph vocabulary: component-based canonicalization and the
+    binned range join, declared as a JSON-style graph."""
+    from talkinghead_datapipeline_spark.plans.graph import Pipeline
+
+    graph = [
+        {
+            "name": "source_parquet",
+            "params": {"sf_dir": sf_dir, "table": "documents", "output": "docs"},
+        },
+        {
+            "name": "dedup_components",
+            "params": {
+                "input": "docs",
+                "key": "doc_id",
+                "text": "text",
+                "threshold": 0.2,
+                "output": "docs_canon",
+            },
+        },
+        {
+            "name": "source_parquet",
+            "params": {"sf_dir": sf_dir, "table": "events", "output": "ev"},
+        },
+        {
+            "name": "select",
+            "params": {
+                "input": "ev",
+                "exprs": ["user_id", "event_id", "ts", "value"],
+                "output": "points",
+            },
+        },
+        {
+            "name": "select",
+            "params": {
+                "input": "ev",
+                "exprs": [
+                    "user_id",
+                    "event_id AS alert_id",
+                    "ts AS start_ts",
+                    "ts + INTERVAL 10 MINUTES AS end_ts",
+                ],
+                "output": "intervals",
+            },
+        },
+        {
+            "name": "range_join",
+            "params": {
+                "points": "points",
+                "intervals": "intervals",
+                "point_ts": "ts",
+                "start_ts": "start_ts",
+                "end_ts": "end_ts",
+                "keys": ["user_id"],
+                "output": "hits",
+            },
+        },
+    ]
+    ctx = Pipeline(graph).build(spark)
+    docs_n = ctx.get("docs").count()
+    canon_n = ctx.get("docs_canon").count()
+    assert 0 < canon_n <= docs_n
+    # every event hits at least its own interval
+    assert ctx.get("hits").count() >= ctx.get("points").count()
+
+
 def test_graph_dedup_and_salted_join_nodes(spark, sf_dir):
     """North-star graph vocabulary: minhash pair node → canonical dedup →
     salted join, declared as a JSON-style graph."""

@@ -293,38 +293,63 @@ _NGRAM_ORACLE = f"""
 """
 
 
+_NGRAM_SUB = 4  # sub-blocks per block side; pair grid spreads over SUB² tasks
+
+
 @register("ngram_jaccard_near_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "join"))
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks —
-    the blocked-exact tier of the dedup stack (blocks bound the quadratic
-    term; at 100 TB block keys come from the cheap metadata columns).
-    Trigrams are hashed to int32 via the portable md5 prefix before the
-    pair join: the quadratic intersect runs over bigints, not strings, and
-    both engines hash identically so any collision is shared."""
+    the blocked-exact tier of the dedup stack. Trigrams are hashed to
+    int32 via the portable md5 prefix before the pair join: the quadratic
+    intersect runs over bigints, not strings, and both engines hash
+    identically so any collision is shared.
+
+    SUB-BLOCKING: block population grows linearly with the corpus (same
+    lang + length bucket), and an equi-join on the block key alone lands
+    each block's O(c²) pair generation in ONE task. Each doc is therefore
+    assigned a hash sub-block in [0, S); the left side replicates S× keyed
+    by (own sub, partner sub j) and the right by (partner sub i, own sub),
+    so the join key (lang, blk, i, j) splits every block's pair grid over
+    S² independent tasks of (c/S)² work — semantics-preserving (every pair
+    meets at exactly one (i, j)), so the plain self-join oracle still
+    matches bit-for-bit."""
+    s = _NGRAM_SUB
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    sub = (
+        D.portable_hash32(F.concat(F.lit("sub|"), F.col("doc_id").cast("string")))
+        % s
+    ).cast("int")
     g = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
         F.transform(D.char_ngrams(F.col("text")), D.portable_hash32).alias("grams"),
+        sub.alias("_sub"),
     )
+    grid = F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>"))
     a = g.select(
         F.col("doc_id").alias("key_a"),
         F.col("lang").alias("_lang_a"),
         F.col("blk").alias("_blk_a"),
         F.col("grams").alias("_grams_a"),
+        F.col("_sub").alias("_i"),
+        grid.alias("_j"),
     )
     b = g.select(
         F.col("doc_id").alias("key_b"),
         F.col("lang").alias("_lang_b"),
         F.col("blk").alias("_blk_b"),
         F.col("grams").alias("_grams_b"),
+        grid.alias("_bi"),
+        F.col("_sub").alias("_bj"),
     )
     return (
         a.join(
             b,
             (F.col("_lang_a") == F.col("_lang_b"))
             & (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("_i") == F.col("_bi"))
+            & (F.col("_j") == F.col("_bj"))
             & (F.col("key_a") < F.col("key_b")),
         )
         .select(
@@ -366,20 +391,41 @@ _EMB_NEAR_DUP_ORACLE = f"""
 @register("emb_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity", "join"))
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (exact baseline;
-    the LSH-bucketed variant is the scale path in operators.similarity)."""
+    the LSH-bucketed variant is the scale path in operators.similarity).
+    Label cardinality is FIXED, so label blocks grow linearly with the
+    corpus — the pair grid is sub-blocked exactly like
+    ngram_jaccard_near_dups (S² tasks of (c/S)² work per label,
+    semantics-preserving, plain self-join oracle unchanged)."""
+    s = _NGRAM_SUB
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    sub = (
+        D.portable_hash32(F.concat(F.lit("sub|"), F.col("vec_id").cast("string")))
+        % s
+    ).cast("int")
+    g = emb.select("vec_id", "label", "embedding", sub.alias("_sub"))
+    grid = F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>"))
+    a = g.select(
         F.col("vec_id").alias("key_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("_ea"),
+        F.col("_sub").alias("_i"),
+        grid.alias("_j"),
     )
-    b = emb.select(
+    b = g.select(
         F.col("vec_id").alias("key_b"),
         F.col("label").alias("_lb"),
         F.col("embedding").alias("_eb"),
+        grid.alias("_bi"),
+        F.col("_sub").alias("_bj"),
     )
     return (
-        a.join(b, (F.col("label") == F.col("_lb")) & (F.col("key_a") < F.col("key_b")))
+        a.join(
+            b,
+            (F.col("label") == F.col("_lb"))
+            & (F.col("_i") == F.col("_bi"))
+            & (F.col("_j") == F.col("_bj"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
         .select(
             "key_a",
             "key_b",

@@ -80,6 +80,18 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact stratified sample: 10% per language, hash-ranked
 # ---------------------------------------------------------------------------
 
+_STRAT_ORACLE = f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {{h}}, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= ceil(0.1 * n_lang)
+""".format(h=_salted_hash_sql("strat|", "doc_id"))
+
 
 @register(
     "stratified_sample_by_lang",
@@ -117,6 +129,35 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("_rn") <= F.ceil(0.1 * F.col("_n"))).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "stratified_sample_scale_path",
+    oracle=_STRAT_ORACLE,
+    tags=("dataprep", "sample", "selection"),
+)
+def stratified_sample_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact 10%-per-language sample computed by distributed
+    selection (operators.sampling.stratified_exact_sample): a per-(stratum,
+    hash-bucket) histogram decides whole buckets outright and only the
+    pivot bucket — ~1/4096 of a stratum — is ever ranked, so no task sorts
+    a whole stratum (the window-rank form's scale cliff when stratum
+    cardinality is fixed). The oracle is the window-rank definition
+    itself: a green hash row IS the proof that the selection algorithm is
+    exact."""
+    from talkinghead_datapipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_exact_sample(
+        docs,
+        "lang",
+        "doc_id",
+        _salted_hash("strat|", F.col("doc_id")),
+        0.1,
+    )
+    return out.select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

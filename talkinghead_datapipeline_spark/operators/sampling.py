@@ -35,16 +35,22 @@ def stratified_exact_sample(
     stratum: str,
     key: str,
     hash_col: Column,
-    fraction: float,
+    fraction: float | None = None,
+    k_expr: Column | None = None,
     n_buckets: int = 4096,
 ) -> DataFrame:
     """Rows of ``df`` whose ascending (hash, key) rank within their stratum
-    is ≤ ceil(fraction · stratum_size) — exactly the window-rank sample,
-    without ever sorting a whole stratum in one task.
+    is ≤ k — exactly the window-rank sample, without ever sorting a whole
+    stratum in one task. k is ``ceil(fraction · stratum_size)`` or, for
+    absolute caps (class balancing), ``k_expr`` — a Column evaluated over
+    the per-stratum histogram totals (``_total`` is in scope, as is any
+    literal/scalar-subquery expression).
 
     ``hash_col`` must be a deterministic value in [0, 2^32) (the portable
     md5 prefix); the bucket is its high bits, so bucket order == hash
     order."""
+    if (fraction is None) == (k_expr is None):
+        raise ValueError("exactly one of fraction / k_expr is required")
     bucket_width = 4294967296 // n_buckets  # power of two: division is exact
     base = df.withColumns(
         {"_h": hash_col, "_b": F.floor(hash_col / bucket_width).cast("bigint")}
@@ -59,7 +65,10 @@ def stratified_exact_sample(
     totals = hist.withColumn("_cum", F.sum("_n").over(wcum)).withColumn(
         "_total", F.sum("_n").over(W.partitionBy(stratum))
     )
-    k = F.ceil(F.lit(fraction) * F.col("_total")).cast("bigint")
+    if fraction is not None:
+        k = F.ceil(F.lit(fraction) * F.col("_total")).cast("bigint")
+    else:
+        k = k_expr.cast("bigint")
     marked = totals.select(
         stratum,
         "_b",

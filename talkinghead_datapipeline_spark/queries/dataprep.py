@@ -165,9 +165,7 @@ def stratified_sample_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "class_balanced_downsample",
-    oracle=f"""
+_BALANCE_ORACLE = f"""
     WITH ranked AS (
       SELECT vec_id, label,
              row_number() OVER (
@@ -180,7 +178,12 @@ def stratified_sample_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)
     )
     SELECT vec_id, label FROM ranked, cap WHERE rn <= cap
-    """,
+"""
+
+
+@register(
+    "class_balanced_downsample",
+    oracle=_BALANCE_ORACLE,
     tags=("dataprep", "sample", "balance"),
 )
 def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +206,35 @@ def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= F.col("_cap"))
         .select("vec_id", "label")
     )
+
+
+@register(
+    "class_balanced_scale_path",
+    oracle=_BALANCE_ORACLE,
+    tags=("dataprep", "sample", "balance", "selection"),
+)
+def class_balanced_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME minority-cap downsample via distributed selection
+    (operators.sampling): label cardinality is fixed, so the window-rank
+    form sorts a whole label in one task at scale. The cap (min stratum
+    size) is a global window over the tiny per-(label, bucket) histogram —
+    no driver collect; only pivot buckets are ranked. Same oracle as the
+    window-rank query: the green hash row proves exactness."""
+    from pyspark.sql.window import Window as _W
+
+    from talkinghead_datapipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = stratified_exact_sample(
+        emb,
+        "label",
+        "vec_id",
+        _salted_hash("bal|", F.col("vec_id")),
+        k_expr=F.min("_total").over(_W.partitionBy()),
+    )
+    return out.select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------

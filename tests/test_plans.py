@@ -125,6 +125,53 @@ def test_minhash_pairs_shuffle_carries_keys_not_shingles(spark, sf_dir):
     ) or "key_a" in plan
 
 
+def test_stratified_exact_sample_matches_window_rank(spark):
+    """Distributed selection == window-rank definition, fuzzed: random
+    strata/sizes, n_buckets=8 so most strata hit the pivot path; also
+    fraction=1.0 (keep everything) and 1-row strata."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+    from talkinghead_datapipeline_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rng = __import__("numpy").random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "k": range(n),
+            "g": rng.choice(["a", "b", "c", "tiny"], p=[0.5, 0.3, 0.199, 0.001], size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    h = portable_hash32(F.concat(F.lit("t|"), F.col("k").cast("string")))
+
+    import hashlib
+
+    def py_hash(k):
+        return int(hashlib.md5(f"t|{k}".encode()).hexdigest()[:8], 16)
+
+    pdf["h"] = pdf["k"].map(py_hash)
+    for frac in (0.25, 1.0):
+        got = {
+            r["k"]
+            for r in stratified_exact_sample(
+                df, "g", "k", h, fraction=frac, n_buckets=8
+            ).collect()
+        }
+        want = set()
+        for g, grp in pdf.groupby("g"):
+            kk = -(-len(grp) * frac).__floor__() if frac != 1.0 else len(grp)
+            import math
+
+            kk = math.ceil(len(grp) * frac)
+            want |= set(grp.sort_values(["h", "k"]).head(kk)["k"])
+        assert got == want, f"fraction={frac}"
+
+
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     # The binned range join must plan to a hash/sort-merge equi-join on
     # (user_id, bin); a raw non-equi join would degenerate to

@@ -82,28 +82,34 @@ def main() -> None:
         specs[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        # Steady-state measurement: one untimed warm-up run absorbs
-        # whole-stage-codegen compilation and parquet footer/file-index
-        # caching (one-time costs amortized to ~0 over a real workload),
-        # then the timed run measures plan execution.
-        run(name)
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # Per-query error containment: one broken query must cost only its
+        # own row, never the round's whole performance artifact.
+        try:
+            # Steady-state measurement: one untimed warm-up run absorbs
+            # whole-stage-codegen compilation and parquet footer/file-index
+            # caching (one-time costs amortized to ~0 over a real workload),
+            # then the timed run measures plan execution.
+            run(name)
+            t0 = time.perf_counter()
+            run(name)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -33,25 +33,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one catalog table.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType regardless of how the
+    fixture's parquet physical type arrives:
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
-    LongType and is converted here to TimestampType via exact integer
-    division (``div`` — a double division would lose precision on int64
-    epoch-nanos).
+    - parquet TIMESTAMP(NANOS) read as epoch-nanos LongType (via
+      ``spark.sql.legacy.parquet.nanosAsLong``) → exact integer ``div 1000``
+      then ``timestamp_micros`` (a double division would lose precision on
+      int64 epoch-nanos);
+    - parquet ``timestamp[us]`` with isAdjustedToUTC=false → TimestampNTZType
+      → ``cast("timestamp")``, interpreted in the session timezone which we
+      pin to UTC so ``unix_micros(ts)`` equals DuckDB ``epoch_us(ts)``;
+    - TimestampType → passthrough.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-    from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
+    if "ts" not in df.columns:
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        # The NTZ wall clock is naive-UTC in the fixture; pin the session tz
+        # so externally-created sessions (the driver's) cast it losslessly.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one catalog table; ``events.ts`` is normalized
+    to TimestampType whatever the parquet footer says (see
+    :func:`normalize_events_ts`)."""
     if name == "events":
-        # Runtime-set so externally-created sessions (the driver's) read the
-        # nanos parquet too — session.py sets the same conf at build time.
+        # Runtime-set so externally-created sessions (the driver's) can read
+        # a nanos-typed fixture too — harmless when the footer stores micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

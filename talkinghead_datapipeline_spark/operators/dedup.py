@@ -248,9 +248,13 @@ def dedup_edge_graph(
     exact_edges = lab.filter(F.col("id") != F.col("_rep")).select(
         F.col("_rep").alias("key_a"), F.col("id").alias("key_b")
     )
+    # Star edges are kept UNCONDITIONALLY (connectivity-only; verifying them
+    # against jaccard_min could disconnect a mega-bucket member whose
+    # similarity to the bucket minimum is below threshold). Duplicate star
+    # edges across bands are harmless to connected_components (min-agg).
     lsh_edges = (
         minhash_candidate_pairs(reps, key, text, max_bucket=max_bucket)
-        .filter(F.col("jaccard") >= jaccard_min)
+        .filter(F.col("star") | (F.col("jaccard") >= jaccard_min))
         .select("key_a", "key_b")
     )
     return lsh_edges.unionByName(exact_edges)
@@ -277,12 +281,22 @@ def minhash_candidate_pairs(
     cluster (web boilerplate: millions), and the all-pairs expansion is
     O(c²) inside ONE task. Buckets larger than ``max_bucket`` therefore
     emit STAR pairs only — every member against the bucket minimum —
-    which is O(c), still connects the whole bucket into one component
-    for clustering, and is a sound approximation precisely because an
-    oversized bucket's members agree on a full signature band (i.e. are
-    near-identical). For exact full-pair output compose ``exact_dedup``
-    in front so duplicate clusters collapse to one representative before
-    banding (see queries.dedup.dedup_cluster_assignments).
+    which is O(c) and keeps the whole bucket one connected component.
+
+    Star pairs are CONNECTIVITY-ONLY edges, flagged ``star = true`` and
+    exempt from the first-band suppression (an oversized band-0 bucket
+    emits only pairs through its minimum, so "band 0 already emitted this
+    pair" does not hold) — otherwise a member whose Jaccard to the bucket
+    minimum is below the caller's threshold could lose ALL its edges and
+    split its cluster (driver ADVICE r2, medium). Consequences callers
+    must own: star edges may duplicate across bands (≤ n_bands copies),
+    and their ``jaccard`` is informational, NOT a verification —
+    clustering consumers keep star edges unconditionally
+    (``dedup_edge_graph``), pair-listing consumers drop them
+    (``star = false`` rows remain exact and duplicate-free). For exact
+    full-pair output compose ``exact_dedup`` in front so duplicate
+    clusters collapse to one representative before banding (see
+    queries.dedup.dedup_cluster_assignments).
     """
     from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
 
@@ -328,7 +342,7 @@ def minhash_candidate_pairs(
     # intersect runs once per pair (inlining it into a jaccard expression
     # would evaluate it twice). Band-0 equality compares the four leading
     # signature entries element-wise — no sub-array materialization.
-    def _pair_struct(i: str, j: str) -> str:
+    def _pair_struct(i: str, j: str, star: str) -> str:
         b0_eq = " AND ".join(
             f"mem[{i}-1].sig[{k}] = mem[{j}-1].sig[{k}]" for k in range(BAND_WIDTH)
         )
@@ -336,18 +350,20 @@ def minhash_candidate_pairs(
                 'key_a', mem[{i}-1].k, 'key_b', mem[{j}-1].k,
                 'isz', CAST(size(array_intersect(mem[{i}-1].g, mem[{j}-1].g)) AS DOUBLE),
                 'usz', CAST(size(mem[{i}-1].g) + size(mem[{j}-1].g) AS DOUBLE),
-                'b0_eq', {b0_eq})"""
+                'b0_eq', {b0_eq}, 'star', {star})"""
 
+    # Star pairs bypass the first-band suppression: connectivity must not
+    # depend on what an (unknowably-sized) band-0 bucket chose to emit.
     pair_expr = F.expr(
         f"""
         filter(
           CASE WHEN size(mem) <= {int(max_bucket)} THEN
             flatten(transform(sequence(1, size(mem) - 1), i ->
-              transform(sequence(i + 1, size(mem)), j -> {_pair_struct("i", "j")})))
+              transform(sequence(i + 1, size(mem)), j -> {_pair_struct("i", "j", "false")})))
           ELSE
-            transform(sequence(2, size(mem)), j -> {_pair_struct("1", "j")})
+            transform(sequence(2, size(mem)), j -> {_pair_struct("1", "j", "true")})
           END,
-          p -> _bidx = 0 OR NOT p.b0_eq)
+          p -> p.star OR _bidx = 0 OR NOT p.b0_eq)
         """
     )
     return (
@@ -358,5 +374,6 @@ def minhash_candidate_pairs(
             F.try_divide(F.col("p.isz"), F.col("p.usz") - F.col("p.isz")).alias(
                 "jaccard"
             ),
+            "p.star",
         )
     )

@@ -48,7 +48,12 @@ def point_in_interval_join(
     pt = points.withColumn(
         "_bin", F.expr(f"unix_micros({point_ts}) div {w_us}")
     )
-    iv = intervals.withColumn(
+    # Guard degenerate/corrupt intervals BEFORE the explode: F.sequence on a
+    # reversed range (end <= start) yields a DESCENDING sequence, so one bad
+    # row would explode into arbitrarily many bin rows. Such intervals can
+    # match no point under `start <= ts < end` anyway, so dropping them is
+    # semantics-preserving.
+    iv = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
         "_bin",
         F.explode(
             F.sequence(

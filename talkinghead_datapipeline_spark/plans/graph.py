@@ -186,7 +186,11 @@ def _dedup_minhash_pairs(ctx: GraphContext, p: dict[str, Any]) -> None:
 
     pairs = minhash_candidate_pairs(ctx.get(p["input"]), p["key"], p["text"])
     thr = p.get("threshold", 0.8)
-    ctx.put(p["output"], pairs.filter(F.col("jaccard") >= thr))
+    # listing node: verified pairs only (star rows are connectivity-only)
+    ctx.put(
+        p["output"],
+        pairs.filter(~F.col("star") & (F.col("jaccard") >= thr)).drop("star"),
+    )
 
 
 @node("dedup_keep_canonical")

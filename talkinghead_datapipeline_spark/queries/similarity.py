@@ -336,6 +336,180 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, cluster): nearest-centroid assignment,
+    map-only — ``cent`` is a broadcast 1-row frame with a ``cents`` array of
+    centroid vectors. Cosines round to 9 decimals before the argmax so the
+    DuckDB twin picks identical cells."""
+    sims = F.transform(
+        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c), 9)
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "sims",
+            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).alias(
+                "cluster"
+            ),
+        )
+    )
+
+
+def _ivf_lloyd_step(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd's iteration: assign → per-cell element-wise mean → new
+    1-row ``cents`` frame (empty cells keep their previous centroid).
+
+    Scale shape mirrors emb_label_centroids: posexplode to (cluster, pos, x)
+    cells, partial-aggregate map-side, ONE shuffle on (cluster, pos), then
+    two tiny k-row aggregations. Means round to 6 decimals so both engines
+    feed bit-identical centroids into the next iteration."""
+    assigned = _ivf_assign(emb, cent)
+    per_pos = (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    newc = per_pos.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+    prev = cent.select(
+        F.posexplode("cents").alias("cl0", "old")
+    ).withColumn("cluster", F.col("cl0") + 1)
+    return (
+        prev.join(newc, "cluster", "left")
+        .select("cluster", F.coalesce("cvec", "old").alias("cvec"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cluster", "cvec"))),
+                lambda s: s["cvec"],
+            ).alias("cents")
+        )
+    )
+
+
+def _ivf_train_sql_ctes() -> str:
+    """DuckDB CTE chain mirroring two Lloyd's iterations (cent0 → cent2)."""
+    parts = [
+        f"""cent0 AS (
+          SELECT list(embedding ORDER BY vec_id) AS cents
+          FROM embeddings WHERE vec_id IN {_IVF_SEEDS}
+        )"""
+    ]
+    for it in (1, 2):
+        p = it - 1
+        parts.append(
+            f"""a{it} AS (
+          SELECT vec_id, embedding, list_position(sims, list_max(sims)) AS cluster
+          FROM (
+            SELECT vec_id, embedding,
+                   list_transform(cents, c -> round({_cosine_sql('embedding', 'c')}, 9)) AS sims
+            FROM embeddings, cent{p}
+          )
+        ),
+        cells{it} AS (
+          SELECT cluster, pos, CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS x
+          FROM (
+            SELECT cluster, embedding,
+                   CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos
+            FROM a{it}
+          )
+        ),
+        newc{it} AS (
+          SELECT cluster, list(m ORDER BY pos) AS cvec
+          FROM (
+            SELECT cluster, pos, round(avg(x), 6) AS m
+            FROM cells{it} GROUP BY cluster, pos
+          ) GROUP BY cluster
+        ),
+        cent{it} AS (
+          SELECT list(coalesce(n.cvec, c.cents[CAST(k.k AS INT)]) ORDER BY k.k) AS cents
+          FROM (SELECT unnest(range(1, {len(_IVF_SEEDS)} + 1)) AS k) k
+          CROSS JOIN cent0 c
+          LEFT JOIN newc{it} n ON n.cluster = k.k
+        )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "sim_ivf_trained_topk",
+    oracle=f"""
+    WITH {_ivf_train_sql_ctes()},
+    assigned AS (
+      SELECT vec_id, label, embedding, sims,
+             list_position(sims, list_max(sims)) AS cluster
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_transform(cents, c -> round({_cosine_sql('embedding', 'c')}, 9)) AS sims
+        FROM embeddings, cent2
+      )
+    ),
+    q AS (
+      SELECT embedding AS qvec,
+             list_transform(
+               list_slice(list_sort(list_transform(
+                 range(1, len(sims) + 1),
+                 i -> {{'ns': -sims[CAST(i AS INT)], 'idx': i}})), 1, 2),
+               s -> s.idx) AS qcells
+      FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.label, CAST(a.cluster AS BIGINT) AS cluster,
+           round({_cosine_sql('a.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.vec_id <> 0 AND list_contains(q.qcells, a.cluster)
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: 2 deterministic Lloyd's k-means
+    iterations refine the 8 seed centroids (assignment argmax on cosines
+    rounded to 9; cell means rounded to 6 — both engines iterate on
+    bit-identical centroids), then the query probes its nprobe=2 nearest
+    cells. Scale: each iteration is one (cluster, pos) shuffle of exploded
+    cells — the same hash-agg shape as any rollup; centroids stay a 1-row
+    broadcast; the corpus is never collected. At 100 TB the final
+    assignment becomes the partition key, so probes prune to 2/8 of the
+    data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _anchors(emb, _IVF_SEEDS).withColumnRenamed("anchors", "cents")
+    for _ in range(2):
+        # localCheckpoint: the 1-row centroid frame is consumed by the next
+        # iteration's crossJoin AND the mean/coalesce joins — without the cut
+        # each reuse re-executes every prior iteration's corpus scans.
+        cent = _ivf_lloyd_step(emb, cent).localCheckpoint(eager=True)
+    assigned = _ivf_assign(emb, cent)
+    top2 = F.expr(
+        "transform(slice(array_sort(transform(sims,"
+        " (s, i) -> struct(-s AS ns, i + 1 AS idx))), 1, 2), s -> s.idx)"
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), top2.alias("qcells")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(q), F.expr("array_contains(qcells, cluster)")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "sim_cosine_topk_per_label",
     oracle=f"""

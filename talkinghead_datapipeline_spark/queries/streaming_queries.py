@@ -23,14 +23,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talkinghead_datapipeline_spark.catalog import table_path
+from talkinghead_datapipeline_spark.catalog import normalize_events_ts, table_path
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.streaming.incremental import run_available_now
 
 
 def _events_stream_transform_base(stream: DataFrame) -> DataFrame:
-    """Nanos-long → timestamp conversion (same rule as catalog.load_table)."""
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """ts normalization — the same single seam as catalog.load_table, so the
+    streaming source tracks whatever physical type the fixture uses."""
+    return normalize_events_ts(stream)
 
 
 def _run_events_stream(

@@ -148,7 +148,7 @@ def video_to_frames(
                         cmd = [
                             exe, *_FFMPEG_BASE_ARGS, "-i", src,
                             *_FFMPEG_TO_IMG_ARGS,
-                            os.path.join(tgt, f"%6d{ext}"), "-y",
+                            os.path.join(tgt, f"%06d{ext}"), "-y",
                         ]
                         subprocess.run(
                             cmd,
@@ -199,7 +199,9 @@ def frames_to_video(
     136-143: ``-i {source}/%6d{ext} -start_number 0 -qscale:v 3 {target}
     -y``) consumes a frame DIRECTORY; here each clip's frames are gathered
     with ``applyInPandas`` (the grouped-sink shape), written to a task-local
-    temp dir under the reference's %6d naming, muxed, and the video bytes
+    temp dir under zero-padded %06d naming (the reference writes
+    ``f"{index:06d}.jpg"`` and ffmpeg reads ``%6d`` patterns zero-padded),
+    muxed, and the video bytes
     returned as one row. One shuffle on the clip key — the same partitioning
     every frame-grain operator uses, so Exchange reuse applies."""
     exe = _resolve_ffmpeg(ffmpeg_exe)
@@ -220,13 +222,17 @@ def frames_to_video(
             with tempfile.TemporaryDirectory() as td:
                 src = os.path.join(td, "frames")
                 os.makedirs(src)
+                # Zero-padded frame names, matching the reference's
+                # f"{index:06d}.jpg" writer (dpl/processor/nodes/ffmpeg.py:18-21)
+                # and ffmpeg's image2 demuxer, which reads %6d as zero-padded
+                # (av_get_frame_filename expands it to %06d).
                 for n, blob in enumerate(ordered[image_col]):
-                    with open(os.path.join(src, "%6d%s" % (n, ext)), "wb") as fh:
+                    with open(os.path.join(src, "%06d%s" % (n, ext)), "wb") as fh:
                         fh.write(bytes(blob))
                 tgt = os.path.join(td, f"out{target_suffix}")
                 cmd = [
                     exe, *_FFMPEG_BASE_ARGS,
-                    "-i", os.path.join(src, f"%6d{ext}"),
+                    "-i", os.path.join(src, f"%06d{ext}"),
                     *_FFMPEG_TO_IMG_ARGS, tgt, "-y",
                 ]
                 subprocess.run(

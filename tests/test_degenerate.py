@@ -111,3 +111,32 @@ def test_simhash_shingle_properties_random_corpus(spark, texts):
     for r in rows:
         assert 0 <= r.sim < 2**32
         assert r.n_sh >= 0
+
+
+def test_range_join_reversed_interval_is_dropped(spark):
+    """A corrupt interval with end <= start must not explode (F.sequence on a
+    reversed range is DESCENDING — one bad row could produce arbitrarily many
+    bin rows) and can match no point under start <= ts < end."""
+    import datetime as dt
+
+    from talkinghead_datapipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, s)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, t(5)), (2, t(15))], "pid int, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, t(0), t(10)),       # normal: matches pid 1
+            (11, t(59), t(1)),       # reversed: must vanish, not explode
+            (12, t(20), t(20)),      # zero-length: matches nothing
+        ],
+        "iid int, start_ts timestamp, end_ts timestamp",
+    )
+    out = point_in_interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", bin_width_sec=60
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(1, 10)}

@@ -5,7 +5,9 @@ The real pipeline starts with VideoToImagesNode / VideoToWavNode
 so the GATE is the binary, not the code: these tests run the full
 mapInPandas → temp file → subprocess → read-back path against a small bash
 stand-in that honors the reference's argument shape (`-i <src> ... <target>
--y`, `%6d{ext}` frame template).
+-y`) and ffmpeg's image2 sequence semantics: `%06d{ext}` frame templates,
+ZERO-padded filenames (av_get_frame_filename expands %6d/%06d to
+zero-padding — a space-padded stub would hide a real-binary mismatch).
 """
 
 from __future__ import annotations
@@ -32,13 +34,16 @@ _STUB = textwrap.dedent(
       [[ "${args[k]}" == "-i" ]] && src="${args[k+1]}"
     done
     tgt="${args[$((${#args[@]}-2))]}"
-    if [[ "$src" == *%6d* ]]; then
+    if [[ "$src" == *%06d* ]]; then
       d="${src%/*}"
-      { printf 'MUXED:'; cat "$d"/*; } > "$tgt"
-    elif [[ "$tgt" == *%6d* ]]; then
-      d="${tgt%/*}"; ext="${tgt##*%6d}"
+      # real ffmpeg only finds ZERO-padded frame files for a %06d pattern;
+      # fail loudly (like ffmpeg: "No such file") if none match.
+      compgen -G "$d/0*" > /dev/null || exit 1
+      { printf 'MUXED:'; cat "$d"/0*; } > "$tgt"
+    elif [[ "$tgt" == *%06d* ]]; then
+      d="${tgt%/*}"; ext="${tgt##*%06d}"
       for n in 0 1 2; do
-        { printf 'FRAME%d:' "$n"; cat "$src"; } > "$d/$(printf '%6d' "$n")$ext"
+        { printf 'FRAME%d:' "$n"; cat "$src"; } > "$d/$(printf '%06d' "$n")$ext"
       done
     else
       { printf 'TRANSCODED:'; cat "$src"; } > "$tgt"
@@ -73,7 +78,7 @@ def test_video_to_frames_subprocess(spark, stub_ffmpeg):
     out = video_to_frames(_clips(spark), ffmpeg_exe=stub_ffmpeg).collect()
     assert all(r.error is None for r in out)
     frames = {(r.clip_name, r.frame_idx): bytes(r.image) for r in out}
-    assert len(frames) == 6  # 3 frames x 2 clips, frame_idx from %6d names
+    assert len(frames) == 6  # 3 frames x 2 clips, frame_idx from %06d names
     assert frames[("a", 0)] == b"FRAME0:AAA"
     assert frames[("a", 2)] == b"FRAME2:AAA"
     assert frames[("b", 1)] == b"FRAME1:BBB"
@@ -90,7 +95,8 @@ def test_transcode_media_subprocess(spark, stub_ffmpeg):
 
 def test_demux_mux_roundtrip(spark, stub_ffmpeg):
     # N2 → N3: explode a clip to frames, then mux the frames back — the
-    # grouped applyInPandas sink writes %6d-named files like the reference.
+    # grouped applyInPandas sink writes zero-padded %06d-named files like
+    # the reference's f"{index:06d}.jpg".
     frames = video_to_frames(_clips(spark), ffmpeg_exe=stub_ffmpeg)
     out = frames_to_video(
         frames.drop("error"), ffmpeg_exe=stub_ffmpeg

@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from talkinghead_datapipeline_spark.catalog import normalize_events_ts
 from talkinghead_datapipeline_spark.operators.inference import (
     batched_inference,
     split_error_channel,
@@ -215,16 +216,15 @@ def test_streaming_available_now_tumbling(spark, sf_dir, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
     sh.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
-    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
-    # the fixture stores ts as TIMESTAMP(NANOS); for the streaming source we
-    # read it as NTZ via an explicit schema — Spark reads nanos into NTZ? no:
-    # use long + conversion inside the transform instead.
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # Read the stream with whatever schema the fixture's footer declares
+    # (nanos-as-long, timestamp[us]/NTZ, or utc-adjusted timestamp) and let
+    # the shared catalog normalizer produce TimestampType — the same seam
+    # production queries go through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def transform(stream):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return tumbling_stream_agg(stream)
+        return tumbling_stream_agg(normalize_events_ts(stream))
 
     sink = str(tmp_path / "stream_sink")
     run_available_now(

@@ -429,9 +429,13 @@ def _ivf_train_sql_ctes() -> str:
           ) GROUP BY cluster
         ),
         cent{it} AS (
+          -- empty-cell fallback joins the PREVIOUS iteration's centroids
+          -- (cent{p}), matching Spark's _ivf_lloyd_step coalesce — a cluster
+          -- that empties in iteration 2 after moving in iteration 1 must get
+          -- cent1's centroid, not the cent0 seed (ADVICE r4 medium).
           SELECT list(coalesce(n.cvec, c.cents[CAST(k.k AS INT)]) ORDER BY k.k) AS cents
           FROM (SELECT unnest(range(1, {len(_IVF_SEEDS)} + 1)) AS k) k
-          CROSS JOIN cent0 c
+          CROSS JOIN cent{p} c
           LEFT JOIN newc{it} n ON n.cluster = k.k
         )"""
         )

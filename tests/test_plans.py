@@ -27,6 +27,7 @@ def _plan(spark, sf_dir, name: str) -> str:
 _NESTED_LOOP_OK = {
     "sim_brute_cosine_topk",
     "sim_lsh_bucket_topk",
+    "emb_near_dup_pairs",  # 1-row broadcast hyperplane-anchor crossJoin
     "sim_ivf_probe_topk",
     "sim_ivf_trained_topk",  # nprobe=2 membership probe vs 1-row broadcast
     "sim_cosine_topk_per_label",
@@ -270,40 +271,78 @@ def test_table_profile_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def _minhash_sig_py(text: str) -> tuple[int, ...]:
+    """Python mirror of the engine's minhash signature (md5-based, exact)."""
+    import hashlib
+    import re
+
+    from talkinghead_datapipeline_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    toks = re.split(r"\s+", text.lower())
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    return tuple(
+        min((a * h + b) % MINHASH_P for h in hs)
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+
+
 def test_oversized_bucket_keeps_cluster_connected(spark):
-    """ADVICE r2 (medium): in the capped star-expansion path, a bucket member
-    whose jaccard to the bucket MINIMUM is below the caller's threshold must
-    not lose all its edges — star edges are connectivity-only (exempt from
-    both first-band suppression and the similarity verify), so the cluster
-    stays one component."""
+    """ADVICE r2 (medium) / VERDICT r4 #3: in the capped star-expansion path,
+    a bucket member whose jaccard to the bucket MINIMUM is below the
+    caller's threshold must not lose all its edges — star edges are
+    connectivity-only (exempt from both first-band suppression and the
+    similarity verify), so the cluster stays one component.
+
+    Deterministic fixture: the minhash is pure md5 arithmetic, so we mirror
+    it in Python and KEEP only tails that leave every permutation minimum
+    unchanged — all docs then provably share all bands (no skip-on-miss),
+    while distinct tails keep texts non-identical (they survive the exact
+    pre-pass) with pairwise jaccard < 0.99."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from talkinghead_datapipeline_spark.operators.components import (
         connected_components,
     )
-    from talkinghead_datapipeline_spark.operators.dedup import dedup_edge_graph
+    from talkinghead_datapipeline_spark.operators.dedup import (
+        dedup_edge_graph,
+        minhash_candidate_pairs,
+    )
 
-    # One shared 3-word shingle puts every doc in the same band buckets only
-    # if signatures collide — instead force collision with NEAR-identical
-    # texts: a long common prefix (dominating every permutation minimum) and
-    # a distinct tail. All docs then share all bands (bucket size n), but
-    # pairwise jaccard to the minimum varies and is < 1.
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
-    n = 40
-    texts = [base + f"unique tail {i} " + (f"extra words {i} " * (i % 5)) for i in range(n)]
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).strip()
+    base_sig = _minhash_sig_py(base)
+    texts = [base]
+    for i in range(2000):
+        cand = f"{base} qq{i} ww{i} ee{i}"
+        if _minhash_sig_py(cand) == base_sig:
+            texts.append(cand)
+        if len(texts) >= 16:
+            break
+    # The tail-selection loop is deterministic; if md5 behavior ever drifts
+    # this assert fails loudly instead of the old silent skip.
+    assert len(texts) >= 16, "could not assemble colliding fixture texts"
+    n = len(texts)
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": list(range(n)), "text": texts})
     )
+    # Precondition, hard-asserted (ADVICE r4): the fixture actually exercises
+    # the oversized-bucket star path.
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=8)
+    assert pairs.filter(F.col("star")).count() > 0, "fixture produced no star rows"
+    assert pairs.filter(~F.col("star")).count() == 0  # every bucket oversized
     edges = dedup_edge_graph(docs, "doc_id", "text", jaccard_min=0.99, max_bucket=8)
-    # jaccard_min=0.99 rejects every verified pair — only star edges remain;
-    # without the star exemption the edge list would be EMPTY and the
-    # cluster would shatter.
-    if edges.count() == 0:
-        import pytest
-
-        pytest.skip("fixture texts did not share bands; tighten the prefix")
+    # jaccard_min=0.99 rejects every verified pair (pairwise jaccard ≈ 0.9)
+    # — only star edges remain; without the star exemption the edge list
+    # would be EMPTY and the cluster would shatter. An empty edge list IS
+    # the regression: hard-fail, never skip.
+    assert edges.count() > 0, "star edges were re-filtered by jaccard_min"
     comps = connected_components(edges)
+    assert comps.count() == n
     assert comps.agg(F.countDistinct("comp")).collect()[0][0] == 1
 
 
@@ -323,3 +362,45 @@ def test_near_dup_tiers_join_on_band_not_block(spark, sf_dir, name, band_key):
     assert any(band_key in ln for ln in joins), (
         f"{name}: join does not key on the band value — block-wide self-join"
     )
+
+
+def test_ivf_oracle_fallback_references_previous_iteration():
+    """ADVICE r4 (medium): the oracle's empty-cell fallback in cent{it} must
+    CROSS JOIN the PREVIOUS iteration's centroids (cent1 for cent2), not the
+    cent0 seeds — Spark's _ivf_lloyd_step coalesces an empty cell to the
+    previous iteration's centroid, and a cluster that empties in iteration 2
+    after moving in iteration 1 would silently diverge otherwise."""
+    from talkinghead_datapipeline_spark.queries.similarity import (
+        _ivf_train_sql_ctes,
+    )
+
+    ctes = _ivf_train_sql_ctes()
+    cent2 = ctes.split("cent2 AS (")[1]
+    assert "CROSS JOIN cent1 c" in cent2
+    assert "CROSS JOIN cent0 c" not in cent2
+
+
+def test_ivf_lloyd_step_empty_cell_keeps_previous_centroid(spark):
+    """Pin the Spark-side semantics the oracle must mirror: a cell with no
+    assigned vectors keeps the centroid it ENTERED the iteration with."""
+    import pandas as pd
+
+    from talkinghead_datapipeline_spark.queries.similarity import _ivf_lloyd_step
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1],
+                "label": ["a", "a"],
+                "embedding": [[1.0, 0.2], [1.0, -0.2]],
+            }
+        )
+    )
+    cent = spark.createDataFrame(
+        pd.DataFrame({"cents": [[[1.0, 0.0], [0.25, 0.75]]]})
+    )
+    [row] = _ivf_lloyd_step(emb, cent).collect()
+    got = [list(c) for c in row["cents"]]
+    # cell 1 re-centers to the member mean; empty cell 2 keeps (0.25, 0.75) —
+    # the PREVIOUS iteration's centroid, not any seed.
+    assert got == [[1.0, 0.0], [0.25, 0.75]]

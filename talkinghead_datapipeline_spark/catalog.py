@@ -42,8 +42,17 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       then ``timestamp_micros`` (a double division would lose precision on
       int64 epoch-nanos);
     - parquet ``timestamp[us]`` with isAdjustedToUTC=false → TimestampNTZType
-      → ``cast("timestamp")``, interpreted in the session timezone which we
-      pin to UTC so ``unix_micros(ts)`` equals DuckDB ``epoch_us(ts)``;
+      → the naive-UTC wall clock becomes an instant WITHOUT touching the
+      session timezone (ADVICE r4: mutating ``spark.sql.session.timeZone``
+      inside a table loader changed timestamp semantics for every later
+      query in an externally-created session). Epoch micros are rebuilt
+      arithmetically from the NTZ wall-clock fields — ``CAST(ts AS DATE)``
+      and ``date_part`` on an NTZ value never consult a timezone, so the
+      conversion is exact under ANY session zone. (A
+      ``convert_timezone('UTC', current_timezone(), …)`` round-trip is NOT:
+      instants landing in a DST fall-back hour collapse to the wrong
+      offset — pinned by tests/test_catalog_ts.py.) ``date_part('SECOND')``
+      is DECIMAL(8,6), so the ×1e6 keeps fractional micros exactly;
     - TimestampType → passthrough.
     """
     from pyspark.sql import functions as F
@@ -55,10 +64,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, LongType):
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if isinstance(dt, TimestampNTZType):
-        # The NTZ wall clock is naive-UTC in the fixture; pin the session tz
-        # so externally-created sessions (the driver's) cast it losslessly.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros("
+                "  CAST(unix_date(CAST(ts AS DATE)) AS BIGINT) * 86400000000"
+                "  + (CAST(date_part('HOUR', ts) AS BIGINT) * 3600"
+                "     + CAST(date_part('MINUTE', ts) AS BIGINT) * 60) * 1000000"
+                "  + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT))"
+            ),
+        )
     return df
 
 

@@ -211,6 +211,60 @@ class FlameLbsDecoder:
         coefs = np.einsum("f,fck->ck", b, self.shapedirs[corner_verts])
         return base, coefs
 
+    def posed_landmark_affine(
+        self, lmk: int, pose: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Landmark ``lmk`` at a FIXED pose as an affine map of betas.
+
+        For fixed pose the rotations (Rodrigues, kinematic chain) are
+        constants and every remaining stage — blend shapes, joint
+        regression, the A_j translation corrections, skinning, barycentric
+        mix — is linear in the betas, so the whole pipeline reduces to
+        landmark[c] = base[c] + coefs[c] · betas exactly. Computed by
+        pushing an affine value representation (trailing axis = [const,
+        coef_0..coef_nb-1]) through the same steps ``decode_batch`` runs,
+        which value-checks Rodrigues + kinematics + skinning at a nonzero
+        pose (the rest-pose oracle of flame_decode_landmarks cannot see
+        them: every A_j is the identity there)."""
+        nb = self.n_shape + self.n_exp
+        V, J = self.template.shape[0], self.N_JOINTS
+
+        # v_shaped: (V, 3, 1+nb) affine
+        v_shaped = np.zeros((V, 3, 1 + nb))
+        v_shaped[..., 0] = self.template
+        v_shaped[..., 1:] = self.shapedirs
+        joints = np.einsum("jv,vck->jck", self.j_regressor, v_shaped)  # (J,3,1+nb)
+
+        full_pose = np.zeros((J, 3))
+        full_pose[0] = np.asarray(pose, dtype=np.float64)[:3]
+        full_pose[2] = np.asarray(pose, dtype=np.float64)[3:6]
+        R = self._rodrigues(full_pose)  # (J,3,3) constants
+        pose_feature = (R[1:] - np.eye(3)[None]).reshape(1, -1)
+        v_posed = v_shaped.copy()
+        v_posed[..., 0] += (pose_feature @ self.posedirs).reshape(V, 3)
+
+        # Kinematic chain on (R const, t affine) rigid transforms.
+        rel = joints.copy()
+        rel[1:] -= joints[list(self.PARENTS[1:])]
+        world_R = [R[0]]
+        world_t = [rel[0]]  # (3, 1+nb)
+        for j in range(1, J):
+            p = self.PARENTS[j]
+            world_R.append(world_R[p] @ R[j])
+            world_t.append(np.einsum("xy,yk->xk", world_R[p], rel[j]) + world_t[p])
+        A_R = np.stack(world_R)  # (J,3,3)
+        A_t = np.stack(world_t)  # (J,3,1+nb)
+        A_t = A_t - np.einsum("jxy,jyk->jxk", A_R, joints)
+
+        T_R = np.einsum("vj,jxy->vxy", self.lbs_weights, A_R)  # (V,3,3)
+        T_t = np.einsum("vj,jxk->vxk", self.lbs_weights, A_t)  # (V,3,1+nb)
+        verts = np.einsum("vxy,vyk->vxk", T_R, v_posed) + T_t
+
+        corner_verts = self.faces[self.lmk_faces_idx[lmk]]
+        b = self.lmk_bary[lmk]
+        lmk_aff = np.einsum("f,fck->ck", b, verts[corner_verts])  # (3, 1+nb)
+        return lmk_aff[:, 0], lmk_aff[:, 1:]
+
 
 # Backwards-compatible alias: the honest-linear miniature grew into the
 # full LBS implementation; the old name remains the registry vocabulary.

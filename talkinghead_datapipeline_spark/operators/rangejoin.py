@@ -45,28 +45,43 @@ def point_in_interval_join(
     keys = list(keys or [])
     w_us = int(bin_width_sec) * 1_000_000
 
+    # Alias both sides: points and intervals often derive from the SAME
+    # scan (self-join), and pt[k] == iv[k] on shared attribute ids makes
+    # Column log a 'trivially true equals predicate' warning per key.
     pt = points.withColumn(
         "_bin", F.expr(f"unix_micros({point_ts}) div {w_us}")
-    )
+    ).alias("_pt")
     # Guard degenerate/corrupt intervals BEFORE the explode: F.sequence on a
     # reversed range (end <= start) yields a DESCENDING sequence, so one bad
     # row would explode into arbitrarily many bin rows. Such intervals can
     # match no point under `start <= ts < end` anyway, so dropping them is
     # semantics-preserving.
-    iv = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"unix_micros({start_ts}) div {w_us}"),
-                # end is exclusive: the last covered bin holds end - 1µs
-                F.expr(f"(unix_micros({end_ts}) - 1) div {w_us}"),
-            )
-        ),
+    iv = (
+        intervals.filter(F.col(end_ts) > F.col(start_ts))
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_ts}) div {w_us}"),
+                    # end is exclusive: the last covered bin holds end - 1µs
+                    F.expr(f"(unix_micros({end_ts}) - 1) div {w_us}"),
+                )
+            ),
+        )
+        .alias("_iv")
     )
-    cond = [pt["_bin"] == iv["_bin"], *[pt[k] == iv[k] for k in keys]]
-    exact = (pt[point_ts] >= iv[start_ts]) & (pt[point_ts] < iv[end_ts])
+    cond = [
+        F.col("_pt._bin") == F.col("_iv._bin"),
+        *[F.col(f"_pt.{k}") == F.col(f"_iv.{k}") for k in keys],
+    ]
+    exact = (F.col(f"_pt.{point_ts}") >= F.col(f"_iv.{start_ts}")) & (
+        F.col(f"_pt.{point_ts}") < F.col(f"_iv.{end_ts}")
+    )
     joined = pt.join(iv, [*cond, exact])
-    drop = [iv[k] for k in keys] + [pt["_bin"], iv["_bin"]]
+    drop = [F.col(f"_iv.{k}") for k in keys] + [
+        F.col("_pt._bin"),
+        F.col("_iv._bin"),
+    ]
     for c in drop:
         joined = joined.drop(c)
     return joined

@@ -90,10 +90,16 @@ def resample_linear(
         dx.alias("_dx"),
     ).filter(F.col("_y1").isNotNull())
 
+    # Aliased sides: tgt and segs both descend from the same scan, and
+    # tgt[key] == segs[key] on a shared attribute id logs a 'trivially
+    # true equals predicate' warning.
+    tgt = tgt.alias("_tgt")
+    segs = segs.alias("_segs")
     joined = tgt.join(
         segs,
-        (tgt[key] == segs[key]) & (tgt["_seg"] == segs["_seg_idx"]),
-    ).drop(segs[key])
+        (F.col(f"_tgt.{key}") == F.col(f"_segs.{key}"))
+        & (F.col("_tgt._seg") == F.col("_segs._seg_idx")),
+    ).drop(F.col(f"_segs.{key}"))
     frac = (F.col("_xhat") - F.col("_x0")) / F.col("_dx")
     return joined.select(
         key,

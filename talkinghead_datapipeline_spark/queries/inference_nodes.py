@@ -7,13 +7,15 @@ error-channel quarantine — with the deterministic stand-in models from
 operators.models (GPU weights are out of scope for the oracle harness;
 the real model drops in by swapping the factory).
 
-Even with seeded numpy bases, most stub outputs are value-checked: the
-wav2vec and FLAME oracles embed the basis-derived constants as SQL
-literals and recompute the features analytically, so the mapInPandas path
-is compared end-to-end. Only the render query stays rows-only (md5 over
-raw float bytes is not SQL-expressible). The SQL-native halves of these
-nodes (volume envelope S9, code split N14, resample S7, blinks S5) have
-separate oracle-matched queries.
+Even with seeded numpy bases, every stub output is value-checked: the
+wav2vec and FLAME oracles embed basis-derived constants as SQL literals
+and recompute the features analytically, and the render pipeline's oracle
+recomputes a fixed-pose landmark from the affine-in-betas closed form —
+so the mapInPandas path is compared end-to-end on all three. The raw
+frame bytes (md5 over float bytes, not SQL-expressible) are pinned by
+unit tests instead. The SQL-native halves of these nodes (volume envelope
+S9, code split N14, resample S7, blinks S5) have separate oracle-matched
+queries.
 """
 
 from __future__ import annotations
@@ -200,12 +202,64 @@ def flame_decode_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("error").isNull()).drop("error")
 
 
-@register("flame_render_pipeline", oracle=None, tags=("inference", "N16", "N17", "udf"))
+# Fixed probe pose for the oracle-checked posed-landmark column: nonzero
+# global AND jaw rotation so Rodrigues, the kinematic chain, and the pose
+# correctives all run off the identity path.
+_PROBE_POSE = (0.3, -0.2, 0.1, 0.25, -0.15, 0.05)
+
+
+def _flame_render_oracle() -> str:
+    # At a FIXED pose the LBS pipeline is affine in the betas (rotations are
+    # constants) — posed_landmark_affine pushes an affine representation
+    # through the exact decode_batch steps, so these literals value-check
+    # Rodrigues + kinematics + skinning at a nonzero pose, which the
+    # rest-pose oracle of flame_decode_landmarks cannot see. n_bytes pins
+    # the render sink contract (16·16 payload); cam_norm checks the cam
+    # metadata path.
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
+
+    m = FlameLbsDecoder()
+    base, coefs = m.posed_landmark_affine(0, np.asarray(_PROBE_POSE))
+
+    def comp(c: int) -> str:
+        terms = [repr(float(base[c]))]
+        terms += [
+            f"({float(coefs[c, k])!r} * CAST(embedding[{k + 1}] AS DOUBLE))"
+            for k in range(coefs.shape[1])
+        ]
+        return " + ".join(terms)
+
+    cam_sq = " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
+        for i in (23, 24, 25)
+    )
+    return f"""
+    SELECT vec_id,
+           CAST(256 AS BIGINT) AS n_bytes,
+           round(sqrt({cam_sq}), 6) AS cam_norm,
+           round({comp(0)}, 6) AS posed_lmk_x,
+           round({comp(1)}, 6) AS posed_lmk_y
+    FROM embeddings
+    """
+
+
+@register(
+    "flame_render_pipeline",
+    oracle=_flame_render_oracle(),
+    tags=("inference", "N16", "N17", "udf"),
+)
 def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N16→N17 fused: decode codes to a mesh and render it to binary frames
-    inside ONE mapInPandas stage — the operator fusion the reference gets
-    only by materializing crops to disk between nodes (SURVEY §2.b N15).
-    Output is the render sink contract: binary payload + typed metadata."""
+    """N16→N17 fused: decode codes to a mesh (per-row pose from the
+    embedding) and render it to binary frames inside ONE mapInPandas stage —
+    the operator fusion the reference gets only by materializing crops to
+    disk between nodes (SURVEY §2.b N15). The oracled projection
+    (VERDICT r4 #5): render payload size (sink contract), cam-metadata norm,
+    and a landmark decoded at the fixed _PROBE_POSE whose affine-in-betas
+    closed form the DuckDB oracle recomputes — value-checking the
+    Rodrigues/kinematic-chain/skinning path end-to-end. The raw frame bytes
+    (md5-tiled, not SQL-expressible) stay pinned by unit tests."""
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -217,33 +271,37 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def infer(models, pdf: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         import numpy as np
 
         flame, renderer = models
+        probe = np.asarray(_PROBE_POSE, dtype=np.float64)
         rows = []
         for vec_id, sh, ex, po, cam in zip(
             pdf["vec_id"], pdf["shape_code"], pdf["exp_code"],
             pdf["pose_code"], pdf["cam_code"],
         ):
-            # nonzero global+jaw pose: the Rodrigues/kinematic-chain path
-            # runs for real here (rest pose covers the oracle-checked query)
-            verts, _ = flame.decode(
-                np.asarray(sh, dtype=np.float64),
-                np.asarray(ex, dtype=np.float64),
-                np.asarray(po, dtype=np.float64),
-            )
-            frame = renderer.render(verts, np.asarray(cam, dtype=np.float64))
+            sh = np.asarray(sh, dtype=np.float64)
+            ex = np.asarray(ex, dtype=np.float64)
+            # per-row pose drives the rendered frame (the real N15/N17 shape)
+            verts, _ = flame.decode(sh, ex, np.asarray(po, dtype=np.float64))
+            cam = np.asarray(cam, dtype=np.float64)
+            frame = renderer.render(verts, cam)
+            # fixed probe pose drives the oracle-checked landmark
+            _, probe_lmks = flame.decode(sh, ex, probe)
             rows.append(
                 {
                     "vec_id": vec_id,
                     "n_bytes": len(frame),
-                    "frame_digest": hashlib.md5(frame).hexdigest(),
+                    "cam_norm": round(float(np.linalg.norm(cam)), 6),
+                    "posed_lmk_x": round(float(probe_lmks[0, 0]), 6),
+                    "posed_lmk_y": round(float(probe_lmks[0, 1]), 6),
                     "error": None,
                 }
             )
-        return pd.DataFrame(rows, columns=["vec_id", "n_bytes", "frame_digest", "error"])
+        return pd.DataFrame(
+            rows,
+            columns=["vec_id", "n_bytes", "cam_norm", "posed_lmk_x", "posed_lmk_y", "error"],
+        )
 
     def factory():
         from talkinghead_datapipeline_spark.operators.models import (
@@ -255,7 +313,10 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = batched_inference(
         emb,
-        output_schema="vec_id bigint, n_bytes bigint, frame_digest string, error string",
+        output_schema=(
+            "vec_id bigint, n_bytes bigint, cam_norm double, "
+            "posed_lmk_x double, posed_lmk_y double, error string"
+        ),
         model_key="flame_render_stub",
         model_factory=factory,
         batch_fn=infer,

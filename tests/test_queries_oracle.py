@@ -24,12 +24,14 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert result.ok, str(result)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_query_runs(spark, sf_dir, name):
-    spec = _SPECS[name]
-    df = spec.spark(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without an oracle (currently none — 107/107 are oracled)
+    still get a rows-and-schema smoke; a plain loop so an empty list is a
+    trivial pass, not a parametrize skip."""
+    for name in _ROWS_ONLY:
+        df = _SPECS[name].spark(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):

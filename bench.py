@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect) so the measured time is plan execution, not transfer.
+
+``--reps N`` (or $SPARK_GRAFT_BENCH_REPS) times each query N times after
+the warm-up and reports the per-query MEDIAN — the controlled-conditions
+mode VERDICT r4 #4 prescribes for separating plan regressions from
+environment noise. When any query fails, ``value`` is null and
+``n_failed`` is set: a partial total is NOT comparable across rounds and
+must never read as a speed-up (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -73,7 +81,19 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _reps_from_args() -> int:
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--reps" and i + 1 < len(argv):
+            reps = int(argv[i + 1])
+        elif a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+    return max(1, reps)
+
+
 def main() -> None:
+    reps = _reps_from_args()
     spark = get_spark(app_name="bench")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
@@ -90,25 +110,33 @@ def main() -> None:
             # Steady-state measurement: one untimed warm-up run absorbs
             # whole-stage-codegen compilation and parquet footer/file-index
             # caching (one-time costs amortized to ~0 over a real workload),
-            # then the timed run measures plan execution.
+            # then the timed run(s) measure plan execution (median of
+            # ``reps`` to shed scheduler/GC noise).
             run(name)
-            t0 = time.perf_counter()
-            run(name)
-            timings[name] = round(time.perf_counter() - t0, 4)
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run(name)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total_sec",
-        "value": total,
+        # A total over a PARTIAL query set is not comparable across rounds
+        # (a missing query reads as a speed-up): null it when anything
+        # failed — per-query rows still carry the usable signal.
+        "value": round(sum(timings.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "reps": reps,
     }
     if errors:
         result["errors"] = errors
+        result["n_failed"] = len(errors)
     print(json.dumps(result))
     spark.stop()
 

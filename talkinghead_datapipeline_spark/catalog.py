@@ -80,14 +80,43 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one catalog table; ``events.ts`` is normalized
     to TimestampType whatever the parquet footer says (see
-    :func:`normalize_events_ts`)."""
+    :func:`normalize_events_ts`).
+
+    NTZ fast path: when the footer says ``timestamp[us]`` NTZ, re-open the
+    scan with the SAME schema except ``ts`` forced to TimestampType — the
+    vectorized reader then decodes the stored micros directly as instant
+    micros (naive-UTC semantics, independent of the session timezone, no
+    zone math anywhere). This costs one driver-side footer read and keeps
+    the per-row cost at zero, where the expression-based rewrite measurably
+    dragged every events window query (bench r5: s9_tumbling_volume 3.5×);
+    it also keeps ts filters eligible for parquet pushdown, which any
+    wrapping expression forfeits.
+    """
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
     if name == "events":
         # Runtime-set so externally-created sessions (the driver's) can read
         # a nanos-typed fixture too — harmless when the footer stores micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     if name == "events":
-        df = normalize_events_ts(df)
+        if "ts" in df.columns and isinstance(
+            df.schema["ts"].dataType, TimestampNTZType
+        ):
+            forced = StructType(
+                [
+                    StructField(
+                        f.name,
+                        TimestampType() if f.name == "ts" else f.dataType,
+                        f.nullable,
+                    )
+                    for f in df.schema.fields
+                ]
+            )
+            df = spark.read.schema(forced).parquet(path)
+        else:
+            df = normalize_events_ts(df)
     return df
 
 

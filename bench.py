@@ -73,6 +73,10 @@ HEADLINE = (
     "emb_label_centroids",
     "variant_props_extract",
     "skew_salted_join_revenue",
+    # round-5 additions (earlier keys unchanged for comparability)
+    "ngram_jaccard_exact_pairs",
+    "sim_ivf_trained_topk",
+    "flame_render_pipeline",
 )
 
 

@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = (
     "stratified_sample_scale_path",
     "class_balanced_scale_path",
     "flame_render_pipeline",
+    # --- new in round 5 ---
+    "ngram_jaccard_exact_pairs",  # prefix-filtered exact listing (ADVICE r4)
     # --- round-4 canaries (5) ---
     "corpus_clean_pipeline",
     "ngram_jaccard_near_dups",
@@ -101,7 +103,8 @@ _DRIVER_PRIORITY = (
     "n12_emoca_bbox_pipeline",
     "s6_sliding_mean",
     "s8_savgol_fir",
-    "s8_savgol_exact_w7",
+    # (s8_savgol_exact_w7 rotates next round — savgol already holds two
+    # seats via the s8_savgol_exact canary and s8_savgol_fir)
     "s9_tumbling_volume",
     "s9_tumbling_hourly",
     "running_sum_per_user",

@@ -318,7 +318,7 @@ _NGRAM_ORACLE = f"""
 """
 
 
-@register("ngram_jaccard_near_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "join"))
+@register("ngram_jaccard_near_dups", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "join", "lsh-recall"))
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram Jaccard ≥ 0.8 within (lang, n_chars/25) blocks, with a
     MinHash-band PREFILTER composed ahead of the exact verify (VERDICT r3
@@ -334,7 +334,13 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines define the same (LSH-recall) result set. Mega-buckets: a
     duplicate cluster shares every band, but exact duplicates are
     collapsed by the corpus-clean pre-pass (dedup_edge_graph composes
-    exact_dedup first); AQE skew-join splits any residual hot band key."""
+    exact_dedup first); AQE skew-join splits any residual hot band key.
+
+    RECALL (ADVICE r4): this is an LSH-recall listing — a qualifying pair
+    becomes a candidate with P = 1 − (1 − j⁴)² (2 bands of 4), ≈ 65% at
+    the registered j = 0.8 threshold and → 1 as j → 1 (exact duplicates
+    always collide). Consumers needing every qualifying pair use
+    ``ngram_jaccard_exact_pairs`` (prefix-filtered, 100% recall)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = rebalance_for_compute(docs).select(
         "doc_id",
@@ -410,6 +416,125 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pair listing via prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+_NGRAM_EXACT_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
+             list_sort(list_transform(
+               list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                             i -> substr(lower(text), i, 3))),
+               s -> {_HASH32_SQL.format(x='s')})) AS grams
+      FROM documents WHERE length(text) >= 3
+    ),
+    scored AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+@register(
+    "ngram_jaccard_exact_pairs",
+    oracle=_NGRAM_EXACT_ORACLE,
+    tags=("dedup", "ngram", "join", "exact", "prefix-filter"),
+)
+def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT char-trigram Jaccard ≥ 0.8 pair listing (100% recall) — the
+    precision tier ADVICE r4 asked to keep registered alongside the
+    LSH-recall ``ngram_jaccard_near_dups``.
+
+    Scale shape is PREFIX FILTERING (Bayardo et al. "Scaling Up All Pairs
+    Similarity Search", WWW'07; the AllPairs/PPJoin family): sort each
+    doc's hashed-gram set under a global total order and index only its
+    first ``|g| − ⌈t·|g|⌉ + 1`` grams — if jaccard(A,B) ≥ t, the MINIMUM
+    common gram provably lies in both prefixes, so an equi-join on
+    (lang, blk, prefix-gram) finds every qualifying pair while indexing
+    ~1−t of each doc's grams. A length-ratio predicate
+    (min·1 ≥ t·max — necessary for jaccard ≥ t) prunes cross-size
+    candidates before the verify, and each pair is emitted exactly once
+    by keeping only the join gram equal to that minimum common gram — no
+    DISTINCT shuffle. Unlike the quadratic block grid VERDICT r3 removed,
+    candidates scale with shared-prefix-gram frequency, not block².
+    (Production upgrade, not needed at fixture scale: order grams by
+    global frequency, rarest first, to shrink hot prefix-gram buckets;
+    any total order keeps exactness, so value order is used here and the
+    oracle mirrors it with a naive exact blocked self-join.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    g = (
+        rebalance_for_compute(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
+            F.array_sort(
+                F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
+            ).alias("grams"),
+        )
+        .filter(F.size("grams") >= 1)
+        .withColumn(
+            "_plen",
+            F.size("grams") - F.ceil(F.size("grams") * F.lit(0.8)).cast("int") + 1,
+        )
+    )
+    pref = g.select(
+        "doc_id",
+        "lang",
+        "blk",
+        "grams",
+        F.size("grams").alias("_sz"),
+        F.explode(F.expr("slice(grams, 1, _plen)")).alias("_gram"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("lang").alias("_lang_a"),
+        F.col("blk").alias("_blk_a"),
+        F.col("grams").alias("_ga"),
+        F.col("_sz").alias("_sz_a"),
+        F.col("_gram").alias("_gram_a"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("lang").alias("_lang_b"),
+        F.col("blk").alias("_blk_b"),
+        F.col("grams").alias("_gb"),
+        F.col("_sz").alias("_sz_b"),
+        F.col("_gram").alias("_gram_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_lang_a") == F.col("_lang_b"))
+            & (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("_gram_a") == F.col("_gram_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            # jaccard >= t ⇒ |A∩B| ≥ t·|A∪B| ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+            & (
+                F.least("_sz_a", "_sz_b").cast("double")
+                >= 0.8 * F.greatest("_sz_a", "_sz_b")
+            ),
+        )
+        # one emission per pair: only at the minimum common gram (which the
+        # prefix-filter theorem guarantees sits in both prefixes)
+        .filter(
+            F.col("_gram_a")
+            == F.array_min(F.array_intersect(F.col("_ga"), F.col("_gb")))
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.round(D.jaccard(F.col("_ga"), F.col("_gb")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (blocked exact baseline)
 # ---------------------------------------------------------------------------
 
@@ -461,7 +586,7 @@ _EMB_NEAR_DUP_ORACLE = f"""
 """
 
 
-@register("emb_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity", "join"))
+@register("emb_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity", "join", "lsh-recall"))
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks, prefiltered by
     random-hyperplane LSH band agreement (VERDICT r3 #7). Each vector gets
@@ -473,7 +598,17 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at band 0 (band-0 value equality check — no DISTINCT shuffle); the
     oracle mirrors the banding with SELECT DISTINCT. Exact cosine ≥ 0.4
     verifies candidates; sign bits are deterministic across engines
-    because the dot products fold sequentially in DOUBLE on both."""
+    because the dot products fold sequentially in DOUBLE on both.
+
+    RECALL (ADVICE r4): LSH-recall listing — per hyperplane a pair at
+    angle θ agrees with P = 1 − θ/π, so with 2 bands of 2 bits a pair at
+    the cos = 0.4 (θ ≈ 66°) threshold is a candidate with
+    P = 1 − (1 − (1 − θ/π)²)² ≈ 63%, rising steeply toward 1 for tighter
+    near-dups (≈ 87% at cos 0.8, 100% for exact duplicates). Dense
+    vectors admit no prefix-filter trick, so the exact tier here is the
+    brute per-label pair join (O(label²) — use only where labels are
+    small); scale consumers treat this listing as the recall-documented
+    standard, per the registry tag ``lsh-recall``."""
     from talkinghead_datapipeline_spark.queries.similarity import (
         _anchors,
         _dot,

@@ -404,3 +404,79 @@ def test_ivf_lloyd_step_empty_cell_keeps_previous_centroid(spark):
     # cell 1 re-centers to the member mean; empty cell 2 keeps (0.25, 0.75) —
     # the PREVIOUS iteration's centroid, not any seed.
     assert got == [[1.0, 0.0], [0.25, 0.75]]
+
+
+def test_ngram_exact_pairs_prefix_filter_is_exact(spark):
+    """Prefix filtering must lose NOTHING: on a fuzzed corpus the
+    prefix-join listing equals the naive all-pairs-in-block listing, and
+    each qualifying pair is emitted exactly once (no DISTINCT in the
+    plan to hide duplicates)."""
+    import itertools
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.queries import all_queries
+
+    rng = __import__("numpy").random.default_rng(5)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur"]
+    texts = []
+    base = " ".join(rng.choice(words, size=12))
+    for i in range(30):
+        # clusters of near-identical texts + singletons
+        if i % 3 == 0:
+            texts.append(base + f" tail{i % 2}")
+        else:
+            texts.append(" ".join(rng.choice(words, size=10)) + f" unique {i}")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        got_df = all_queries()["ngram_jaccard_exact_pairs"].spark(spark, d)
+        rows = got_df.collect()
+        got = {(r["key_a"], r["key_b"]): r["jaccard"] for r in rows}
+        assert len(rows) == len(got), "pair emitted more than once"
+
+    # naive reference in python
+    def grams(t):
+        low = t.lower()
+        return {low[i : i + 3] for i in range(len(low) - 2)}
+
+    want = {}
+    blk = {i: len(t) // 25 for i, t in enumerate(texts)}
+    for a_i, b_i in itertools.combinations(range(len(texts)), 2):
+        if blk[a_i] != blk[b_i]:
+            continue
+        ga, gb = grams(texts[a_i]), grams(texts[b_i])
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if round(j, 6) >= 0.8:
+            want[(a_i, b_i)] = round(j, 6)
+    assert got == want
+
+
+def test_ngram_exact_pairs_superset_of_lsh(spark, sf_dir):
+    """The exact listing must contain every pair the LSH-recall listing
+    emits (banding only loses pairs, never invents them)."""
+    from talkinghead_datapipeline_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["key_a"], r["key_b"])
+        for r in qs["ngram_jaccard_exact_pairs"].spark(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["key_a"], r["key_b"])
+        for r in qs["ngram_jaccard_near_dups"].spark(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) >= len(lsh)

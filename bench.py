@@ -77,6 +77,8 @@ HEADLINE = (
     "ngram_jaccard_exact_pairs",
     "sim_ivf_trained_topk",
     "flame_render_pipeline",
+    "paragraph_dedup_stats",
+    "gopher_repetition_signals",
 )
 
 

@@ -70,6 +70,9 @@ _DRIVER_PRIORITY = (
     "flame_render_pipeline",
     # --- new in round 5 ---
     "ngram_jaccard_exact_pairs",  # prefix-filtered exact listing (ADVICE r4)
+    "paragraph_dedup_stats",  # RefinedWeb/Dolma paragraph-grain dedup
+    "gopher_repetition_signals",  # Gopher repetition quality filters
+    "pii_redact_stats",  # FineWeb-style anonymization pass
     # --- round-4 canaries (5) ---
     "corpus_clean_pipeline",
     "ngram_jaccard_near_dups",
@@ -110,9 +113,9 @@ _DRIVER_PRIORITY = (
     "running_sum_per_user",
     "lag_delta_per_user",
     "n23_window_mean_edgepad",
-    "rollup_nation_revenue",
-    "cube_flag_status",
-    "grouping_sets_order_stats",
+    # (rollup_nation_revenue / cube_flag_status / grouping_sets_order_stats
+    # rotate next round — their seats went to the three new round-5
+    # text-cleaning operators, which have no driver evidence yet)
 )
 
 

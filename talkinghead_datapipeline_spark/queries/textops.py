@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
 from talkinghead_datapipeline_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -313,4 +313,278 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias("med_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level cross-document dedup (RefinedWeb/Dolma line-and-paragraph
+# dedup: Penedo et al. 2023 §4.2, Soldaini et al. 2024) — the unit of
+# duplication is the paragraph, so boilerplate shared across documents is
+# removed without discarding whole docs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paragraph_dedup_stats",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, len(parts))) AS BIGINT) AS para_idx,
+             unnest(parts) AS para
+      FROM (SELECT doc_id, string_split_regex(text, '\n+') AS parts
+            FROM documents)
+    ),
+    r AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY md5(trim(lower(para)))
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY para_idx), '') AS text_dedup
+    FROM r GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "paragraph"),
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup, keep-first-occurrence: split each doc
+    on newline runs, keep a paragraph only where its normalized (lower,
+    trim) digest first appears corpus-wide — ordered by (doc_id, para_idx)
+    — and reassemble the surviving paragraphs in document order. Returns
+    per-doc paragraph counts and the deduplicated text.
+
+    Scale shape: posexplode (map-side), ONE shuffle on the paragraph
+    digest (row_number window over a uniform md5 key — no skew), one
+    groupBy doc_id to reassemble. The digest window is exactly the
+    dedup_exact_keep_first shape one level below document grain; at 100 TB
+    the paragraph table is the big side and both shuffles key uniformly."""
+    docs = load_table(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\n+")).alias("para_idx", "para"),
+    ).withColumn("para_idx", F.col("para_idx").cast("bigint"))
+    w = W.partitionBy(F.md5(F.trim(F.lower(F.col("para"))))).orderBy(
+        "doc_id", "para_idx"
+    )
+    flagged = paras.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dup_paras"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("para_idx", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 repetition filters; reused by FineWeb).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_repetition_signals",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+             string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gram
+        FROM base
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                           || ' ' || toks[CAST(i AS INT) + 2])) AS gram
+        FROM base
+      ) GROUP BY doc_id, n, gram
+    ),
+    top2 AS (
+      SELECT doc_id, gram AS top_bigram, cnt AS top_cnt
+      FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram ASC) AS rk
+        FROM grams WHERE n = 2
+      ) WHERE rk = 1
+    ),
+    dup3 AS (
+      SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS dup_chars
+      FROM grams WHERE n = 3 AND cnt >= 2 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(t.top_bigram, '') AS top_bigram,
+           round(coalesce(CAST(t.top_cnt * length(t.top_bigram) AS DOUBLE), 0.0)
+                 / b.n_chars_actual, 6) AS top_bigram_char_frac,
+           round(coalesce(CAST(d.dup_chars AS DOUBLE), 0.0)
+                 / b.n_chars_actual, 6) AS dup_trigram_char_frac
+    FROM base b
+    LEFT JOIN top2 t ON b.doc_id = t.doc_id
+    LEFT JOIN dup3 d ON b.doc_id = d.doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals in the Gopher family:
+    fraction of characters attributable to the single most frequent word
+    bigram (ties break to the lexicographically smallest bigram), and
+    fraction attributable to all occurrences of word trigrams that occur
+    more than once (the simplified occurrences×length variant of Gopher's
+    duplicate-n-gram character fraction — documented divergence: Gopher
+    counts each character position once even under overlapping coverage).
+
+    Scale shape: one explode of (n, gram) pairs, partial-aggregated
+    map-side into a (doc_id, n, gram) count shuffle, then two tiny
+    per-doc reductions joined back to the doc spine — gram counting is
+    the wordcount shape, uniform at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = rebalance_for_compute(docs).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+    )
+
+    def ngrams(n: int):
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    exploded = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(ngrams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                    F.transform(ngrams(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    grams = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # highest count, ties to smallest gram: min of struct(-cnt, gram)
+    top2 = (
+        grams.filter(F.col("n") == 2)
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("gram"), F.col("cnt")
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.gram").alias("top_bigram"),
+            F.col("m.cnt").alias("top_cnt"),
+        )
+    )
+    dup3 = (
+        grams.filter((F.col("n") == 3) & (F.col("cnt") >= 2))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).cast("bigint").alias("dup_chars"))
+    )
+    return (
+        base.select("doc_id", "n_chars_actual")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(
+                    (F.col("top_cnt") * F.length("top_bigram")).cast("double"),
+                    F.lit(0.0),
+                )
+                / F.col("n_chars_actual"),
+                6,
+            ).alias("top_bigram_char_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars").cast("double"), F.lit(0.0))
+                / F.col("n_chars_actual"),
+                6,
+            ).alias("dup_trigram_char_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (the FineWeb/Dolma anonymization pass: emails,
+# simple phone shapes, IPv4 — conservative patterns chosen to match
+# byte-for-byte across regex engines).
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redact_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '|||EMAIL|||', 'g'),
+               '{_PII_PHONE}', '|||PHONE|||', 'g'),
+             '{_PII_IPV4}', '|||IP|||', 'g') AS text_redacted
+    FROM documents
+    """,
+    tags=("text", "pii", "privacy"),
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII anonymization pass: count and redact emails, phone numbers
+    (international +digits or NNN-NNN-NNNN), and IPv4 literals, replacing
+    each with FineWeb-style sentinel tokens. Patterns are alternation- and
+    lookaround-free so Java regex (Spark) and RE2 (DuckDB) match
+    identically; replacement order (email → phone → IP) is part of the
+    contract since sentinels must not be re-matched. Map-only projection —
+    zero shuffles at any scale; the fixture corpus contains no PII, so the
+    cross-engine behavior proof on PII-bearing text lives in
+    tests/test_textops_extra.py (temp-dir differential vs DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "|||EMAIL|||"),
+            _PII_PHONE,
+            "|||PHONE|||",
+        ),
+        _PII_IPV4,
+        "|||IP|||",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
+        redacted.alias("text_redacted"),
     )

@@ -480,3 +480,18 @@ def test_ngram_exact_pairs_superset_of_lsh(spark, sf_dir):
     }
     assert lsh <= exact
     assert len(exact) >= len(lsh)
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    # Anonymization is a pure projection: no Exchange at any scale.
+    plan = _plan(spark, sf_dir, "pii_redact_stats")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_paragraph_dedup_two_uniform_shuffles(spark, sf_dir):
+    # Shape pin: paragraph digest window + doc_id reassembly — exactly two
+    # exchanges, both on uniform keys (md5 digest / doc_id), no join.
+    plan = _plan(spark, sf_dir, "paragraph_dedup_stats")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan

@@ -85,3 +85,36 @@ def test_loader_does_not_mutate_session_timezone(spark, tmp_path):
         assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_normalize_events_ts_ntz_arithmetic_fallback(spark, tmp_path):
+    """The loader's forced-schema fast path bypasses normalize_events_ts
+    for NTZ scans; direct callers still hit its arithmetic branch — pin it
+    against DuckDB epoch_us under a non-UTC session timezone too."""
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.catalog import normalize_events_ts
+
+    path = _write_variant(tmp_path, "micros_ntz")
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT epoch_us(ts) FROM read_parquet('{path}') ORDER BY user_id"
+        ).fetchall()
+    ]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ntz = spark.read.parquet(path)
+        assert ntz.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        out = normalize_events_ts(ntz)
+        assert out.schema["ts"].dataType.typeName() == "timestamp"
+        got = [
+            r["um"]
+            for r in out.select("user_id", F.unix_micros("ts").alias("um"))
+            .orderBy("user_id")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert got == want

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = (
     "paragraph_dedup_stats",  # RefinedWeb/Dolma paragraph-grain dedup
     "gopher_repetition_signals",  # Gopher repetition quality filters
     "pii_redact_stats",  # FineWeb-style anonymization pass
+    "streaming_purchase_view_join",  # watermarked stream-stream join
     # --- round-4 canaries (5) ---
     "corpus_clean_pipeline",
     "ngram_jaccard_near_dups",
@@ -111,7 +112,8 @@ _DRIVER_PRIORITY = (
     "s9_tumbling_volume",
     "s9_tumbling_hourly",
     "running_sum_per_user",
-    "lag_delta_per_user",
+    # (lag_delta_per_user rotates next round — running_sum_per_user holds
+    # the window-lag family seat; its slot went to the stream-stream join)
     "n23_window_mean_edgepad",
     # (rollup_nation_revenue / cube_flag_status / grouping_sets_order_stats
     # rotate next round — their seats went to the three new round-5

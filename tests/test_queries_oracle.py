@@ -25,13 +25,47 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_rows_only_queries_run(spark, sf_dir):
-    """Queries without an oracle (currently none — 107/107 are oracled)
-    still get a rows-and-schema smoke; a plain loop so an empty list is a
-    trivial pass, not a parametrize skip."""
+    """Queries without an oracle (currently none — all registered queries
+    are oracled; see test_all_queries_oracled) still get a rows-and-schema
+    smoke; a plain loop so an empty list is a trivial pass, not a
+    parametrize skip."""
     for name in _ROWS_ONLY:
         df = _SPECS[name].spark(spark, sf_dir)
         assert df.count() >= 0
         assert len(df.schema.fields) > 0
+
+
+def test_all_queries_oracled():
+    """Every registered query carries a DuckDB oracle — the strong driver
+    check. A rows-only registration would silently downgrade the driver's
+    verdict for that key; keep the set empty on purpose."""
+    assert _ROWS_ONLY == [], f"queries without an oracle: {_ROWS_ONLY}"
+
+
+def test_output_schemas_are_scalar_only(spark, sf_dir):
+    """Driver-canonicalizer guard (VERDICT r5 #2): the external comparison
+    harness canonicalizes results with pandas ``sort_values`` over ALL
+    output columns, which raises ``TypeError: unhashable type`` on list or
+    dict cells — so an array/map/struct-typed TOP-LEVEL output column can
+    never be driver-certified (r5's `emb_label_centroids` red row). Complex
+    types are fine as intermediates; final projections must be scalar.
+    Schema comes from the analyzed (lazy) plan — nothing executes here."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders: dict[str, list[str]] = {}
+    for name, spec in _SPECS.items():
+        df = spec.spark(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "array/map/struct top-level output columns break the driver's "
+        f"pandas-sort canonicalizer: {offenders}"
+    )
 
 
 def test_entry_smoke(spark):
@@ -46,7 +80,8 @@ def test_driver_priority_rotation_policy():
     """The driver checks a ~50-entry prefix of the registry each round, and
     the prefix is ROTATED (VERDICT r4 #2): staleness beats family balance.
     Policy pins: (1) every query the driver has never certified leads the
-    window, so cumulative driver coverage reaches 107/107; (2) every family
+    window, so cumulative driver coverage reaches every registered query
+    (len(_SPECS), all oracled); (2) every family
     keeps evidence — either a past driver-green row or a seat in the current
     prefix; (3) the r4 regression canaries stay seated."""
     import json

@@ -289,10 +289,10 @@ _NGRAM_SIG_SQL = ", ".join(
 _NGRAM_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
-             list_transform(
+             list_distinct(list_transform(
                list_distinct(list_transform(range(1, length(lower(text)) - 1),
                              i -> substr(lower(text), i, 3))),
-               s -> {_HASH32_SQL.format(x='s')}) AS grams
+               s -> {_HASH32_SQL.format(x='s')})) AS grams
       FROM documents WHERE length(text) >= 3
     ),
     sigs AS (SELECT doc_id, lang, blk, grams, {_NGRAM_SIG_SQL} FROM g),
@@ -346,7 +346,12 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
-        F.transform(D.char_ngrams(F.col("text")), D.portable_hash32).alias("grams"),
+        # array_distinct after hashing (mirrored in the oracle): D.jaccard's
+        # |a|+|b|−|a∩b| union size assumes distinct elements, which a 32-bit
+        # within-doc hash collision would otherwise break at corpus scale
+        F.array_distinct(
+            F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
+        ).alias("grams"),
     )
     sig = D.minhash_sig_from_hashes(F.col("grams"))
     bands = [
@@ -422,10 +427,10 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_EXACT_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, lang, CAST(n_chars // 25 AS BIGINT) AS blk,
-             list_sort(list_transform(
+             list_sort(list_distinct(list_transform(
                list_distinct(list_transform(range(1, length(lower(text)) - 1),
                              i -> substr(lower(text), i, 3))),
-               s -> {_HASH32_SQL.format(x='s')})) AS grams
+               s -> {_HASH32_SQL.format(x='s')}))) AS grams
       FROM documents WHERE length(text) >= 3
     ),
     scored AS (
@@ -472,10 +477,31 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order is a drop-in (any total order preserves exactness), and the
     oracle — the naive exact blocked self-join — is order-independent.
 
-    Per-candidate cost note: the one-emission check intersects PREFIXES
-    (the theorem guarantees the minimum common gram sits in both), not
-    the full gram arrays — the full-array intersect runs once per pair,
-    inside the Jaccard verify only."""
+    Round 6 restructure (measured 5.8s → 4.1s at sf0.1): the candidate
+    self-join runs on SLIM rows — (doc_id, lang, blk, size, position,
+    gram) scalars only, never the gram arrays. The previous shape carried
+    each doc's full gram array on every exploded prefix row, i.e.
+    O(prefix·|g|) ≈ O(0.2·|g|²) bytes per doc through the join shuffle;
+    slim rows are O(|g|) per doc. Pair dedup (one emission per pair) is a
+    groupBy on (key_a, key_b) — replacing the per-row prefix-intersect
+    check — and the gram arrays re-enter by joining the (persisted) gram
+    frame back on each key for the final Jaccard verify. At 100 TB the
+    persist becomes a materialized gram projection (one pass of md5
+    hashing, spillable); recomputing it per use was measured 17% slower
+    even at sf0.1.
+
+    The PPJoin POSITIONAL filter (Xiao et al. WWW'08) prunes candidate
+    rows before the dedup shuffle (57% of join output at sf0.1): each
+    prefix gram carries its 0-based index in the sorted gram array; at
+    the minimum-common-gram row every common gram sorts ≥ the join gram,
+    so |A∩B| ≤ min(sz_a−pos_a, sz_b−pos_b), while jaccard ≥ t needs
+    |A∩B| ≥ t/(1+t)·(sz_a+sz_b). For a qualifying pair the bound holds
+    (and is loosest) at its minimum-common-gram row, so at least that row
+    always survives into the groupBy — exactness preserved (a 1e-9 slack
+    absorbs FP rounding at the boundary). Hashed grams are re-deduped
+    (``array_distinct`` after the md5 transform, mirrored in the oracle)
+    so the distinct-element precondition of D.jaccard survives 32-bit
+    hash collisions at corpus scale (ADVICE r5)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = (
         rebalance_for_compute(docs)
@@ -484,7 +510,9 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
             F.array_sort(
-                F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
+                F.array_distinct(
+                    F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
+                )
             ).alias("grams"),
         )
         .filter(F.size("grams") >= 1)
@@ -493,35 +521,32 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("grams") - F.ceil(F.size("grams") * F.lit(0.8)).cast("int") + 1,
         )
         .withColumn("_pref", F.expr("slice(grams, 1, _plen)"))
+        .persist()
     )
-    pref = g.select(
+    slim = g.select(
         "doc_id",
         "lang",
         "blk",
-        "grams",
-        "_pref",
         F.size("grams").alias("_sz"),
-        F.explode("_pref").alias("_gram"),
+        F.posexplode("_pref").alias("_pos", "_gram"),
     )
-    a = pref.select(
+    a = slim.select(
         F.col("doc_id").alias("key_a"),
         F.col("lang").alias("_lang_a"),
         F.col("blk").alias("_blk_a"),
-        F.col("grams").alias("_ga"),
-        F.col("_pref").alias("_pref_a"),
         F.col("_sz").alias("_sz_a"),
+        F.col("_pos").alias("_pos_a"),
         F.col("_gram").alias("_gram_a"),
     )
-    b = pref.select(
+    b = slim.select(
         F.col("doc_id").alias("key_b"),
         F.col("lang").alias("_lang_b"),
         F.col("blk").alias("_blk_b"),
-        F.col("grams").alias("_gb"),
-        F.col("_pref").alias("_pref_b"),
         F.col("_sz").alias("_sz_b"),
+        F.col("_pos").alias("_pos_b"),
         F.col("_gram").alias("_gram_b"),
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("_lang_a") == F.col("_lang_b"))
@@ -532,15 +557,28 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least("_sz_a", "_sz_b").cast("double")
                 >= 0.8 * F.greatest("_sz_a", "_sz_b")
+            )
+            # PPJoin positional filter: prune when the positional upper
+            # bound can't reach the t/(1+t)·(sz_a+sz_b) overlap floor
+            & (
+                F.least(
+                    F.col("_sz_a") - F.col("_pos_a"),
+                    F.col("_sz_b") - F.col("_pos_b"),
+                ).cast("double")
+                + 1e-9
+                >= F.lit(0.8 / 1.8) * (F.col("_sz_a") + F.col("_sz_b"))
             ),
         )
-        # one emission per pair: only at the minimum common gram, which the
-        # prefix-filter theorem guarantees lies in BOTH prefixes — so the
-        # cheap prefix intersect suffices (≈(1−t)² of full-array cost)
-        .filter(
-            F.col("_gram_a")
-            == F.array_min(F.array_intersect(F.col("_pref_a"), F.col("_pref_b")))
-        )
+        # one emission per pair: collapse the (few) multi-gram matches on
+        # the pair key — slim rows, so this shuffle moves scalars only
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("_n_common_prefix"))
+    )
+    ga = g.select(F.col("doc_id").alias("key_a"), F.col("grams").alias("_ga"))
+    gb = g.select(F.col("doc_id").alias("key_b"), F.col("grams").alias("_gb"))
+    return (
+        pairs.join(ga, "key_a")
+        .join(gb, "key_b")
         .select(
             "key_a",
             "key_b",

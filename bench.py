@@ -79,6 +79,8 @@ HEADLINE = (
     "flame_render_pipeline",
     "paragraph_dedup_stats",
     "gopher_repetition_signals",
+    # round-6 additions (earlier keys unchanged for comparability)
+    "gopher_dup_trigram_coverage",
 )
 
 

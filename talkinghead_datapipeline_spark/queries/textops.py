@@ -539,6 +539,118 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_dup_trigram_coverage",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+             string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(1, len(toks) - 1)) AS BIGINT) AS i
+      FROM base
+    ),
+    tri AS (
+      SELECT doc_id, i,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               || ' ' || toks[CAST(i AS INT) + 2] AS gram
+      FROM occ
+    ),
+    dupg AS (
+      SELECT doc_id,
+             flatten(list_transform(list(i), s -> [s, s + 1, s + 2])) AS cov
+      FROM tri GROUP BY doc_id, gram HAVING count(*) >= 2
+    ),
+    covdoc AS (
+      SELECT doc_id, list_distinct(flatten(list(cov))) AS cov
+      FROM dupg GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           round(coalesce(CAST(list_sum(list_transform(c.cov,
+                     p -> length(b.toks[CAST(p AS INT)]))) AS DOUBLE), 0.0)
+                 / b.n_chars_actual, 6) AS dup_trigram_char_frac_exact
+    FROM base b LEFT JOIN covdoc c ON b.doc_id = c.doc_id
+    """,
+    tags=("text", "quality", "gopher", "coverage"),
+)
+def gopher_dup_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-ONCE duplicate-trigram character fraction — the exact
+    Gopher semantics (each character position counted once no matter how
+    many duplicated trigrams overlap it), closing the one documented
+    divergence of ``gopher_repetition_signals``' occurrences×length
+    variant (VERDICT r5 #8). A token position is COVERED if any trigram
+    occurring ≥ 2× in the doc spans it; the metric is the summed length
+    of covered tokens over the doc's character count (inter-token
+    whitespace is never attributed — stated, and mirrored in the oracle).
+
+    Scale shape: trigram occurrences explode with their start index —
+    wordcount-shaped (doc_id, gram) shuffle collecting start positions,
+    duplicated grams expand to covered-position arrays (bounded by doc
+    length), one per-doc shuffle unions+dedups them, and the covered
+    char sum is an array fold against the doc's own token array — no
+    per-position join, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = rebalance_for_compute(docs).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    dupg = (
+        tri.groupBy("doc_id", "gram")
+        .agg(F.collect_list("i").alias("starts"))
+        .filter(F.size("starts") >= 2)
+        .select(
+            "doc_id",
+            F.flatten(
+                F.transform("starts", lambda s: F.array(s, s + 1, s + 2))
+            ).alias("cov"),
+        )
+    )
+    covdoc = dupg.groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("cov"))).alias("cov")
+    )
+    return (
+        base.join(covdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.aggregate(
+                        "cov",
+                        F.lit(0).cast("bigint"),
+                        lambda acc, p: acc + F.length(F.element_at("toks", p)),
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+                / F.col("n_chars_actual"),
+                6,
+            ).alias("dup_trigram_char_frac_exact"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection + redaction (the FineWeb/Dolma anonymization pass: emails,
 # simple phone shapes, IPv4 — conservative patterns chosen to match

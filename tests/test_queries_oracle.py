@@ -83,7 +83,8 @@ def test_driver_priority_rotation_policy():
     window, so cumulative driver coverage reaches every registered query
     (len(_SPECS), all oracled); (2) every family
     keeps evidence — either a past driver-green row or a seat in the current
-    prefix; (3) the r4 regression canaries stay seated."""
+    prefix; (3) every query whose code changed in the current round holds a
+    canary seat."""
     import json
     from pathlib import Path
 
@@ -123,8 +124,10 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    canaries = {"corpus_clean_pipeline", "ngram_jaccard_near_dups",
-                "emb_near_dup_pairs", "s8_savgol_exact", "sessionize_users"}
+    # round-6 canaries: every query whose implementation changed this round
+    canaries = {"ngram_jaccard_exact_pairs", "ngram_jaccard_near_dups",
+                "sim_ivf_trained_topk", "streaming_purchase_view_join",
+                "gopher_repetition_signals", "emb_label_centroids"}
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
 
 

@@ -81,6 +81,9 @@ HEADLINE = (
     "gopher_repetition_signals",
     # round-6 additions (earlier keys unchanged for comparability)
     "gopher_dup_trigram_coverage",
+    "sim_pq_adc_topk",
+    "bpe_top_merge_pairs",
+    "gopher_dup_line_signals",
 )
 
 

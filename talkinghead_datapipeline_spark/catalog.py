@@ -120,9 +120,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def rebalance_for_compute(df: DataFrame) -> DataFrame:
-    """Opt-in round-robin rebalance ahead of compute-DENSE per-row work
-    (md5 shingle folds, 32-bit vote folds, pandas-UDF inference).
+def rebalance_for_compute(df: DataFrame, *keys: str) -> DataFrame:
+    """Opt-in rebalance ahead of compute-DENSE per-row work (md5 shingle
+    folds, 32-bit vote folds, pandas-UDF inference).
 
     Single-row-group fixture files are unsplittable: Spark gives the scan
     one task no matter how many cores exist, so a hash fold over the corpus
@@ -136,11 +136,18 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     production scale inputs already arrive as many splits, making this a
     no-op (the guard fails; non-file sources report no files and are left
     untouched).
+
+    With ``keys``, the rebalance HASH-partitions instead of round-robin:
+    when every downstream groupBy/join leads with those keys, the one
+    explicit exchange satisfies their ClusteredDistribution and Catalyst
+    elides every later shuffle — the doc-grain text queries collapse from
+    2-3 exchanges to 1 this way. Skew caveat applies: keys must be
+    high-cardinality (doc_id), never a low-cardinality attribute.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if 0 < len(df.inputFiles()) < cores:
-        return df.repartition(cores)
+        return df.repartition(cores, *keys) if keys else df.repartition(cores)
     return df
 
 

@@ -518,6 +518,144 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into M subvectors, encode
+# each against a per-subspace codebook, and answer queries with asymmetric
+# distance computation (ADC) — query subvector to DB codeword. The memory
+# story at 100 TB: 64 float dims (256 B) compress to M codes (M·log2 K bits
+# = 12 bits here), so the search structure for 10^9 vectors fits in RAM.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (embeddings are 64-dim)
+
+
+def _pq_sub(vec: Column, m: int) -> Column:
+    return F.slice(vec, m * _PQ_DSUB + 1, _PQ_DSUB)
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double precision (the PQ
+    metric; fold order fixed so both engines produce identical floats)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+
+
+def _pq_code(vec: Column, anchors: Column, m: int) -> Column:
+    """1-based index of the nearest codeword in subspace ``m`` (distances
+    rounded to 9 before the argmin so ties resolve identically cross-engine;
+    first-minimum wins on both)."""
+    dists = F.transform(
+        anchors, lambda a: F.round(_dist2(_pq_sub(vec, m), _pq_sub(a, m)), 9)
+    )
+    return F.array_position(dists, F.array_min(dists))
+
+
+_D2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+def _pq_sub_sql(vec: str, m: int) -> str:
+    return f"list_slice({vec}, {m * _PQ_DSUB + 1}, {m * _PQ_DSUB + _PQ_DSUB})"
+
+
+def _pq_code_sql(vec: str, m: int) -> str:
+    d = _D2_SQL.format(
+        a=_pq_sub_sql(vec, m), b=_pq_sub_sql("a", m)
+    )
+    dl = f"list_transform(anchors, a -> round({d}, 9))"
+    return f"list_position({dl}, list_min({dl}))"
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT list(embedding ORDER BY vec_id) AS anchors
+      FROM embeddings WHERE vec_id IN {_IVF_SEEDS}
+    ),
+    enc AS (
+      SELECT vec_id, label,
+             {", ".join(f"{_pq_code_sql('embedding', m)} AS c{m}" for m in range(_PQ_M))}
+      FROM embeddings, cb
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           concat_ws('-', {", ".join(f"CAST(e.c{m} AS VARCHAR)" for m in range(_PQ_M))}) AS pq_code,
+           round({" + ".join(
+               "round(" + _D2_SQL.format(
+                   a=_pq_sub_sql("q.qvec", m),
+                   b=_pq_sub_sql(f"cb.anchors[CAST(e.c{m} AS INT)]", m),
+               ) + ", 9)"
+               for m in range(_PQ_M))}, 6) AS adc_dist
+    FROM enc e, q, cb
+    WHERE e.vec_id <> 0
+    ORDER BY adc_dist ASC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    each vector's 64 dims split into M=4 subspaces of 16, each subvector
+    encoded as its nearest of K=8 per-subspace codewords (deterministic
+    codebook: subvectors of the fixed seed rows, so the DuckDB twin
+    reproduces the exact codes), and the query answered by summing
+    query-subvector→codeword squared distances — never touching the
+    original DB vectors at probe time.
+
+    Scale shape: encode is MAP-ONLY against a broadcast 1-row codebook
+    (one scan, no shuffle — at 10^9 vectors the codes table is ~100×
+    smaller than the raw vectors); the probe is map-only ADC lookup plus
+    a TakeOrderedAndProject top-k. The classic composition with
+    sim_ivf_trained_topk (IVF-PQ) partitions by coarse cell and stores
+    codes per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _anchors(emb, _IVF_SEEDS)
+    enc = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "label",
+        *[
+            _pq_code(F.col("embedding"), F.col("anchors"), m).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    adc = None
+    for m in range(_PQ_M):
+        term = F.round(
+            _dist2(
+                _pq_sub(F.col("qvec"), m),
+                _pq_sub(
+                    F.element_at(F.col("anchors"), F.col(f"c{m}").cast("int")), m
+                ),
+            ),
+            9,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "label",
+            F.concat_ws(
+                "-", *[F.col(f"c{m}").cast("string") for m in range(_PQ_M)]
+            ).alias("pq_code"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "sim_cosine_topk_per_label",
     oracle=f"""

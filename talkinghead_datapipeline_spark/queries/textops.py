@@ -277,6 +277,132 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_top_merge_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM (
+        SELECT w, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2
+      )
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+    tags=("text", "tokenize", "bpe-train"),
+)
+def bpe_top_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING primitive (Sennrich et al. 2016): corpus-global
+    adjacent-symbol pair frequencies — each training iteration merges the
+    most frequent pair, and this counting step is the part that must
+    distribute (the merge table itself is tiny driver state). Symbols here
+    are characters within whitespace-split words at iteration 0; counts
+    keep multiplicity (BPE counts occurrences, unlike the dedup shingle
+    sets). One explode + one (pair) hash-agg shuffle — wordcount shape,
+    map-side partials carry the load at 100 TB — then a 20-row top-k with
+    a full tiebreak."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = rebalance_for_compute(docs).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "gopher_dup_line_signals",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, n_chars_actual,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             unnest(lines) AS line
+      FROM base
+    ),
+    grouped AS (
+      SELECT doc_id, n_chars_actual, n_lines, line,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ln GROUP BY doc_id, n_chars_actual, n_lines, line
+    )
+    SELECT doc_id,
+           round(coalesce(CAST(sum(CASE WHEN cnt >= 2 THEN cnt END) AS DOUBLE), 0.0)
+                 / max(n_lines), 6) AS dup_line_frac,
+           round(coalesce(CAST(sum(CASE WHEN cnt >= 2
+                                        THEN cnt * length(line) END) AS DOUBLE), 0.0)
+                 / max(n_chars_actual), 6) AS dup_line_char_frac
+    FROM grouped
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def gopher_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-LINE repetition signals (table A1 rows 1-2 of
+    the repetition family, line grain): the fraction of a doc's lines
+    belonging to any line that occurs ≥ 2× in the doc, and the fraction of
+    its characters inside those lines (all occurrences counted — the same
+    per-occurrence convention as gopher_repetition_signals, stated here;
+    newline separators are not attributed). Complements paragraph-grain
+    cross-document dedup (`paragraph_dedup_stats`): this is a WITHIN-doc
+    quality signal, not a dedup pass.
+
+    Scale shape: split + explode lines, one (doc_id, line) hash-agg with
+    map-side partials, one per-doc reduction — wordcount-shaped, no joins
+    (line count and char count ride along as grouping constants)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = rebalance_for_compute(docs, "doc_id").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.split(F.col("text"), "\n", -1).alias("lines"),
+    )
+    ln = base.select(
+        "doc_id",
+        "n_chars_actual",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.explode("lines").alias("line"),
+    )
+    grouped = ln.groupBy("doc_id", "n_chars_actual", "n_lines", "line").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dup = F.when(F.col("cnt") >= 2, F.col("cnt"))
+    dup_chars = F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line"))
+    return grouped.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(F.sum(dup).cast("double"), F.lit(0.0))
+            / F.max("n_lines"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(F.sum(dup_chars).cast("double"), F.lit(0.0))
+            / F.max("n_chars_actual"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus profiling (data-quality gate before any training-data run).
 # ---------------------------------------------------------------------------
@@ -457,7 +583,7 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc reductions joined back to the doc spine — gram counting is
     the wordcount shape, uniform at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    base = rebalance_for_compute(docs).select(
+    base = rebalance_for_compute(docs, "doc_id").select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_actual"),
         F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
@@ -592,7 +718,7 @@ def gopher_dup_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     char sum is an array fold against the doc's own token array — no
     per-position join, no UDF."""
     docs = load_table(spark, sf_dir, "documents")
-    base = rebalance_for_compute(docs).select(
+    base = rebalance_for_compute(docs, "doc_id").select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_actual"),
         F.split(F.lower(F.col("text")), r"\s+").alias("toks"),

@@ -302,3 +302,64 @@ def streaming_purchase_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_events_stream(spark, sf_dir, transform, "ssleft")
+
+
+@register(
+    "streaming_stateful_user_extents",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_stateful_user_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator on the real streaming path —
+    ``applyInPandasWithState`` holding per-user (count, min id, max id)
+    in explicit group state, the imperative hook the declarative
+    window/session/dedup operators can't express (running caches, rate
+    limits, custom eviction live here). Oracle-certifiable because every
+    state field is an order-independent exact int64 fold: a batch GROUP
+    BY reproduces the single-micro-batch emission bit-for-bit. State is
+    one tuple per user — bounded by key cardinality, the
+    applyInPandasWithState contract at firehose scale."""
+    from talkinghead_datapipeline_spark.streaming.stateful import (
+        running_user_extents,
+    )
+
+    return _run_events_stream(spark, sf_dir, running_user_extents, "statefulext")
+
+
+@register(
+    "streaming_dedup_event_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the driver surface:
+    ``dropDuplicatesWithinWatermark`` over the (user_id, event_type) key
+    projection — the ingest-side guard that keeps one row per key within
+    the watermark horizon with state bounded by horizon arrival volume
+    (the streaming twin of batch exact_dedup; a plain dropDuplicates
+    would grow state forever on an unbounded crawl). Only the key
+    columns are emitted: WHICH physical row wins a single-batch race is
+    processing-order dependent, so projecting the payload away is what
+    makes the operator's output deterministic and the DISTINCT oracle
+    exact. Under AvailableNow all fixture rows share one micro-batch
+    whose starting watermark is 0, so no state expires mid-batch and the
+    emission is exactly the distinct key set."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return (
+            ev.select("user_id", "event_type", "ts")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "dedupkeys")

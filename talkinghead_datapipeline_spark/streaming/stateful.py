@@ -66,3 +66,47 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_extents(events: DataFrame) -> DataFrame:
+    """Per-user (n_events, min_event_id, max_event_id) in explicit group
+    state — the ORACLE-CERTIFIABLE ``applyInPandasWithState`` shape: all
+    three state fields are order-independent int64 folds (count, min,
+    max), so unlike a float running sum the emitted values are exact and
+    independent of row order inside a micro-batch — a batch GROUP BY
+    reproduces them bit-for-bit. Append output mode pairs with the
+    parquet file sink (update mode is memory/foreach-only)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                bmin = int(pdf["event_id"].min())
+                bmax = int(pdf["event_id"].max())
+                mn = bmin if mn is None else min(mn, bmin)
+                mx = bmax if mx is None else max(mx, bmax)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "min_event_id": [mn],
+                "max_event_id": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_events bigint,"
+            " min_event_id bigint, max_event_id bigint"
+        ),
+        stateStructType="n bigint, mn bigint, mx bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -30,6 +30,7 @@ _NESTED_LOOP_OK = {
     "emb_near_dup_pairs",  # 1-row broadcast hyperplane-anchor crossJoin
     "sim_ivf_probe_topk",
     "sim_ivf_trained_topk",  # nprobe=2 membership probe vs 1-row broadcast
+    "sim_pq_adc_topk",  # 1-row broadcast codebook + query crossJoins
     "sim_cosine_topk_per_label",
     "q11_important_part_values",  # HAVING-threshold scalar subquery (1 row)
     "q22_dormant_rich_customers",  # avg-balance scalar subquery (1 row)
@@ -503,3 +504,42 @@ def test_gopher_signals_single_gram_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "gopher_repetition_signals")
     assert plan.count("Scan parquet") == 2
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_pq_encode_and_probe_never_shuffle_corpus(spark, sf_dir):
+    # Product quantization: encode runs against a BROADCAST codebook and
+    # the ADC probe is a projection + driver-side top-k — the corpus is
+    # never hash- or round-robin-shuffled at any scale.
+    plan = _plan(spark, sf_dir, "sim_pq_adc_topk")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange roundrobin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_grain_text_queries_single_keyed_exchange(spark, sf_dir):
+    # rebalance_for_compute(docs, "doc_id"): the ONLY hash exchanges in the
+    # doc-grain text plans are the explicit doc_id repartitions — every
+    # downstream groupBy/join reuses that partitioning (Catalyst elides
+    # its exchange), so tokens shuffle once, exploded gram rows never.
+    for name in (
+        "gopher_dup_line_signals",
+        "gopher_dup_trigram_coverage",
+        "gopher_repetition_signals",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        n_hash = plan.count("Exchange hashpartitioning")
+        n_explicit = plan.count("REPARTITION_BY_NUM")
+        assert n_hash == n_explicit, (
+            f"{name}: {n_hash} hash exchanges vs {n_explicit} explicit "
+            "repartitions — an agg/join shuffle leaked back in"
+        )
+
+
+def test_ngram_exact_join_reuses_persisted_grams(spark, sf_dir):
+    # The slim-join restructure: gram arrays live in ONE persisted
+    # projection consumed four times (both sides of the candidate
+    # self-join + both verify rejoin sides); losing the InMemoryRelation
+    # re-hashes every gram md5 per use (measured 17% slower at sf0.1).
+    plan = _plan(spark, sf_dir, "ngram_jaccard_exact_pairs")
+    assert plan.count("InMemoryTableScan") == 4
+    assert plan.count("FileScan parquet") <= plan.count("InMemoryTableScan")

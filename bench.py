@@ -82,6 +82,7 @@ HEADLINE = (
     # round-6 additions (earlier keys unchanged for comparability)
     "gopher_dup_trigram_coverage",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "bpe_top_merge_pairs",
     "gopher_dup_line_signals",
 )

@@ -657,6 +657,125 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT list(embedding ORDER BY vec_id) AS anchors
+      FROM embeddings WHERE vec_id IN {_IVF_SEEDS}
+    ),
+    enc AS (
+      SELECT vec_id, label, embedding,
+             list_position(sims, list_max(sims)) AS cluster,
+             {", ".join(f"{_pq_code_sql('embedding', m)} AS c{m}" for m in range(_PQ_M))}
+      FROM (
+        SELECT vec_id, label, embedding, anchors,
+               list_transform(anchors,
+                 c -> round({_cosine_sql('embedding', 'c')}, 9)) AS sims
+        FROM embeddings, cb
+      )
+    ),
+    q AS (
+      SELECT embedding AS qvec,
+             list_transform(
+               list_slice(list_sort(list_transform(
+                 range(1, len(sims) + 1),
+                 i -> {{'ns': -sims[CAST(i AS INT)], 'idx': i}})), 1, 2),
+               s -> s.idx) AS qcells
+      FROM (
+        SELECT embedding,
+               list_transform(anchors,
+                 c -> round({_cosine_sql('embedding', 'c')}, 9)) AS sims
+        FROM embeddings, cb WHERE vec_id = 0
+      )
+    )
+    SELECT e.vec_id, e.label, CAST(e.cluster AS BIGINT) AS cluster,
+           concat_ws('-', {", ".join(f"CAST(e.c{m} AS VARCHAR)" for m in range(_PQ_M))}) AS pq_code,
+           round({" + ".join(
+               "round(" + _D2_SQL.format(
+                   a=_pq_sub_sql("q.qvec", m),
+                   b=_pq_sub_sql(f"cb.anchors[CAST(e.c{m} AS INT)]", m),
+               ) + ", 9)"
+               for m in range(_PQ_M))}, 6) AS adc_dist
+    FROM enc e, q, cb
+    WHERE e.vec_id <> 0 AND list_contains(q.qcells, e.cluster)
+    ORDER BY adc_dist ASC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (the faiss ``IndexIVFPQ`` shape with
+    ``by_residual=False`` — coarse cells prune the search, PQ codes
+    replace the vectors): every vector gets a coarse cell (argmax cosine
+    vs the 8 broadcast centroids) AND M=4 PQ codes; the query probes its
+    nprobe=2 nearest cells and ranks ONLY those cells' rows by
+    asymmetric distance against the codes — never reading the original
+    vectors at probe time. The whole index build is one map-only pass
+    (both the centroid table and the codebook ride along broadcast); at
+    100 TB the cell becomes the partition key so the ADC scan prunes to
+    2/8 of the codes, which are themselves ~100× smaller than the raw
+    vectors — the composition that makes 10^9-vector search interactive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _anchors(emb, _IVF_SEEDS)
+    sims = F.transform(
+        F.col("anchors"),
+        lambda c: F.round(cosine(F.col("embedding"), c), 9),
+    )
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .withColumn("sims", sims)
+        .select(
+            "vec_id",
+            "label",
+            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).alias(
+                "cluster"
+            ),
+            F.col("sims").alias("sims"),
+            *[
+                _pq_code(F.col("embedding"), F.col("anchors"), m).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+            "embedding",
+        )
+    )
+    top2 = F.expr(
+        "transform(slice(array_sort(transform(sims,"
+        " (s, i) -> struct(-s AS ns, i + 1 AS idx))), 1, 2), s -> s.idx)"
+    )
+    q = enc.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), top2.alias("qcells")
+    )
+    adc = None
+    for m in range(_PQ_M):
+        term = F.round(
+            _dist2(
+                _pq_sub(F.col("qvec"), m),
+                _pq_sub(
+                    F.element_at(F.col("anchors"), F.col(f"c{m}").cast("int")), m
+                ),
+            ),
+            9,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.expr("array_contains(qcells, cluster)"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.concat_ws(
+                "-", *[F.col(f"c{m}").cast("string") for m in range(_PQ_M)]
+            ).alias("pq_code"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
     "sim_cosine_topk_per_label",
     oracle=f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),

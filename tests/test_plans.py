@@ -31,6 +31,7 @@ _NESTED_LOOP_OK = {
     "sim_ivf_probe_topk",
     "sim_ivf_trained_topk",  # nprobe=2 membership probe vs 1-row broadcast
     "sim_pq_adc_topk",  # 1-row broadcast codebook + query crossJoins
+    "sim_ivfpq_topk",  # 1-row broadcast codebook/centroids + probe
     "sim_cosine_topk_per_label",
     "q11_important_part_values",  # HAVING-threshold scalar subquery (1 row)
     "q22_dormant_rich_customers",  # avg-balance scalar subquery (1 row)
@@ -540,6 +541,7 @@ def test_ngram_exact_join_reuses_persisted_grams(spark, sf_dir):
     # projection consumed four times (both sides of the candidate
     # self-join + both verify rejoin sides); losing the InMemoryRelation
     # re-hashes every gram md5 per use (measured 17% slower at sf0.1).
+    # (an InMemoryRelation's toString embeds its child FileScan, so raw
+    # FileScan counts are not meaningful here — the cache-scan count is)
     plan = _plan(spark, sf_dir, "ngram_jaccard_exact_pairs")
     assert plan.count("InMemoryTableScan") == 4
-    assert plan.count("FileScan parquet") <= plan.count("InMemoryTableScan")

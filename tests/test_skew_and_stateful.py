@@ -159,3 +159,62 @@ def test_stateful_running_totals_available_now(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_left_outer_null_emission_watermark_boundary(spark, tmp_path):
+    """Pins the left-outer stream-stream join's null-emission cutoff that
+    the streaming_purchase_view_left oracle encodes (empirically derived in
+    round 6; this test fails loudly if a Spark upgrade shifts it):
+
+    - global watermark W = MIN over both sides' per-operator watermarks,
+      and each side's watermark tracks only ITS filtered stream — here
+      W = max purchase ts (views run later);
+    - an unmatched purchase emits its null row only when p_ts < W STRICTLY:
+      the purchase exactly AT the watermark stays in state;
+    - matched pairs emit in the processing batch regardless of W.
+    """
+    import pandas as pd
+
+    from talkinghead_datapipeline_spark.queries.streaming_queries import (
+        _purchase_view_join,
+    )
+
+    t = pd.Timestamp("2024-03-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [100, 1, 2, 3, 101],
+            "user_id": [1, 1, 2, 4, 3],
+            "event_type": ["view", "purchase", "purchase", "purchase", "view"],
+            "ts": [
+                t,  # view matching purchase 1
+                t + 5 * m,  # purchase 1: matched -> emits regardless of W
+                t + 30 * m,  # purchase 2: unmatched, p_ts == W -> WITHHELD
+                t + 29 * m,  # purchase 3: unmatched, p_ts < W -> null row
+                t + 60 * m,  # late view: maxV > maxP, so W = maxP = t+30m
+            ],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(src / "batch"))
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).parquet(str(src / "batch"))
+    query = (
+        _purchase_view_join(stream, "leftOuter")
+        .select("purchase_id", "view_id")
+        .writeStream.format("memory")
+        .queryName("ssleft_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ssleft_boundary").collect()
+    }
+    assert got == {(1, 100), (3, None)}, got

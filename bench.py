@@ -85,6 +85,7 @@ HEADLINE = (
     "sim_ivfpq_topk",
     "bpe_top_merge_pairs",
     "gopher_dup_line_signals",
+    "cms_heavy_hitters",
 )
 
 

@@ -52,10 +52,10 @@ _MODULES = (
 # emb_label_centroids, whose r5 seat produced an error row (array output
 # crashed the driver canonicalizer; now flattened) — then the 17 stalest
 # entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round), then 19 of the 45 r4-only entries. The 26
+# code changed this round), then 18 of the 45 r4-only entries. The 27
 # r4-only entries that don't fit (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
-# multimodal_binary_features,
+# multimodal_binary_features, multimodal_image_channel_means,
 # flame_decode_landmarks,
 # a2en_feature_assembly, array_hof_suite, window_rank_suite,
 # skew_salted_quantity_rollup,
@@ -68,7 +68,7 @@ _MODULES = (
 # string_functions_suite) lead the r7 rotation; all remain covered by the
 # local DuckDB-differential pytest replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (9): new in round 6 + the r5 error row ---
+    # --- never driver-certified (10): new in round 6 + the r5 error row ---
     "streaming_purchase_view_left",  # outer watermark-expiry emission
     "gopher_dup_trigram_coverage",  # position-once Gopher coverage
     "sim_pq_adc_topk",  # product-quantization ANN (encode + ADC probe)
@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = (
     "streaming_stateful_user_extents",  # applyInPandasWithState class
     "streaming_dedup_event_keys",  # dropDuplicatesWithinWatermark class
     "sim_ivfpq_topk",  # IVF-PQ composite (cell-pruned ADC search)
+    "cms_heavy_hitters",  # count-min sketch certified vs exact counts
     "emb_label_centroids",  # r5 red row; output flattened to scalar rows
     # --- stalest: r1-only driver rows (17) ---
     "e2_name_derivation",
@@ -102,7 +103,7 @@ _DRIVER_PRIORITY = (
     "sim_ivf_trained_topk",  # persisted training corpus
     "streaming_purchase_view_join",  # shares the interval-join builder
     "gopher_repetition_signals",  # sibling of the coverage variant
-    # --- r4-only re-certification (19 of 45; family-spread) ---
+    # --- r4-only re-certification (18 of 45; family-spread) ---
     "flagship_segment_leaders",
     "n10_bbox_transform_chain",
     "s5_blink_features",
@@ -121,7 +122,6 @@ _DRIVER_PRIORITY = (
     "asof_prior_view_value",
     "pack_token_budget",
     "split_train_val_test",
-    "multimodal_image_channel_means",
 )
 
 

@@ -404,6 +404,136 @@ def gopher_dup_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the fixed-size mergeable
+# frequency summary. Hashes are the engine-portable md5 prefix with a row
+# salt, so the DuckDB twin rebuilds the exact same sketch cell-for-cell.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 64  # buckets per row
+
+
+def _cms_bucket(token, j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(j)), token)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+_CMS_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' || {t}), 1, 8))::BIGINT"
+    f" % {_CMS_W})"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT token FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents WHERE length(text) > 0
+      ) WHERE length(token) >= 1
+    ),
+    cnts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM tok GROUP BY token
+    ),
+    top AS (
+      SELECT token, true_cnt FROM cnts
+      ORDER BY true_cnt DESC, token ASC LIMIT 20
+    ),
+    js AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    sk AS (
+      SELECT j, {_CMS_BUCKET_SQL.format(j='j', t='token')} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok, js GROUP BY 1, 2
+    ),
+    tp AS (
+      SELECT t.token, t.true_cnt, js.j,
+             {_CMS_BUCKET_SQL.format(j='js.j', t='t.token')} AS bucket
+      FROM top t, js
+    )
+    SELECT tp.token, tp.true_cnt, CAST(min(sk.c) AS BIGINT) AS cms_est
+    FROM tp JOIN sk ON tp.j = sk.j AND tp.bucket = sk.bucket
+    GROUP BY tp.token, tp.true_cnt
+    """,
+    tags=("text", "sketch", "cms", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, certified against
+    exact counts: a d=3 × w=64 cell grid where cell (j, h_j(t)) sums every
+    occurrence hashing there, and a token's estimate is the MIN over its d
+    cells — always ≥ the true count, with overcount bounded by collisions.
+
+    The sketch is the 100 TB artifact: the (j, bucket) aggregation is a
+    map-side partial into d·w = 192 cells per partition — CONSTANT state
+    merged associatively across any number of executors, where the exact
+    token count's state grows with vocabulary. The exact branch here
+    exists as the certification yardstick (top-20 truth vs estimate, so
+    the driver verifies both the sketch construction and the ≥-truth
+    property numerically); a production pipeline ships only the 192
+    cells. Hash rows use salted md5 prefixes, deterministic across
+    engines — the DuckDB oracle rebuilds the identical sketch."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = (
+        rebalance_for_compute(docs)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.length("token") >= 1)
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    sk = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(F.col("token"), j).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.j", "e.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probes = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("token"), j).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("token", "true_cnt", "e.j", "e.bucket")
+    return (
+        probes.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus profiling (data-quality gate before any training-data run).
 # ---------------------------------------------------------------------------
 

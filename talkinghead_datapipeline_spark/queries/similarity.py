@@ -237,7 +237,8 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     hp = _anchors(emb, _LSH_SEEDS)
-    bucketed = emb.crossJoin(F.broadcast(hp)).select(
+    # rebalance: 4 interpreted dot folds per row on a single-file scan
+    bucketed = rebalance_for_compute(emb).crossJoin(F.broadcast(hp)).select(
         "vec_id",
         "label",
         "embedding",
@@ -300,8 +301,10 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = F.transform(
         F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c), 9)
     )
+    # rebalance: 8 interpreted cosine folds per row on a single-file scan
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
+        rebalance_for_compute(emb)
+        .crossJoin(F.broadcast(cent))
         .withColumn("sims", sims)
         .select(
             "vec_id",

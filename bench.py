@@ -86,6 +86,11 @@ HEADLINE = (
     "bpe_top_merge_pairs",
     "gopher_dup_line_signals",
     "cms_heavy_hitters",
+    "pagerank_trade_network",
+    "hll_distinct_users",
+    "zorder_data_skipping",
+    "scd2_user_value_intervals",
+    "text_unigram_entropy",
 )
 
 

@@ -37,6 +37,9 @@ _MODULES = (
     "dedup",
     "dataprep",
     "streaming_queries",
+    "sketches",
+    "graph",
+    "layout",
     "multimodal",
     "inference_nodes",
     "assembly",
@@ -48,11 +51,12 @@ _MODULES = (
 # therefore coverage policy, ROTATED each round so every registered query
 # eventually receives a driver row. Round-6 window (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy):
-# leads with the never-certified keys — the two new round-6 operators plus
+# leads with the never-certified keys — the round-6 operators (including
+# five added late in the round: PageRank, HLL, z-order, SCD-2, entropy) plus
 # emb_label_centroids, whose r5 seat produced an error row (array output
 # crashed the driver canonicalizer; now flattened) — then the 17 stalest
 # entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round), then 18 of the 45 r4-only entries. The 27
+# code changed this round), then 13 of the 45 r4-only entries. The 32
 # r4-only entries that don't fit (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
 # multimodal_binary_features, multimodal_image_channel_means,
@@ -65,10 +69,17 @@ _MODULES = (
 # stratified_sample_by_lang, class_balanced_downsample,
 # weighted_sample_by_length, table_profile_orders, multimodal_frame_sample,
 # wav2vec_features_stub, wide_source_assembly, date_functions_suite,
-# string_functions_suite) lead the r7 rotation; all remain covered by the
-# local DuckDB-differential pytest replica every round.
+# string_functions_suite, sim_ivf_probe_topk, s7_resample_linear,
+# asof_prior_view_value, pack_token_budget, split_train_val_test) lead the
+# r7 rotation; all remain covered by the local DuckDB-differential pytest
+# replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (10): new in round 6 + the r5 error row ---
+    # --- never driver-certified (15): new in round 6 + the r5 error row ---
+    "pagerank_trade_network",  # fixed-iteration value propagation (graph)
+    "hll_distinct_users",  # HyperLogLog certified vs exact distinct
+    "zorder_data_skipping",  # Morton layout key + skipping extents
+    "scd2_user_value_intervals",  # CDC → SCD-2 validity intervals
+    "text_unigram_entropy",  # lexical-diversity quality signals
     "streaming_purchase_view_left",  # outer watermark-expiry emission
     "gopher_dup_trigram_coverage",  # position-once Gopher coverage
     "sim_pq_adc_topk",  # product-quantization ANN (encode + ADC probe)
@@ -117,11 +128,6 @@ _DRIVER_PRIORITY = (
     "doc_fingerprint",
     "sim_lsh_bucket_topk",
     "sim_brute_cosine_topk",
-    "sim_ivf_probe_topk",
-    "s7_resample_linear",
-    "asof_prior_view_value",
-    "pack_token_budget",
-    "split_train_val_test",
 )
 
 

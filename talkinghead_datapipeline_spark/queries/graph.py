@@ -1,0 +1,164 @@
+"""Iterative graph queries over the TPC-H trade network.
+
+The duplicate-clustering operator (``operators/components.py``) covers the
+connectivity class; this module adds the *value-iteration* class — a
+fixed-iteration PageRank whose every step is the canonical Pregel shape
+re-expressed as DataFrame joins: rank-state joins edges on src (one
+shuffle), contributions aggregate on dst (one shuffle), teleport is a
+map-side literal. A FIXED iteration count keeps the computation a pure
+function of the input, so a DuckDB oracle can unroll the same three
+iterations as CTEs and the driver certifies every rank value.
+
+At 100 TB: the edge list is the big table and stays hash-partitioned by
+src across iterations (one explicit repartition, then every per-iteration
+join reuses that distribution); rank state is ~|V| rows, re-shuffled on
+dst each step — exactly GraphX's join-strategy, minus the driver-side
+convergence check a fixed count avoids. Lineage stays 3 steps deep, so no
+checkpoint is needed; an open-ended variant would cut lineage every ~10
+steps like ``operators/components.py`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.queries import register
+
+_DAMP = 0.85
+_ITERS = 3
+# Supplier node ids are offset past any custkey (sf10k custkeys < 2^31).
+_SUPP_OFFSET = 10_000_000_000
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank as DuckDB CTEs — same edges, same
+    teleport, same damping, so both engines walk identical doubles."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f"""
+    r{i} AS (
+      SELECT n.node,
+             (1.0 - {_DAMP}) / (SELECT n_nodes FROM meta)
+             + {_DAMP} * coalesce(c.contrib, 0.0) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / d.outdeg) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outdeg d ON d.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT CAST(cust AS BIGINT) AS src,
+             CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS dst FROM pairs
+      UNION ALL
+      SELECT CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS src,
+             CAST(cust AS BIGINT) AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+    outdeg AS (
+      SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node, 1.0 / (SELECT n_nodes FROM meta) AS rank FROM nodes
+    ),{','.join(steps)}
+    SELECT CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+             AS node_kind,
+           CAST(CASE WHEN node >= {_SUPP_OFFSET}
+                     THEN node - {_SUPP_OFFSET} ELSE node END AS BIGINT)
+             AS node_key,
+           round(rank * 1000.0, 9) AS rank_x1000
+    FROM {prev}
+    ORDER BY rank_x1000 DESC, node_kind ASC, node_key ASC
+    LIMIT 20
+    """
+
+
+@register("pagerank_trade_network", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the bidirectional
+    customer↔supplier trade graph derived from orders⨝lineitem; top-20
+    nodes by rank. Bidirectionality makes every node's out-degree ≥ 1, so
+    there is no dangling mass to redistribute and the per-step update is
+    rank' = (1-d)/N + d·Σ_in rank/outdeg — the exact form the oracle
+    unrolls. Ranks are reported ×1000 rounded to 9: cross-engine float
+    noise on a 3-deep double chain is ~1e-15 relative, orders below the
+    rounding quantum."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("src"),
+                F.col("o_custkey").cast("bigint").alias("dst"),
+            )
+        )
+    )
+    # One explicit hash distribution by src; each iteration's rank⨝edges
+    # then reuses it instead of re-shuffling the (big) edge side. The
+    # fixture persist doubles as the 100 TB "materialize the edge list
+    # once" step — PageRank reads edges _ITERS times.
+    edges = edges.repartition("src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    n_nodes = float(nodes.count())  # one tiny job; |V| is an agg, not data
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - _DAMP) / n_nodes
+    state = edges.join(outdeg, edges.src == outdeg.node).select(
+        "src", "dst", "outdeg"
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            state.join(ranks, state.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(teleport) + _DAMP * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    return (
+        ranks.select(
+            F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+            .otherwise("customer")
+            .alias("node_kind"),
+            F.when(
+                F.col("node") >= _SUPP_OFFSET, F.col("node") - _SUPP_OFFSET
+            )
+            .otherwise(F.col("node"))
+            .cast("bigint")
+            .alias("node_key"),
+            F.round(F.col("rank") * 1000.0, 9).alias("rank_x1000"),
+        )
+        .orderBy(F.desc("rank_x1000"), "node_kind", "node_key")
+        .limit(20)
+    )

@@ -965,3 +965,60 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
         redacted.alias("text_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity quality signals: unigram entropy + type-token ratio.
+# Low-entropy / low-TTR documents are boilerplate or spam; both are
+# standard corpus-filter features (alongside the Gopher repetition set).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS t, count(*) AS types FROM cnt GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(max(t) AS BIGINT) AS n_tokens,
+           CAST(max(types) AS BIGINT) AS n_types,
+           round(max(types) * 1.0 / max(t), 6) AS ttr,
+           round(-sum((c * 1.0 / t) * log2(c * 1.0 / t)), 6) AS entropy
+    FROM cnt c JOIN tot USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) and type-token ratio.
+    Wordcount shape: explode lowercased whitespace tokens, count per
+    (doc, token), fold to per-doc -Σ p·log2 p. The keyed rebalance hashes
+    on doc_id up front, so BOTH groupBys (doc,tok and doc) satisfy their
+    clustering from the one explicit exchange — a single shuffle total,
+    same trick as gopher_repetition_signals. At 100 TB the (doc, token)
+    partial aggregation combines map-side; nothing is ever collected."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = rebalance_for_compute(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    t_win = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / F.col("t")
+    return (
+        cnt.withColumn("t", t_win)
+        .groupBy("doc_id")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.max("t"), 6).alias("ttr"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+    )

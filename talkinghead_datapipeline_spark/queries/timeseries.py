@@ -397,3 +397,57 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 / CDC snapshot: treat the event log as a change stream and derive
+# slowly-changing-dimension type-2 validity intervals per key — the merge
+# shape every training-data catalog needs when upstream tables are replayed
+# as change feeds (Debezium/Delta CDF style).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_value_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(coalesce(lead(epoch_us(ts)) OVER w, -1) AS BIGINT)
+             AS valid_to_us,
+           value,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("cdc", "window"),
+)
+def scd2_user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval table from a change stream: each purchase event opens
+    a new version of its user's value; ``valid_to`` is the next change's
+    timestamp (sentinel -1 = open interval, flagged ``is_current``). One
+    window pass — exactly the MERGE-free way to build a type-2 dimension
+    from CDC at scale: a single shuffle on the natural key, lead() within
+    the sorted partition, no self-join. Timestamps surface as epoch
+    microseconds (bigint) so the result is canonicalizer-sortable and
+    timezone-free. Tiebreak (ts, event_id) makes the version numbering a
+    pure function of the data."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    from_us = F.unix_micros("ts")
+    to_us = F.lead(from_us).over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        from_us.alias("valid_from_us"),
+        F.coalesce(to_us, F.lit(-1)).cast("bigint").alias("valid_to_us"),
+        "value",
+        F.when(to_us.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )

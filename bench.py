@@ -91,6 +91,10 @@ HEADLINE = (
     "zorder_data_skipping",
     "scd2_user_value_intervals",
     "text_unigram_entropy",
+    "sim_sq8_quant_topk",
+    "lineitem_measure_correlations",
+    "robust_outlier_flags",
+    "bpe_apply_merges",
 )
 
 

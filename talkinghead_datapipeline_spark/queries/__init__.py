@@ -56,7 +56,7 @@ _MODULES = (
 # emb_label_centroids, whose r5 seat produced an error row (array output
 # crashed the driver canonicalizer; now flattened) — then the 17 stalest
 # entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round), then 13 of the 45 r4-only entries. The 32
+# code changed this round), then 8 of the 45 r4-only entries. The 37
 # r4-only entries that don't fit (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
 # multimodal_binary_features, multimodal_image_channel_means,
@@ -70,11 +70,18 @@ _MODULES = (
 # weighted_sample_by_length, table_profile_orders, multimodal_frame_sample,
 # wav2vec_features_stub, wide_source_assembly, date_functions_suite,
 # string_functions_suite, sim_ivf_probe_topk, s7_resample_linear,
-# asof_prior_view_value, pack_token_budget, split_train_val_test) lead the
+# asof_prior_view_value, pack_token_budget, split_train_val_test,
+# text_quality_score, lang_id_heuristic, doc_fingerprint,
+# sim_lsh_bucket_topk, sim_brute_cosine_topk) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (15): new in round 6 + the r5 error row ---
+    # --- never driver-certified (20): new in round 6 + the r5 error row ---
+    "streaming_enrich_static_dim",  # stream-static broadcast enrichment
+    "sim_sq8_quant_topk",  # scalar-quantization ANN + recall certification
+    "lineitem_measure_correlations",  # one-pass Pearson matrix
+    "robust_outlier_flags",  # median/MAD data-cleaning filter
+    "bpe_apply_merges",  # tokenizer encode (merge-table application)
     "pagerank_trade_network",  # fixed-iteration value propagation (graph)
     "hll_distinct_users",  # HyperLogLog certified vs exact distinct
     "zorder_data_skipping",  # Morton layout key + skipping extents
@@ -123,11 +130,6 @@ _DRIVER_PRIORITY = (
     "decontaminate_against_benchmark",
     "dedup_cluster_assignments",
     "text_bpe_token_count",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "sim_lsh_bucket_topk",
-    "sim_brute_cosine_topk",
 )
 
 

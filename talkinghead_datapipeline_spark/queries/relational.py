@@ -596,3 +596,87 @@ def date_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass numeric profiling: pairwise Pearson correlations from raw sums.
+# The formula is spelled out (not the engines' corr()) so both sides walk
+# the same arithmetic — corr() implementations differ in normalization and
+# one-pass vs two-pass update order.
+# ---------------------------------------------------------------------------
+
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_VARS[i], _CORR_VARS[j])
+    for i in range(len(_CORR_VARS))
+    for j in range(i + 1, len(_CORR_VARS))
+)
+
+
+def _corr_name(x: str, y: str) -> str:
+    return f"corr_{x.removeprefix('l_')}_{y.removeprefix('l_')}"
+
+
+def _corr_sql(x: str, y: str) -> str:
+    return (
+        f"round((n * s_{x}_{y} - s_{x} * s_{y})"
+        f" / sqrt((n * s2_{x} - s_{x} * s_{x}) * (n * s2_{y} - s_{y} * s_{y})),"
+        f" 6) AS {_corr_name(x, y)}"
+    )
+
+
+_CORR_ORACLE = f"""
+    WITH sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {', '.join(f'sum(CAST({v} AS DOUBLE)) AS s_{v}' for v in _CORR_VARS)},
+             {', '.join(f'sum(CAST({v} AS DOUBLE) * CAST({v} AS DOUBLE)) AS s2_{v}' for v in _CORR_VARS)},
+             {', '.join(f'sum(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) AS s_{x}_{y}' for x, y in _CORR_PAIRS)}
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           {', '.join(_corr_sql(x, y) for x, y in _CORR_PAIRS)}
+    FROM sums
+"""
+
+
+@register(
+    "lineitem_measure_correlations",
+    oracle=_CORR_ORACLE,
+    tags=("profiling", "agg"),
+)
+def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem measures in
+    ONE aggregation pass: every r is assembled from Σx, Σx², Σxy computed
+    map-side-combinably in a single scan — the feature-profiling shape that
+    stays a 1-row result at any data volume (no per-pair rescans, no
+    driver-side math). Rounded to 6 against the identical explicit formula
+    in the oracle; the engines' built-in corr()s are deliberately avoided
+    (they disagree on update order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(F.col(v).cast("double")).alias(f"s_{v}"))
+        aggs.append(
+            F.sum(F.col(v).cast("double") * F.col(v).cast("double")).alias(f"s2_{v}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(
+                f"s_{x}_{y}"
+            )
+        )
+    sums = li.agg(*aggs)
+    n = F.col("n")
+    outs = [n.cast("bigint").alias("n_rows")]
+    for x, y in _CORR_PAIRS:
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"s2_{x}"), F.col(f"s2_{y}")
+        sxy = F.col(f"s_{x}_{y}")
+        outs.append(
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias(_corr_name(x, y))
+        )
+    return sums.select(*outs)

@@ -826,3 +826,160 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the OTHER standard FAISS compression tier next
+# to product quantization — one byte per dimension, per-dimension trained
+# [min, max] ranges, asymmetric-free reconstruction. 64 float dims (256 B)
+# become 64 B; unlike PQ the codes decode independently per dimension, so
+# the reconstruction is a pure map expression with a broadcast bounds row.
+# ---------------------------------------------------------------------------
+
+_SQ8_RECON_SQL = """list_transform(
+      list_zip(embedding, mins, maxs),
+      p -> CASE WHEN CAST(p[3] AS DOUBLE) = CAST(p[2] AS DOUBLE)
+                THEN CAST(p[2] AS DOUBLE)
+                ELSE CAST(p[2] AS DOUBLE)
+                     + (least(255.0, greatest(0.0,
+                          floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * 255.0
+                                / (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))
+                        + 0.5)
+                       * (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)) / 255.0
+           END)"""
+
+_SQ8_ORACLE = f"""
+    WITH cells AS (
+      SELECT unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+      FROM cells GROUP BY pos
+    ),
+    bounds AS (
+      SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      FROM stats
+    ),
+    recon AS (
+      SELECT vec_id, label, {_SQ8_RECON_SQL} AS rhat
+      FROM embeddings, bounds
+    ),
+    q AS (SELECT rhat AS qhat FROM recon WHERE vec_id = 0),
+    qexact AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact10 AS (
+      SELECT vec_id FROM embeddings, qexact
+      WHERE vec_id <> 0
+      ORDER BY round({_cosine_sql('embedding', 'qvec')}, 6) DESC, vec_id ASC
+      LIMIT 10
+    )
+    SELECT r.vec_id, r.label,
+           round({_cosine_sql('r.rhat', 'qhat')}, 6) AS sq_cos,
+           CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_exact_top10
+    FROM recon r
+    CROSS JOIN q
+    LEFT JOIN exact10 e ON e.vec_id = r.vec_id
+    WHERE r.vec_id <> 0
+    ORDER BY sq_cos DESC, r.vec_id ASC
+    LIMIT 10
+"""
+
+
+def _sq8_reconstruct(vec: Column, mins: Column, maxs: Column) -> Column:
+    """Dequantized vector: code = clamp(floor((x-mn)·255/(mx-mn)), 0, 255),
+    x̂ = mn + (code+0.5)·(mx-mn)/255. Flat dimensions decode to mn. All
+    doubles walk the identical IEEE path on both engines."""
+
+    def cell(x: Column, i: Column) -> Column:
+        mn = F.element_at(mins, i + 1).cast("double")
+        mx = F.element_at(maxs, i + 1).cast("double")
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor((x.cast("double") - mn) * 255.0 / (mx - mn)),
+            ),
+        )
+        return F.when(mx == mn, mn).otherwise(
+            mn + (code + 0.5) * (mx - mn) / 255.0
+        )
+
+    return F.transform(vec, cell)
+
+
+@register("sim_sq8_quant_topk", oracle=_SQ8_ORACLE, tags=("similarity", "quantization"))
+def sim_sq8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0 under SQ8 scalar quantization, each row
+    flagged ``in_exact_top10`` against the uncompressed brute-force answer —
+    so the driver certifies the codec AND the measured recall, not just
+    "some neighbors".
+
+    Scale shape: pass 1 trains the codec — a per-dimension min/max, i.e.
+    one posexplode + 64-row hash agg collapsed to a single bounds row
+    (the same stats-then-broadcast shape as zorder_data_skipping); pass 2
+    is a map-only scan computing quantized similarity against the broadcast
+    query + bounds, finished by TakeOrderedAndProject. The exact top-10
+    side exists to certify recall and is dropped at 100 TB, where the
+    memory win (4× vs float32) is the point. Encoded bytes are not
+    materialized here — encode and decode fuse into one reconstruction
+    expression; a production sink would store the code arrays."""
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings"))
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    bounds = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+    recon = emb.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        "label",
+        _sq8_reconstruct(F.col("embedding"), F.col("mins"), F.col("maxs")).alias(
+            "rhat"
+        ),
+    )
+    q = recon.filter(F.col("vec_id") == 0).select(F.col("rhat").alias("qhat"))
+    qexact = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    exact10 = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qexact))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("xc"),
+        )
+        .orderBy(F.desc("xc"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).cast("bigint").alias("_hit"))
+    )
+    return (
+        recon.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .join(F.broadcast(exact10), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("rhat"), F.col("qhat")), 6).alias("sq_cos"),
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint").alias(
+                "in_exact_top10"
+            ),
+        )
+        .orderBy(F.desc("sq_cos"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -363,3 +363,47 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_events_stream(spark, sf_dir, transform, "dedupkeys")
+
+
+@register(
+    "streaming_enrich_static_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.value,
+           c.c_mktsegment AS segment,
+           CAST(c.c_nationkey AS BIGINT) AS nation_key
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    tags=("streaming", "join", "broadcast"),
+)
+def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the remaining Structured Streaming join class
+    after the stream-stream inner/left pair: each micro-batch of the event
+    stream is enriched against a static dimension (customer) by a stateless
+    broadcast hash join, the canonical ingest-time enrichment shape. No
+    state store, no watermark requirement: the static side is planned once
+    and (being far under the broadcast threshold at dimension scale)
+    shipped to every task; at 100 TB of stream the per-batch cost is
+    map-only. The batch oracle is the plain inner join — stream-static
+    append emits exactly the joined rows. Timestamps surface as epoch
+    micros to stay canonicalizer-sortable."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nation_key"),
+    )
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return ev.join(F.broadcast(cust), "user_id").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "segment",
+            "nation_key",
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "enrich")

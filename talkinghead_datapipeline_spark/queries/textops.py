@@ -1022,3 +1022,83 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge APPLICATION — the encode side of the tokenizer whose training
+# primitive is bpe_top_merge_pairs above. The merge table is a fixed
+# ordered vocabulary (in production: the trainer's output, broadcast);
+# applying a merge list is a chain of literal replaces over a
+# space-separated symbol string, so the whole encoder is a map-only
+# column expression on both engines.
+# ---------------------------------------------------------------------------
+
+# Ordered merge table (rank order, as a BPE trainer would emit). '▁' marks
+# word boundaries (SentencePiece convention) so merges never cross words.
+_BPE_MERGES = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("i n", "in"),
+    ("a n", "an"),
+    ("e r", "er"),
+    ("o n", "on"),
+    ("r e", "re"),
+    ("an d", "and"),
+)
+
+
+def _bpe_apply_sql() -> str:
+    expr = (
+        "trim(regexp_replace(replace(lower(text), ' ', '▁'),"
+        " '(.)', '\\1 ', 'g'))"
+    )
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
+_BPE_APPLY_ORACLE = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split({_bpe_apply_sql()}, ' ')) AS BIGINT)
+             AS n_bpe_symbols,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split({_bpe_apply_sql()}, ' ')), 6)
+             AS chars_per_symbol
+    FROM documents
+    WHERE length(text) > 0
+"""
+
+
+@register("bpe_apply_merges", oracle=_BPE_APPLY_ORACLE, tags=("text", "tokenize"))
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE ENCODE with a fixed ordered merge table: lowercase, mark
+    spaces '▁' (SentencePiece), explode to space-separated symbols, then
+    apply each merge in rank order as a literal replace — left-to-right
+    non-overlapping replace() is identical in Spark and DuckDB, so the
+    symbol stream (and hence the token count) is engine-exact. Per-doc
+    output: symbol count + compression ratio.
+
+    Scale: one map-only scan, zero shuffles, codegen-resident — exactly
+    how a broadcast merge table applies at 100 TB (a K-entry vocabulary is
+    a K-deep replace chain; real tokenizers fuse this into one pass, which
+    is the Pandas-UDF escape hatch if K grows beyond expression depth)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    sym = F.trim(
+        F.regexp_replace(
+            F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("▁")),
+            r"(.)",
+            r"$1 ",
+        )
+    )
+    for a, b in _BPE_MERGES:
+        sym = F.replace(sym, F.lit(a), F.lit(b))
+    n_sym = F.size(F.split(sym, " ", -1)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_sym.alias("n_bpe_symbols"),
+        F.round(F.length("text").cast("double") / n_sym, 6).alias(
+            "chars_per_symbol"
+        ),
+    )

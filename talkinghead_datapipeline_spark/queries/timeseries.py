@@ -451,3 +451,65 @@ def scd2_user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(to_us.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD z-scores per key — the data-cleaning
+# filter that survives the heavy-tailed value distributions mean/stddev
+# breaks on. Exact interpolated quantiles (np.quantile parity, same
+# percentile ↔ quantile_cont pairing as s10_quantile_per_flag).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_outlier_flags",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.user_id = e.user_id
+    ),
+    mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.user_id = d.user_id
+    GROUP BY d.user_id
+    """,
+    tags=("cleaning", "quantile", "agg"),
+)
+def robust_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier counts: median + MAD (scaled by the normal
+    consistency constant 1.4826), flagging |x − med| > 3σ̂. Windowed form:
+    the median is a percentile WINDOW over user_id and the MAD a groupBy on
+    the same key, so the single user_id hash partitioning satisfies both —
+    one exchange end-to-end (the oracle's join form is value-equivalent;
+    the window form is the plan you want when the key count is huge and a
+    re-join would shuffle twice)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    dev = ev.select(
+        "user_id",
+        "value",
+        F.percentile("value", F.lit(0.5)).over(w).alias("med"),
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    scored = dev.withColumn("mad", F.percentile("adev", F.lit(0.5)).over(w))
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -95,6 +95,9 @@ HEADLINE = (
     "lineitem_measure_correlations",
     "robust_outlier_flags",
     "bpe_apply_merges",
+    "bigram_lm_doc_scores",
+    "tfidf_top_terms",
+    "table_integrity_checksums",
 )
 
 

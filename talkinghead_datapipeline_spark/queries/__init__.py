@@ -56,7 +56,7 @@ _MODULES = (
 # emb_label_centroids, whose r5 seat produced an error row (array output
 # crashed the driver canonicalizer; now flattened) — then the 17 stalest
 # entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round), then 8 of the 45 r4-only entries. The 37
+# code changed this round), then 4 of the 45 r4-only entries. The 41
 # r4-only entries that don't fit (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
 # multimodal_binary_features, multimodal_image_channel_means,
@@ -72,11 +72,17 @@ _MODULES = (
 # string_functions_suite, sim_ivf_probe_topk, s7_resample_linear,
 # asof_prior_view_value, pack_token_budget, split_train_val_test,
 # text_quality_score, lang_id_heuristic, doc_fingerprint,
-# sim_lsh_bucket_topk, sim_brute_cosine_topk) lead the
+# sim_lsh_bucket_topk, sim_brute_cosine_topk, s5_blink_features,
+# decontaminate_against_benchmark, dedup_cluster_assignments,
+# text_bpe_token_count) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (20): new in round 6 + the r5 error row ---
+    # --- never driver-certified (24): new in round 6 + the r5 error row ---
+    "bigram_lm_doc_scores",  # corpus-trained LM cross-entropy filter
+    "tfidf_top_terms",  # sparse lexical retrieval primitive
+    "streaming_sliding_event_counts",  # overlapping-window stateful class
+    "table_integrity_checksums",  # order-independent content digests
     "streaming_enrich_static_dim",  # stream-static broadcast enrichment
     "sim_sq8_quant_topk",  # scalar-quantization ANN + recall certification
     "lineitem_measure_correlations",  # one-pass Pearson matrix
@@ -121,15 +127,11 @@ _DRIVER_PRIORITY = (
     "sim_ivf_trained_topk",  # persisted training corpus
     "streaming_purchase_view_join",  # shares the interval-join builder
     "gopher_repetition_signals",  # sibling of the coverage variant
-    # --- r4-only re-certification (18 of 45; family-spread) ---
+    # --- r4-only re-certification (4 of 45; family-spread) ---
     "flagship_segment_leaders",
     "n10_bbox_transform_chain",
-    "s5_blink_features",
     "minhash_lsh_near_dups",
     "simhash_hamming_near_dups",
-    "decontaminate_against_benchmark",
-    "dedup_cluster_assignments",
-    "text_bpe_token_count",
 )
 
 

@@ -410,3 +410,73 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch(c, False) for c in _STR_COLS
     ]
     return one.select(F.inline(F.array(*branches)))
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksums — the pipeline-integrity primitive: a
+# copy/migration/replay of a 100 TB table is validated by comparing one
+# 3-row result, never by re-reading both sides row-aligned. XOR of a
+# per-row portable hash is commutative/associative, so the aggregation is
+# map-side combinable and insensitive to partitioning, ordering, or file
+# layout; any single-row corruption flips the digest.
+# ---------------------------------------------------------------------------
+
+_CK = {
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus"),
+    "lineitem": ("l_orderkey", "l_linenumber", "l_suppkey"),
+    "customer": ("c_custkey", "c_nationkey", "c_mktsegment"),
+}
+
+
+def _ck_concat_sql(cols: tuple[str, ...]) -> str:
+    joined = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"('0x' || substr(md5({joined}), 1, 15))::BIGINT"
+
+
+_CHECKSUM_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{tbl}' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_ck_concat_sql(cols)}) AS BIGINT) AS checksum
+    FROM {tbl}
+    """
+    for tbl, cols in _CK.items()
+)
+
+
+@register(
+    "table_integrity_checksums",
+    oracle=_CHECKSUM_ORACLE,
+    tags=("integrity", "agg"),
+)
+def table_integrity_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksums of three catalog tables: row count + XOR-fold of
+    a 60-bit md5-prefix hash over the key columns (integers and enums
+    only — their string form is engine-identical, where float formatting
+    would not be). One map-only scan per table, three 1-row partial
+    aggregates, no shuffle of data rows at any scale — the cross-engine
+    hash match IS the demonstration that two independent systems computed
+    byte-equal digests of the same table."""
+    parts = []
+    for tbl, cols in _CK.items():
+        t = load_table(spark, sf_dir, tbl)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.bit_xor(h).cast("bigint").alias("checksum"),
+            ).select("tbl", "n_rows", "checksum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

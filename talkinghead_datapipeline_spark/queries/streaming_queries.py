@@ -407,3 +407,58 @@ def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_events_stream(spark, sf_dir, transform, "enrich")
+
+
+@register(
+    "streaming_sliding_event_counts",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    assigned AS (
+      SELECT unnest(generate_series(
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 90 MINUTE,
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               INTERVAL 30 MINUTE)) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM assigned, mx
+    WHERE window_start + INTERVAL 2 HOUR <= max_ts
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (2 h length, 30 min slide) on the streaming path —
+    the overlapping-window stateful class next to the tumbling and session
+    forms: each event updates 4 window states, append mode emits a window
+    when its END crosses the final watermark. The oracle assigns each
+    event to its 4 epoch-aligned windows with generate_series (Spark's
+    window() and DuckDB's time_bucket share the 1970-epoch grid) and
+    applies the same end ≤ max(ts) eviction cutoff. At scale state is
+    bounded by (windows in the watermark horizon) × (group keys), and the
+    per-event fan-out of 4 is map-side — the shuffle still keys on
+    (window, group)."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return (
+            ev.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", "2 hours", "30 minutes").alias("win"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "sum_value",
+            )
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "sliding")

@@ -1102,3 +1102,172 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_symbol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM cross-entropy — the shape of the CCNet/KenLM
+# perplexity filter: train n-gram statistics over the corpus, score every
+# document by its average negative log-probability, drop the tails. A real
+# deployment broadcasts a pre-trained LM; here the train pass and the score
+# pass run in one plan so the whole loop is certified.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_TOKS_SQL = r"string_split_regex(lower(text), '\s+')"
+_BIGRAM_PAIRS_SQL = f"""
+      SELECT doc_id,
+             unnest(list_transform(
+               range(2, len({_BIGRAM_TOKS_SQL}) + 1),
+               i -> struct_pack(w1 := {_BIGRAM_TOKS_SQL}[i - 1],
+                                w2 := {_BIGRAM_TOKS_SQL}[i]))) AS bg
+      FROM documents
+      WHERE length(text) > 0 AND len({_BIGRAM_TOKS_SQL}) >= 2
+"""
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH pairs AS ({_BIGRAM_PAIRS_SQL}),
+    doc_bg AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+    ),
+    bg_counts AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+      FROM doc_bg GROUP BY w1, w2
+    ),
+    uni_counts AS (
+      SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+      FROM doc_bg GROUP BY w1
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2(b.c12 / u.c1)), 6) AS cross_entropy
+    FROM doc_bg d
+    JOIN bg_counts b ON b.w1 = d.w1 AND b.w2 = d.w2
+    JOIN uni_counts u ON u.w1 = d.w1
+    GROUP BY d.doc_id
+"""
+
+
+@register("bigram_lm_doc_scores", oracle=_BIGRAM_LM_ORACLE, tags=("text", "quality", "lm"))
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus's own MLE bigram
+    model: H(doc) = avg(−log2 c(w1,w2)/c(w1)). Low scores flag boilerplate
+    (every bigram is corpus-frequent), high scores flag noise — the
+    perplexity-filter signal of CCNet-style cleaning.
+
+    Scale: the doc-bigram expansion is one map-side Generate; model
+    training is two wordcount aggregations over it; scoring re-joins
+    bigrams to the model on (w1, w2) — all shuffles key on n-gram values
+    (high cardinality, skew-tolerant), nothing collects. MLE is exact by
+    construction (every scored bigram exists in training), so no smoothing
+    constant muddies the oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower("text"), r"\s+")
+    pairs = (
+        rebalance_for_compute(docs)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(t)),"
+                    " i -> struct(t[i - 2] AS w1, t[i - 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bg_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    uni_counts = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    return (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(uni_counts, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("c12") / F.col("c1"))), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the retrieval-side text primitive
+# (sparse lexical indexing for mixed dense+sparse search pipelines).
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_BIGRAM_TOKS_SQL}) AS term
+      FROM documents WHERE length(text) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+          FROM documents WHERE length(text) > 0),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "retrieval"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    sklearn's convention). Wordcount-shaped: tf is a (doc, term) hash agg
+    off the keyed doc_id rebalance, df reduces tf (already term-keyed after
+    its shuffle), N is a 1-row broadcast, and the per-doc top-3 is a
+    rank-filter window that Spark executes as WindowGroupLimit — partial
+    top-k before the final shuffle, never a full per-doc sort at scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = rebalance_for_compute(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("score", 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -98,6 +98,10 @@ HEADLINE = (
     "bigram_lm_doc_scores",
     "tfidf_top_terms",
     "table_integrity_checksums",
+    "merge_upsert_latest",
+    "snapshot_diff_summary",
+    "bloom_filter_semi_join",
+    "equi_depth_deciles",
 )
 
 

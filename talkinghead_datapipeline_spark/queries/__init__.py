@@ -56,8 +56,8 @@ _MODULES = (
 # emb_label_centroids, whose r5 seat produced an error row (array output
 # crashed the driver canonicalizer; now flattened) — then the 17 stalest
 # entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round), then 4 of the 45 r4-only entries. The 41
-# r4-only entries that don't fit (streaming_hourly_event_counts,
+# code changed this round). The 45 r4-only entries no longer fit
+# (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
 # multimodal_binary_features, multimodal_image_channel_means,
 # flame_decode_landmarks,
@@ -74,11 +74,16 @@ _MODULES = (
 # text_quality_score, lang_id_heuristic, doc_fingerprint,
 # sim_lsh_bucket_topk, sim_brute_cosine_topk, s5_blink_features,
 # decontaminate_against_benchmark, dedup_cluster_assignments,
-# text_bpe_token_count) lead the
+# text_bpe_token_count, flagship_segment_leaders, n10_bbox_transform_chain,
+# minhash_lsh_near_dups, simhash_hamming_near_dups) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (24): new in round 6 + the r5 error row ---
+    # --- never driver-certified (28): new in round 6 + the r5 error row ---
+    "merge_upsert_latest",  # MERGE INTO (full-outer + 3-branch CASE)
+    "snapshot_diff_summary",  # dataset-version diff audit
+    "bloom_filter_semi_join",  # runtime bloom prefilter + fp certification
+    "equi_depth_deciles",  # boundary-discovery histogram
     "bigram_lm_doc_scores",  # corpus-trained LM cross-entropy filter
     "tfidf_top_terms",  # sparse lexical retrieval primitive
     "streaming_sliding_event_counts",  # overlapping-window stateful class
@@ -127,11 +132,6 @@ _DRIVER_PRIORITY = (
     "sim_ivf_trained_topk",  # persisted training corpus
     "streaming_purchase_view_join",  # shares the interval-join builder
     "gopher_repetition_signals",  # sibling of the coverage variant
-    # --- r4-only re-certification (4 of 45; family-spread) ---
-    "flagship_segment_leaders",
-    "n10_bbox_transform_chain",
-    "minhash_lsh_near_dups",
-    "simhash_hamming_near_dups",
 )
 
 

@@ -480,3 +480,42 @@ def table_integrity_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "equi_depth_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS total
+    FROM ranked GROUP BY decile
+    """,
+    tags=("profiling", "window", "histogram"),
+)
+def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order values — the feature-binning /
+    boundary-discovery pass (range-partitioner boundaries, monotone-feature
+    bucketing). ntile is deterministic under the (value, key) total order
+    on both engines. Scale note: a global ntile implies a total sort; the
+    production form samples boundaries (Spark's RangePartitioner does
+    exactly this) and bins map-side — this query certifies the exact
+    boundary semantics the sampled form approximates."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -680,3 +680,116 @@ def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias(_corr_name(x, y))
         )
     return sums.select(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning — the runtime-row-filter pattern (Spark's
+# InjectRuntimeFilter / Delta dynamic file pruning) made explicit and
+# certified: a k-hash Bloom membership test built from the portable md5
+# hash prunes the probe side BEFORE the expensive join, and the exact
+# semi-join quantifies the surviving false positives.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('bf{i}|' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    candidates AS (
+      SELECT p.key FROM probe p
+      WHERE {' AND '.join(
+          f"EXISTS (SELECT 1 FROM build b WHERE {_bloom_bucket_sql(i, 'b.key')}"
+          f" = {_bloom_bucket_sql(i, 'p.key')})" for i in range(_BLOOM_K))}
+    )
+    SELECT CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN b.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           round(sum(CASE WHEN b.key IS NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS fp_rate
+    FROM candidates c LEFT JOIN build b ON b.key = c.key
+"""
+
+
+def _bloom_bucket(i: int, key: Column) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@register("bloom_filter_semi_join", oracle=_BLOOM_ORACLE, tags=("join", "bloom", "scale"))
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter probe pruning, certified end to end: the build side
+    (BUILDING-segment customers) populates a k=3, m=1024 filter; the probe
+    side (distinct order custkeys) keeps only keys whose every hash bucket
+    is occupied; the exact semi-join then splits survivors into true
+    members vs false positives and reports the measured fp_rate.
+
+    Scale shape: each membership test is a broadcast LEFT SEMI join on a
+    precomputed bucket column — the build side collapses to ≤ m distinct
+    bucket values per hash (bounded by the filter size, NOT by build
+    cardinality), so the probe never shuffles; this is exactly what
+    Spark's runtime bloom filter injects, made explicit so the oracle can
+    replay it. The exact-verify join exists to certify the fp_rate and is
+    the part a production prefilter skips."""
+    cust = load_table(spark, sf_dir, "customer")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    cand = probe
+    for i in range(_BLOOM_K):
+        buckets = build.select(_bloom_bucket(i, F.col("key")).alias(f"b{i}")).distinct()
+        cand = cand.join(
+            F.broadcast(buckets),
+            _bloom_bucket(i, F.col("key")) == F.col(f"b{i}"),
+            "left_semi",
+        )
+    verified = cand.join(
+        build.withColumnRenamed("key", "bkey"),
+        cand.key == F.col("bkey"),
+        "left",
+    )
+    n_probe = probe.count()
+    return verified.agg(
+        F.lit(n_probe).cast("bigint").alias("n_probe"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("bkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(F.when(F.col("bkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(F.when(F.col("bkey").isNull(), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

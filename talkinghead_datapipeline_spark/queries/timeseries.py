@@ -513,3 +513,165 @@ def robust_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO semantics (Delta/Iceberg upsert) re-expressed as the
+# full-outer-join + CASE plan every lakehouse MERGE compiles to.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_latest",
+    oracle="""
+    WITH last_ev AS (
+      SELECT user_id, event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    base AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+    SELECT coalesce(b.key, c.user_id) AS key,
+           CASE WHEN b.key IS NULL THEN 'inserted'
+                WHEN c.user_id IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS action,
+           round(CASE WHEN c.user_id IS NULL THEN b.c_acctbal
+                      ELSE c.value END, 2) AS current_value
+    FROM base b
+    FULL OUTER JOIN last_ev c ON c.user_id = b.key
+    WHERE NOT (c.user_id IS NOT NULL AND c.event_type = 'error')
+    """,
+    tags=("cdc", "merge", "join"),
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with all three WHEN branches: the latest event per user
+    is an upsert against the customer base — matched 'error' rows DELETE,
+    other matches UPDATE the value, unmatched change keys INSERT, untouched
+    base rows pass through. Compiled the way Delta/Iceberg compile MERGE:
+    dedupe the source to one row per key (window argmax), one FULL OUTER
+    shuffle join on the key, CASE per branch — no per-branch rescans of
+    the (at 100 TB, huge) base. Deterministic source dedup via the
+    (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last_ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_acctbal"
+    )
+    j = base.join(last_ev, base.key == last_ev.user_id, "full_outer")
+    return j.filter(
+        ~(F.col("user_id").isNotNull() & (F.col("event_type") == "error"))
+    ).select(
+        F.coalesce("key", "user_id").alias("key"),
+        F.when(F.col("key").isNull(), "inserted")
+        .when(F.col("user_id").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+        F.round(
+            F.when(F.col("user_id").isNull(), F.col("c_acctbal")).otherwise(
+                F.col("value")
+            ),
+            2,
+        ).alias("current_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — dataset-versioning primitive: summarize added / removed /
+# changed / unchanged rows between two table versions without ever
+# materializing a row-aligned comparison. The second version is derived
+# in-query by deterministic hash rules so both engines diff identical
+# snapshots.
+# ---------------------------------------------------------------------------
+
+_SNAP_H = "('0x' || substr(md5('snap|' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20"
+
+
+@register(
+    "snapshot_diff_summary",
+    oracle=f"""
+    WITH v1 AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+    tagged AS (SELECT o_orderkey, o_totalprice, {_SNAP_H} AS h FROM orders),
+    v2 AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN h = 1 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS price
+      FROM tagged WHERE h <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS key, o_totalprice AS price
+      FROM tagged WHERE h = 2
+    )
+    SELECT CASE WHEN v1.key IS NULL THEN 'added'
+                WHEN v2.key IS NULL THEN 'removed'
+                WHEN v1.price <> v2.price THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(coalesce(v2.price, 0) - coalesce(v1.price, 0)), 2)
+             AS price_delta
+    FROM v1 FULL OUTER JOIN v2 ON v2.key = v1.key
+    GROUP BY 1
+    """,
+    tags=("versioning", "join", "agg"),
+)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two snapshot versions of orders (v2 = v1 with 1/20 of rows
+    deleted, 1/20 price-shifted, 1/20 re-inserted under new keys — all
+    md5-derived so the versions are engine-identical): one FULL OUTER join
+    on the key, classify per row, roll up counts and net price drift.
+    At 100 TB both sides are key-partitioned scans into a single shuffle
+    join; nothing is row-aligned or collected. This is the audit query a
+    versioned lakehouse runs between commits."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    tagged = orders.select("o_orderkey", "o_totalprice", h.alias("h"))
+    v2 = (
+        tagged.filter(F.col("h") != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(F.col("h") == 1, F.col("o_totalprice") + 1.5)
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionAll(
+            tagged.filter(F.col("h") == 2).select(
+                (F.col("o_orderkey") + 10_000_000).alias("key"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.key") == F.col("b.key"), "full_outer")
+    return (
+        j.select(
+            F.when(F.col("a.key").isNull(), "added")
+            .when(F.col("b.key").isNull(), "removed")
+            .when(F.col("a.price") != F.col("b.price"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            F.coalesce(F.col("b.price"), F.lit(0.0)).alias("p2"),
+            F.coalesce(F.col("a.price"), F.lit(0.0)).alias("p1"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("p2") - F.col("p1")), 2).alias("price_delta"),
+        )
+    )

@@ -102,6 +102,7 @@ HEADLINE = (
     "snapshot_diff_summary",
     "bloom_filter_semi_join",
     "equi_depth_deciles",
+    "recursive_cte_key_depths",
 )
 
 

@@ -163,3 +163,18 @@ def register_views(
     """Register every catalog table as a temp view for the SQL surface."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def persist_once(df: "DataFrame") -> "DataFrame":
+    """persist() unless this logical plan is already in the cache.
+
+    Query builders run repeatedly in one session (bench reps, test
+    suites); blindly re-persisting an identical plan makes CacheManager
+    log 'Asked to cache already cached data' every rep and re-plans the
+    lookup. storageLevel reflects the CacheManager's answer for THIS
+    plan, so checking it first is both silent and free."""
+    from pyspark import StorageLevel
+
+    if df.storageLevel == StorageLevel.NONE:
+        return df.persist()
+    return df

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.operators import dedup as D
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.similarity import cosine
@@ -521,8 +525,8 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("grams") - F.ceil(F.size("grams") * F.lit(0.8)).cast("int") + 1,
         )
         .withColumn("_pref", F.expr("slice(grams, 1, _plen)"))
-        .persist()
     )
+    g = persist_once(g)
     slim = g.select(
         "doc_id",
         "lang",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
 
 _DAMP = 0.85
@@ -121,8 +121,8 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then reuses it instead of re-shuffling the (big) edge side. The
     # fixture persist doubles as the 100 TB "materialize the edge list
     # once" step — PageRank reads edges _ITERS times.
-    edges = edges.repartition("src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    edges = persist_once(edges.repartition("src"))
+    nodes = persist_once(edges.select(F.col("src").alias("node")).distinct())
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
@@ -161,4 +161,51 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_x1000"), "node_kind", "node_key")
         .limit(20)
+    )
+
+
+@register(
+    "recursive_cte_key_depths",
+    oracle="""
+    WITH RECURSIVE walk(key, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT key, node // 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS root_depth,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(key) AS BIGINT) AS min_key,
+           CAST(max(key) AS BIGINT) AS max_key
+    FROM (SELECT key, max(depth) AS depth FROM walk GROUP BY key)
+    GROUP BY root_depth
+    """,
+    tags=("graph", "recursive", "sql"),
+)
+def recursive_cte_key_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the Spark side (new in Spark 4): walk every
+    customer key up the implicit binary tree (parent = key div 2) to the
+    root and histogram the path depths. Exercises the recursive-CTE
+    surface end to end — seed ∪ step fixpoint, integer-division parity
+    (`div` vs `//`), per-key max aggregation over the recursion — against
+    DuckDB's recursive CTE on identical SQL semantics. Depth is
+    O(log maxkey), so the fixpoint runs ~⌈log2 N⌉ rounds; each round is
+    one self-referencing projection, the same iteration shape as the
+    pointer-jumping components operator, but expressed declaratively."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(key, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_rcte
+          UNION ALL
+          SELECT key, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT CAST(depth AS BIGINT) AS root_depth,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(min(key) AS BIGINT) AS min_key,
+               CAST(max(key) AS BIGINT) AS max_key
+        FROM (SELECT key, max(depth) AS depth FROM walk GROUP BY key)
+        GROUP BY root_depth
+        """
     )

@@ -12,7 +12,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.queries import register
 
 
@@ -493,7 +497,7 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance before persist: every Lloyd assign is compute-dense HOF
     # cosine math, and the single-file fixture scan would otherwise pin
     # all of it to one task (no-op on many-split production inputs)
-    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).persist()
+    emb = persist_once(rebalance_for_compute(load_table(spark, sf_dir, "embeddings")))
     cent = _anchors(emb, _IVF_SEEDS).withColumnRenamed("anchors", "cents")
     for _ in range(2):
         # localCheckpoint: the 1-row centroid frame is consumed by the next

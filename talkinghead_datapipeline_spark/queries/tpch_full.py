@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
 
 
@@ -334,7 +334,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
     )
-    vals = vals.persist()
+    vals = persist_once(vals)
     threshold = vals.agg((F.avg("value") * 2.0).alias("_thresh"))
     return (
         vals.crossJoin(F.broadcast(threshold))
@@ -411,10 +411,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(F.sum(_rev()).alias("total_revenue"))
-        .persist()
+    revenue = persist_once(
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+            F.sum(_rev()).alias("total_revenue")
+        )
     )
     top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (

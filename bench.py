@@ -103,6 +103,8 @@ HEADLINE = (
     "bloom_filter_semi_join",
     "equi_depth_deciles",
     "recursive_cte_key_depths",
+    "range_frame_trailing_30min",
+    "session_funnel_conversion",
 )
 
 

@@ -76,11 +76,13 @@ _MODULES = (
 # decontaminate_against_benchmark, dedup_cluster_assignments,
 # text_bpe_token_count, flagship_segment_leaders, n10_bbox_transform_chain,
 # minhash_lsh_near_dups, simhash_hamming_near_dups, and the r1-certified
-# s8_savgol_exact_w7) lead the
+# s8_savgol_exact_w7, unpivot_part_measures, lag_delta_per_user) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (29): new in round 6 + the r5 error row ---
+    # --- never driver-certified (31): new in round 6 + the r5 error row ---
+    "range_frame_trailing_30min",  # event-time RANGE window frame
+    "session_funnel_conversion",  # sessionize → ordered funnel rollup
     "recursive_cte_key_depths",  # WITH RECURSIVE fixpoint (Spark 4 surface)
     "merge_upsert_latest",  # MERGE INTO (full-outer + 3-branch CASE)
     "snapshot_diff_summary",  # dataset-version diff audit
@@ -125,8 +127,6 @@ _DRIVER_PRIORITY = (
     "cube_flag_status",
     "grouping_sets_order_stats",
     "date_orders_by_month",
-    "unpivot_part_measures",
-    "lag_delta_per_user",
     # --- round-6 canaries: every query whose code changed this round ---
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "ngram_jaccard_near_dups",  # gram re-dedup after hashing

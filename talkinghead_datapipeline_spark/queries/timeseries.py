@@ -675,3 +675,158 @@ def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("p2") - F.col("p1")), 2).alias("price_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-TIME range window frame — the rolling-aggregate class the row-based
+# kernels (S6/S8) don't cover: "value in the trailing 30 minutes" must
+# follow the clock, not the row count, when event spacing is irregular.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_frame_trailing_30min",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_30min,
+           round(sum(value) OVER w, 2) AS sum_30min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "range-frame"),
+)
+def range_frame_trailing_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-minute rolling count/sum per user via a RANGE window
+    frame over event-time micros: every event aggregates all events whose
+    timestamp lies within [ts − 30 min, ts] — including same-timestamp
+    peers, which a ROWS frame would split arbitrarily. Both engines order
+    by the identical epoch-microsecond key, so frame boundaries are exact.
+    One shuffle on user_id + an in-partition sort; at 100 TB this is the
+    same single-exchange shape as every other per-key window — the range
+    frame costs a two-pointer sweep per partition, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30min"),
+        F.round(F.sum("value").over(w), 2).alias("sum_30min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis over sessions — the product-analytics composition:
+# sessionize, then test ORDERED stage progression (view → click →
+# purchase) inside each session.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_funnel_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    stages AS (
+      SELECT user_id, sid,
+             list_min(list(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END)) AS t1,
+             list(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS cts,
+             list(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pts
+      FROM sessions GROUP BY user_id, sid
+    ),
+    funnel AS (
+      SELECT t1,
+             list_min(list_filter(cts, x -> x > t1)) AS t2,
+             list_min(list_filter(pts,
+               x -> x > list_min(list_filter(cts, c -> c > t1)))) AS t3
+      FROM stages
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased,
+           round(sum(CASE WHEN t2 IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 / sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS view_to_click,
+           round(sum(CASE WHEN t3 IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 / sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS click_to_purchase
+    FROM funnel
+    """,
+    tags=("timeseries", "funnel", "session"),
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) within 30-min
+    gap sessions, rolled up to corpus conversion rates. Stage times fold
+    per session as conditional epoch-micro lists (one collect per session
+    — bounded by session length, the same state bound the streaming
+    session window carries), and the strictly-later constraints are array
+    HOFs over those lists: t2 = min{click > t1}, t3 = min{purchase > t2}.
+    Null propagation through the comparisons encodes funnel drop-off
+    identically on both engines. Shuffles: the sessionize window and the
+    (user, sid) aggregation share one user_id partitioning; the final
+    rollup is a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts", 1).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.withColumn("sid", F.sum("new_session").over(w2))
+    us = F.unix_micros("ts")
+    stages = sessions.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", us)
+        ).alias("cts"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("pts"),
+    )
+    t2 = F.array_min(F.filter("cts", lambda x: x > F.col("t1")))
+    funnel = stages.select(
+        "t1",
+        t2.alias("t2"),
+        F.array_min(
+            F.filter("pts", lambda x: x > t2)
+        ).alias("t3"),
+    )
+    n = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    nf = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1.0).otherwise(0.0))  # noqa: E731
+    return funnel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        n("t1").alias("n_viewed"),
+        n("t2").alias("n_clicked"),
+        n("t3").alias("n_purchased"),
+        F.round(nf("t2") / n("t1"), 6).alias("view_to_click"),
+        F.round(nf("t3") / n("t2"), 6).alias("click_to_purchase"),
+    )

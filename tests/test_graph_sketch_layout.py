@@ -164,3 +164,43 @@ def test_entropy_closed_forms(spark, tmp_path, text, n_tokens, n_types, entropy)
     assert out["n_tokens"] == n_tokens
     assert out["n_types"] == n_types
     assert out["entropy"] == pytest.approx(entropy, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Funnel ordering semantics (crafted corpus — the differential fixture may
+# never exercise an out-of-order stage)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_strict_stage_order(spark, tmp_path):
+    """A click BEFORE the first view and a purchase BEFORE the click must
+    not convert; later same-session stages must."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click(t0) view(t1) click(t2) purchase(t3) → full funnel
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=3), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase view click (purchase precedes click) → stops at click
+        (5, base, 2, "purchase", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (7, base + dt.timedelta(minutes=2), 2, "click", 1.0, "{}"),
+        # user 3: view only
+        (8, base, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = (
+        _SPECS["session_funnel_conversion"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert out["n_sessions"] == 3
+    assert out["n_viewed"] == 3
+    assert out["n_clicked"] == 2  # users 1 and 2
+    assert out["n_purchased"] == 1  # user 1 only

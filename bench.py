@@ -105,6 +105,7 @@ HEADLINE = (
     "recursive_cte_key_depths",
     "range_frame_trailing_30min",
     "session_funnel_conversion",
+    "weighted_topk_sample_es",
 )
 
 
@@ -130,6 +131,11 @@ def _reps_from_args() -> int:
 def main() -> None:
     reps = _reps_from_args()
     spark = get_spark(app_name="bench")
+    # Quiet the artifact tail: recursive-CTE plans emit a benign LogicalRDD
+    # name-remap WARN per fixpoint round, and stage-progress lines are
+    # already stripped by the driver. Failures still surface as exceptions
+    # and null the total (see below); nothing load-bearing is suppressed.
+    spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
 

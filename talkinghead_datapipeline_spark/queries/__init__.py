@@ -76,11 +76,14 @@ _MODULES = (
 # decontaminate_against_benchmark, dedup_cluster_assignments,
 # text_bpe_token_count, flagship_segment_leaders, n10_bbox_transform_chain,
 # minhash_lsh_near_dups, simhash_hamming_near_dups, and the r1-certified
-# s8_savgol_exact_w7, unpivot_part_measures, lag_delta_per_user) lead the
+# s8_savgol_exact_w7, unpivot_part_measures, lag_delta_per_user,
+# set_except_keys, cube_flag_status) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (31): new in round 6 + the r5 error row ---
+    # --- never driver-certified (33): new in round 6 + the r5 error row ---
+    "streaming_foreachbatch_upsert",  # foreachBatch keyed-merge sink class
+    "weighted_topk_sample_es",  # Efraimidis-Spirakis exact-k reservoir
     "range_frame_trailing_30min",  # event-time RANGE window frame
     "session_funnel_conversion",  # sessionize → ordered funnel rollup
     "recursive_cte_key_depths",  # WITH RECURSIVE fixpoint (Spark 4 surface)
@@ -122,9 +125,7 @@ _DRIVER_PRIORITY = (
     "topk_per_group",
     "s10_quantile_per_flag",
     "set_intersect_keys",
-    "set_except_keys",
     "rollup_nation_revenue",
-    "cube_flag_status",
     "grouping_sets_order_stats",
     "date_orders_by_month",
     # --- round-6 canaries: every query whose code changed this round ---

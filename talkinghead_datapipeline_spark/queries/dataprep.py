@@ -519,3 +519,59 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "weighted_topk_sample_es",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((('0x' || substr(md5('es|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT + 1.0) / 4294967297.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(es_key, 9) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+    tags=("sampling", "weighted", "topk"),
+)
+def weighted_topk_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis one-pass reservoir (IPL 2006): each row draws a
+    deterministic uniform u ∈ (0,1] from the portable md5 hash and ranks by
+    ln(u)/w (the log form of u^(1/w); weight = n_chars, so longer docs are
+    proportionally likelier) — the global top-k under that key IS a
+    weighted sample without replacement, unlike Bernoulli sampling
+    (weighted_sample_by_length), which only controls the EXPECTED size.
+
+    Scale: a map-only key computation + TakeOrderedAndProject top-k — no
+    shuffle of the corpus, no per-stratum sorts, and the reservoir merges
+    across partitions by construction (top-k of top-ks). The hash-derived
+    u makes the 'random' draw a pure function of doc_id, so both engines
+    select the identical sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u_plus = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1.0
+    ) / 4294967297.0
+    es_key = F.log(u_plus) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(es_key, 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -462,3 +462,72 @@ def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return _run_events_stream(spark, sf_dir, transform, "sliding")
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           value AS latest_value
+    FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "foreachBatch", "upsert"),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch UPSERT sink — the remaining Structured Streaming SINK
+    class (the others run append-mode writers): each micro-batch reduces to
+    the latest purchase per user and keyed-replaces into the parquet sink
+    (read → anti-join → union → atomic overwrite; at scale the body becomes
+    a Delta/Iceberg MERGE, same semantics). Under AvailableNow the final
+    sink state equals the batch argmax, which is exactly the oracle's
+    window argmax with the (ts DESC, event_id DESC) tiebreak — so the
+    driver certifies the whole stream → merge → sink → read-back loop, not
+    just a transformation."""
+    import tempfile
+
+    from talkinghead_datapipeline_spark.streaming.incremental import (
+        run_foreach_batch_upsert,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    work = tempfile.mkdtemp(prefix="thdp_stream_upsert_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(table_path(sf_dir, "events"), os.path.join(src, "events.parquet"))
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+
+    def transform(batch: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as W
+
+        ev = _events_stream_transform_base(batch).filter(
+            F.col("event_type") == "purchase"
+        )
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("value").alias("latest_value"),
+            )
+        )
+
+    run_foreach_batch_upsert(
+        spark,
+        source_dir=src,
+        schema=schema,
+        transform=transform,
+        sink_path=sink,
+        checkpoint_dir=ckpt,
+        key="user_id",
+    )
+    return spark.read.parquet(sink)

@@ -553,3 +553,38 @@ def test_ngram_exact_join_reuses_persisted_grams(spark, sf_dir):
     # FileScan counts are not meaningful here — the cache-scan count is)
     plan = _plan(spark, sf_dir, "ngram_jaccard_exact_pairs")
     assert plan.count("InMemoryTableScan") == 4
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 must run as WindowGroupLimit (partial top-k before
+    the final shuffle), never a full per-doc sort of every (doc, term)."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "tfidf_top_terms")
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD-2 is one window pass: exactly one Exchange (the user_id hash
+    partitioning) — a second would mean the lead/row_number windows split."""
+    plan = _plan(spark, sf_dir, "scd2_user_value_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_frame_single_exchange(spark, sf_dir):
+    """The event-time RANGE frame is the same single-exchange shape as any
+    per-key window: one user_id hash partitioning, both aggs in one pass."""
+    plan = _plan(spark, sf_dir, "range_frame_trailing_30min")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_weighted_es_sample_is_map_only_topk(spark, sf_dir):
+    """Efraimidis-Spirakis selection must be map-only + TakeOrdered: a
+    shuffle or global sort would defeat the reservoir's merge property."""
+    plan = _plan(spark, sf_dir, "weighted_topk_sample_es")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_entropy_single_shuffle(spark, sf_dir):
+    """The keyed doc_id rebalance must satisfy BOTH the (doc, tok) count
+    and the per-doc window/rollup: one hash exchange total."""
+    plan = _plan(spark, sf_dir, "text_unigram_entropy")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

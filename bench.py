@@ -106,6 +106,7 @@ HEADLINE = (
     "range_frame_trailing_30min",
     "session_funnel_conversion",
     "weighted_topk_sample_es",
+    "pmi_top_collocations",
 )
 
 

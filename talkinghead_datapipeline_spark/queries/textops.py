@@ -1271,3 +1271,93 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — the phrase-discovery pass (multi-word expression
+# detection for tokenizer vocabularies and corpus analytics).
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = f"""
+    WITH pairs AS ({_BIGRAM_PAIRS_SQL}),
+    doc_bg AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+    bg_counts AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+      FROM doc_bg GROUP BY w1, w2
+    ),
+    toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS u FROM toks GROUP BY w),
+    meta AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM doc_bg) AS n_bg,
+             (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS n_tok
+    )
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS n_pair,
+           round(log2(b.c12 * m.n_tok * m.n_tok
+                      / (m.n_bg * u1.u * u2.u)), 6) AS pmi
+    FROM bg_counts b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN meta m
+    WHERE b.c12 >= 5
+    ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 20
+"""
+
+
+@register("pmi_top_collocations", oracle=_PMI_ORACLE, tags=("text", "collocation"))
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (pmi = log2(p(w1,w2) / p(w1)p(w2)), min support 5) — the
+    phrase-mining pass that feeds multi-word vocabulary entries. Same
+    wordcount skeleton as bigram_lm_doc_scores (bigram counts + unigram
+    counts + two n-gram-keyed joins + 1-row broadcast totals), finished
+    by TakeOrderedAndProject — no global sort, no collect."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks_arr = F.split(F.lower("text"), r"\s+")
+    pairs = (
+        rebalance_for_compute(docs)
+        .select(toks_arr.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(t)),"
+                    " i -> struct(t[i - 2] AS w1, t[i - 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    toks = docs.select(F.explode(toks_arr).alias("w"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("u"))
+    meta = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_bg")).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    )
+    return (
+        bg_counts.filter(F.col("c12") >= 5)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u", "u1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u", "u2"), "w2")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log2(
+                    F.col("c12")
+                    * F.col("n_tok")
+                    * F.col("n_tok")
+                    / (F.col("n_bg") * F.col("u1") * F.col("u2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

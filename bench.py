@@ -107,6 +107,8 @@ HEADLINE = (
     "session_funnel_conversion",
     "weighted_topk_sample_es",
     "pmi_top_collocations",
+    "source_mixture_manifest",
+    "incremental_dedup_against_index",
 )
 
 

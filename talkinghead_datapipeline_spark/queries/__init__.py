@@ -77,11 +77,14 @@ _MODULES = (
 # text_bpe_token_count, flagship_segment_leaders, n10_bbox_transform_chain,
 # minhash_lsh_near_dups, simhash_hamming_near_dups, and the r1-certified
 # s8_savgol_exact_w7, unpivot_part_measures, lag_delta_per_user,
-# set_except_keys, cube_flag_status, date_orders_by_month) lead the
+# set_except_keys, cube_flag_status, date_orders_by_month,
+# rollup_nation_revenue, grouping_sets_order_stats) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (34): new in round 6 + the r5 error row ---
+    # --- never driver-certified (36): new in round 6 + the r5 error row ---
+    "source_mixture_manifest",  # data-mixing rates + achieved composition
+    "incremental_dedup_against_index",  # asymmetric daily-crawl LSH probe
     "pmi_top_collocations",  # phrase mining (PMI, min-support 5)
     "streaming_foreachbatch_upsert",  # foreachBatch keyed-merge sink class
     "weighted_topk_sample_es",  # Efraimidis-Spirakis exact-k reservoir
@@ -126,8 +129,6 @@ _DRIVER_PRIORITY = (
     "topk_per_group",
     "s10_quantile_per_flag",
     "set_intersect_keys",
-    "rollup_nation_revenue",
-    "grouping_sets_order_stats",
     # --- round-6 canaries: every query whose code changed this round ---
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "ngram_jaccard_near_dups",  # gram re-dedup after hashing

@@ -575,3 +575,119 @@ def weighted_topk_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture manifest — the data-mixing pass (Pile/Dolma style):
+# given target MIXTURE WEIGHTS over a partition key and a token budget,
+# derive per-group sampling rates and a deterministic doc selection, then
+# report achieved vs target composition.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+_MIX_BUDGET_FRAC = 0.5  # token budget = half the corpus
+
+_MIX_W_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0.0 END"
+)
+_MIX_U_SQL = (
+    "(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+_MIX_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+             {_MIX_U_SQL} AS u
+      FROM documents WHERE length(text) > 0
+    ),
+    avail AS (
+      SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS avail_tok
+      FROM toks GROUP BY lang
+    ),
+    budget AS (
+      SELECT sum(avail_tok) * {_MIX_BUDGET_FRAC} AS b FROM avail
+    ),
+    rates AS (
+      SELECT lang, avail_tok,
+             ({_MIX_W_SQL.replace('lang', 'a.lang')}) * b.b AS target_tok,
+             least(1.0, ({_MIX_W_SQL.replace('lang', 'a.lang')}) * b.b
+                        / avail_tok) AS rate
+      FROM avail a CROSS JOIN budget b
+    ),
+    sel AS (
+      SELECT t.lang, t.n_tok, r.avail_tok, r.target_tok, r.rate,
+             CASE WHEN t.u < r.rate THEN 1 ELSE 0 END AS keep
+      FROM toks t JOIN rates r ON r.lang = t.lang
+    )
+    SELECT lang,
+           CAST(max(avail_tok) AS BIGINT) AS avail_tokens,
+           CAST(round(max(target_tok), 0) AS BIGINT) AS target_tokens,
+           round(max(rate), 6) AS rate,
+           CAST(sum(keep) AS BIGINT) AS selected_docs,
+           CAST(sum(keep * n_tok) AS BIGINT) AS selected_tokens
+    FROM sel GROUP BY lang
+"""
+
+
+@register("source_mixture_manifest", oracle=_MIX_ORACLE, tags=("sampling", "mixture"))
+def source_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling manifest: fixed target weights per language and a
+    token budget of half the corpus → per-language rate = min(1,
+    weight·budget / available), docs kept when their deterministic
+    md5-uniform falls under the rate. Reports available/target/selected
+    tokens per language — the audit row a data-mixing stage emits before a
+    training run.
+
+    Scale: pass 1 is a per-group token-count agg (broadcastable — group
+    count is the number of SOURCES, not rows); pass 2 is a map-only keep
+    decision against the broadcast rate table. Nothing global sorts;
+    selection is a pure function of doc_id so re-runs and engines agree
+    row-for-row. Rates cap at 1.0 — an under-supplied language simply
+    contributes everything it has (visible as selected < target in the
+    manifest), the standard upsampling-free mixture semantics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(0.0)
+    for k, v in _MIX_WEIGHTS.items():
+        w = F.when(F.col("lang") == k, F.lit(v)).otherwise(w)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+        u.alias("u"),
+    )
+    avail = toks.groupBy("lang").agg(
+        F.sum("n_tok").cast("double").alias("avail_tok")
+    )
+    budget = avail.agg((F.sum("avail_tok") * _MIX_BUDGET_FRAC).alias("b"))
+    rates = avail.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "avail_tok",
+        (w * F.col("b")).alias("target_tok"),
+        F.least(F.lit(1.0), w * F.col("b") / F.col("avail_tok")).alias("rate"),
+    )
+    sel = toks.join(F.broadcast(rates), "lang").withColumn(
+        "keep", F.when(F.col("u") < F.col("rate"), 1).otherwise(0)
+    )
+    return sel.groupBy("lang").agg(
+        F.max("avail_tok").cast("bigint").alias("avail_tokens"),
+        F.round(F.max("target_tok"), 0).cast("bigint").alias("target_tokens"),
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.sum("keep").cast("bigint").alias("selected_docs"),
+        F.sum(F.col("keep") * F.col("n_tok")).cast("bigint").alias(
+            "selected_tokens"
+        ),
+    )

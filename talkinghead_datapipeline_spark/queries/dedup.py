@@ -978,3 +978,113 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against an EXISTING index — the production crawl shape:
+# yesterday's corpus is already signed and banded (the "index"); today's
+# batch is checked against it asymmetrically (batch bands probe the index,
+# the index is never rescanned against itself).
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 250  # doc_id < 250 → index, >= 250 → incoming batch
+
+_INC_DEDUP_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id, {_SIG_COLS_SQL}
+      FROM sh WHERE len(grams) >= 1
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, {_band_sql(b)} AS band_key FROM sigs"
+          for b in range(_N_BANDS))}
+    ),
+    index_bands AS (
+      SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id < {_INC_SPLIT}
+    ),
+    batch_bands AS (
+      SELECT doc_id, band_idx, band_key FROM bands WHERE doc_id >= {_INC_SPLIT}
+    ),
+    hits AS (
+      SELECT b.doc_id, count(DISTINCT b.band_idx) AS matched_bands
+      FROM batch_bands b
+      JOIN index_bands i
+        ON i.band_idx = b.band_idx AND i.band_key = b.band_key
+      GROUP BY b.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(h.matched_bands, 0) AS BIGINT) AS matched_bands,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM sigs s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    WHERE s.doc_id >= {_INC_SPLIT}
+"""
+
+
+@register(
+    "incremental_dedup_against_index",
+    oracle=_INC_DEDUP_ORACLE,
+    tags=("dedup", "minhash", "incremental"),
+)
+def incremental_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC LSH dedup: flag each incoming-batch document (doc_id ≥
+    250) whose MinHash band signature collides with the existing corpus
+    index (doc_id < 250) — the daily-crawl increment that never re-pairs
+    the index against itself (unlike minhash_lsh_near_dups' symmetric
+    self-join).
+
+    Scale: the index side reduces to DISTINCT (band_idx, band_key) rows —
+    in production a persisted table maintained by E7-style incremental
+    append — and the probe is a semi-join-shaped equi-join keyed on the
+    band, shuffling only the (small) daily batch plus the band index.
+    State grows with corpus bands, not corpus text; the band index for
+    10^10 docs is 2·10^10 short rows, a routine bucketed table."""
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", D.hashed_shingles(F.col("text")).alias("_g")
+    ).filter(F.size("_g") >= 1)
+    sig = D.minhash_sig_from_hashes(F.col("_g"))
+    sigs = sh.select(
+        "doc_id",
+        *[F.element_at(sig, k + 1).alias(f"mh{k}") for k in range(D.N_PERM)],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), D.band_key(b).alias("band_key")
+                    )
+                    for b in range(D.N_PERM // D.BAND_WIDTH)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_key")
+    index_bands = (
+        bands.filter(F.col("doc_id") < _INC_SPLIT)
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    batch_bands = bands.filter(F.col("doc_id") >= _INC_SPLIT)
+    hits = (
+        batch_bands.join(index_bands, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band_idx").alias("matched_bands"))
+    )
+    return (
+        sigs.filter(F.col("doc_id") >= _INC_SPLIT)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("matched_bands", F.lit(0)).cast("bigint").alias(
+                "matched_bands"
+            ),
+            F.when(F.col("matched_bands").isNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("is_dup"),
+        )
+    )

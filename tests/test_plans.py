@@ -32,6 +32,7 @@ _NESTED_LOOP_OK = {
     "sim_sq8_quant_topk",  # 1-row broadcast codec bounds + query vector
     "tfidf_top_terms",  # 1-row broadcast corpus-size (N) crossJoin
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
+    "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",
     "sim_ivf_trained_topk",  # nprobe=2 membership probe vs 1-row broadcast
     "sim_pq_adc_topk",  # 1-row broadcast codebook + query crossJoins

@@ -78,11 +78,12 @@ _MODULES = (
 # minhash_lsh_near_dups, simhash_hamming_near_dups, and the r1-certified
 # s8_savgol_exact_w7, unpivot_part_measures, lag_delta_per_user,
 # set_except_keys, cube_flag_status, date_orders_by_month,
-# rollup_nation_revenue, grouping_sets_order_stats) lead the
+# rollup_nation_revenue, grouping_sets_order_stats, topk_per_group) lead the
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (36): new in round 6 + the r5 error row ---
+    # --- never driver-certified (37): new in round 6 + the r5 error row ---
+    "streaming_purchase_view_full",  # both-sides watermark-expiry emission
     "source_mixture_manifest",  # data-mixing rates + achieved composition
     "incremental_dedup_against_index",  # asymmetric daily-crawl LSH probe
     "pmi_top_collocations",  # phrase mining (PMI, min-support 5)
@@ -126,7 +127,6 @@ _DRIVER_PRIORITY = (
     "e7_memoization_anti",
     "n7_argmax_per_group",
     "n11_group_extent",
-    "topk_per_group",
     "s10_quantile_per_flag",
     "set_intersect_keys",
     # --- round-6 canaries: every query whose code changed this round ---

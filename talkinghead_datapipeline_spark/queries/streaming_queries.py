@@ -531,3 +531,75 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         key="user_id",
     )
     return spark.read.parquet(sink)
+
+
+@register(
+    "streaming_purchase_view_full",
+    oracle="""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'view'))) * 1000) AS w
+    ),
+    matched AS (
+      SELECT p.user_id AS any_user_id,
+             p.event_id AS purchase_id,
+             v.event_id AS view_id,
+             CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    ),
+    p_unmatched AS (
+      SELECT p.user_id AS any_user_id, p.event_id AS purchase_id,
+             CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS gap_us
+      FROM events p, wm
+      WHERE p.event_type = 'purchase' AND p.ts < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts)
+    ),
+    v_unmatched AS (
+      -- view-side expiry: a view's join horizon reaches forward to
+      -- p_ts = v_ts + 30min, so its state row expires — emitting the
+      -- purchase-null row — only when v_ts + 30min < W, STRICTLY
+      -- (the view whose horizon equals W is withheld; pinned by
+      -- tests/test_skew_and_stateful.py on a crafted corpus)
+      SELECT v.user_id AS any_user_id, CAST(NULL AS BIGINT) AS purchase_id,
+             v.event_id AS view_id, CAST(NULL AS BIGINT) AS gap_us
+      FROM events v, wm
+      WHERE v.event_type = 'view' AND v.ts + INTERVAL 30 MINUTE < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM p_unmatched
+    UNION ALL SELECT * FROM v_unmatched
+    """,
+    tags=("streaming", "join", "watermark", "outer"),
+)
+def streaming_purchase_view_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER watermarked stream-stream join — both sides' expiry
+    emissions: unmatched purchases null-pad when p_ts < W (same boundary
+    as the left-outer form), unmatched views null-pad when their FORWARD
+    join horizon clears the watermark, v_ts + 30min < W strictly — the
+    asymmetry (no +30min on the purchase side) falls straight out of the
+    interval predicate v_ts ∈ [p_ts − 30min, p_ts]: purchases look
+    backward, views look forward. Both boundaries empirically pinned on a
+    crafted corpus with rows AT the watermark. State bounds are identical
+    to the inner/left forms — full outer changes only WHEN withheld rows
+    surface, not what is kept."""
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return _purchase_view_join(ev, "fullOuter").select(
+            F.coalesce("user_id", "v_user_id").alias("any_user_id"),
+            "purchase_id",
+            "view_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+
+    return _run_events_stream(spark, sf_dir, transform, "ssfull")

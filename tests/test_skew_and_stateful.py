@@ -218,3 +218,79 @@ def test_stream_left_outer_null_emission_watermark_boundary(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssleft_boundary").collect()
     }
     assert got == {(1, 100), (3, None)}, got
+
+
+def test_full_outer_view_expiry_boundary_is_strict(spark, tmp_path):
+    """Pin the full-outer view-side emission boundary on a crafted corpus:
+    a view whose forward horizon (v_ts + 30min) is strictly below the
+    final watermark W = min(max purchase ts, max view ts) emits its
+    purchase-null row; the view whose horizon EQUALS W is withheld in
+    state. (The oracle of streaming_purchase_view_full encodes exactly
+    this.)"""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from talkinghead_datapipeline_spark.queries.streaming_queries import (
+        _events_stream_transform_base,
+        _purchase_view_join,
+    )
+    from talkinghead_datapipeline_spark.streaming.incremental import (
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1 has no purchases: every view is potentially unmatched
+        (1, base + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),  # horizon == W
+        (2, base + dt.timedelta(minutes=30, seconds=-1), 1, "view", 1.0, "{}"),  # horizon < W
+        (3, base + dt.timedelta(minutes=60), 1, "view", 1.0, "{}"),  # sets view max → W
+        # user 2's late purchase sets max purchase ts (above W)
+        (4, base + dt.timedelta(minutes=90), 2, "purchase", 1.0, "{}"),
+        # user 3: one matched pair (emits in the processing batch)
+        (5, base, 3, "view", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=5), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    tmpp = str(tmp_path / "tmpp")
+    df.coalesce(1).write.parquet(tmpp)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(glob.glob(tmpp + "/part-*.parquet")[0], src + "/events.parquet")
+    schema = spark.read.parquet(src + "/events.parquet").schema
+
+    def transform(ev):
+        return _purchase_view_join(
+            _events_stream_transform_base(ev), "fullOuter"
+        ).select(
+            F.coalesce("user_id", "v_user_id").alias("any_user_id"),
+            "purchase_id",
+            "view_id",
+        )
+
+    run_available_now(
+        spark,
+        source_dir=src,
+        schema=schema,
+        transform=transform,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {
+        (r["any_user_id"], r["purchase_id"], r["view_id"])
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert got == {
+        (3, 6, 5),  # matched pair, emitted in its micro-batch
+        (1, None, 2),  # horizon strictly below W → purchase-null emitted
+        # view 1 (horizon == W), view 3 (horizon > W), purchase 4 (> W):
+        # all withheld in state at stream end
+    }

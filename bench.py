@@ -109,6 +109,13 @@ HEADLINE = (
     "pmi_top_collocations",
     "source_mixture_manifest",
     "incremental_dedup_against_index",
+    "bm25_topk_docs",
+    "substring_dup_coverage",
+    "ewma_user_values",
+    "gap_fill_hourly",
+    "triangle_count_copart",
+    "winsorized_price_stats",
+    "approx_quantiles_certified",
 )
 
 

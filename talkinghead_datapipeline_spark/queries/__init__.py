@@ -120,15 +120,20 @@ _DRIVER_PRIORITY = (
     "sim_ivfpq_topk",  # IVF-PQ composite (cell-pruned ADC search)
     "cms_heavy_hitters",  # count-min sketch certified vs exact counts
     "emb_label_centroids",  # r5 red row; output flattened to scalar rows
-    # --- stalest: r1-only driver rows (17) ---
+    "bm25_topk_docs",  # Okapi BM25 query-side ranking (map-only + 1-row agg)
+    "substring_dup_coverage",  # Lee et al. ExactSubstr coverage (k=8 grams)
+    "ewma_user_values",  # truncated-FIR EWMA (pandas ewm adjust=True)
+    "gap_fill_hourly",  # dense hour spine + ignore-nulls forward fill
+    "triangle_count_copart",  # oriented 2-path triangle counting
+    "winsorized_price_stats",  # p01/p99 percentile clipping
+    "approx_quantiles_certified",  # GK sketch rank-error contract checked
+    # --- stalest r1-only seat that still fits (the other seven r1-only
+    # keys — e3_key_intersection_semi, e6_exists_filter, e7_memoization_anti,
+    # n7_argmax_per_group, n11_group_extent, s10_quantile_per_flag,
+    # set_intersect_keys — yield to the seven new never-certified operators
+    # above and lead the r7 rotation; never-certified beats stale-certified
+    # per the pinned policy) ---
     "e2_name_derivation",
-    "e3_key_intersection_semi",
-    "e6_exists_filter",
-    "e7_memoization_anti",
-    "n7_argmax_per_group",
-    "n11_group_extent",
-    "s10_quantile_per_flag",
-    "set_intersect_keys",
     # --- round-6 canaries: every query whose code changed this round ---
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "ngram_jaccard_near_dups",  # gram re-dedup after hashing

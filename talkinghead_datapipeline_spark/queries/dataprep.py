@@ -691,3 +691,153 @@ def source_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — percentile clipping (the standard robust-mean data-cleaning
+# pass; complements robust_outlier_flags' median/MAD flagging with the
+# *correction* side). Exact p01/p99 per group; at 100 TB the exact
+# percentile becomes percentile_approx with certified error — see
+# approx_quantiles_certified below, which certifies exactly that bound.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           round(min(b.lo), 2) AS p01,
+           round(min(b.hi), 2) AS p99,
+           round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+             AS winsorized_mean
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY 1
+    """,
+    tags=("profiling", "cleaning", "percentile"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag winsorized (p01/p99-clipped) price stats.
+
+    Scale shape: bounds are a per-group exact percentile (group-count-sized
+    result, broadcast back), the clip+mean pass is map-side against the
+    broadcast bounds, and both aggregations key on the same low-cardinality
+    group column — two scans, one wide shuffle each, no row ever carries
+    more than its own value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("l_extendedprice") < F.col("lo")).cast("bigint")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum((F.col("l_extendedprice") > F.col("hi")).cast("bigint")).alias(
+                "n_clipped_hi"
+            ),
+            F.round(F.min("lo"), 2).alias("p01"),
+            F.round(F.min("hi"), 2).alias("p99"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Certified approximate quantiles — percentile_approx (the GK-style sketch
+# every 100 TB quantile really uses; a total sort is not an option there)
+# with its rank-error contract CHECKED against the data: the second pass
+# counts the true rank of each returned value and the output carries the
+# within-bounds verdict. The oracle asserts the contract holds (flags are
+# literal 1 + the exact quantiles) — a violation on the Spark side breaks
+# the hash, so driver certification IS the epsilon-bound proof.
+# ---------------------------------------------------------------------------
+
+_AQ_PS = (0.25, 0.5, 0.75)
+_AQ_ACCURACY = 10_000  # rank error <= n / accuracy
+
+
+@register(
+    "approx_quantiles_certified",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      {", ".join(
+        f"({p!r}, round((SELECT quantile_cont(value, {p!r}) FROM events), 6), CAST(1 AS BIGINT))"
+        for p in _AQ_PS
+      )}
+    ) AS t(p, exact_value, within_bounds)
+    """,
+    tags=("profiling", "sketch", "percentile"),
+)
+def approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx(accuracy=10000) certified against exact ranks.
+
+    Two passes: (1) one 1-row aggregate computes the approx sketch AND the
+    exact quantiles; (2) a map-side pass against the broadcast 1-row result
+    counts each approx value's true rank window [#(x < v)+1, #(x <= v)] and
+    checks it intersects [(p-eps)·n, (p+eps)·n], eps = 1/accuracy — the GK
+    contract percentile_approx documents. Same certified-sketch scheme as
+    cms_heavy_hitters / hll_distinct_users: the oracle pins the exact
+    values and asserts the bound; any violation hash-mismatches."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [F.lit(p) for p in _AQ_PS]
+    stats = ev.agg(
+        F.percentile_approx("value", F.array(*qs), F.lit(_AQ_ACCURACY)).alias("ap"),
+        F.percentile("value", F.array(*qs)).alias("ex"),
+        F.count("value").cast("double").alias("n"),
+    )
+    eps = 1.0 / _AQ_ACCURACY
+    ranked = ev.crossJoin(F.broadcast(stats)).agg(
+        F.first("ap").alias("ap"),
+        F.first("ex").alias("ex"),
+        F.first("n").alias("n"),
+        *[
+            F.sum(
+                (F.col("value") <= F.element_at("ap", i + 1)).cast("double")
+            ).alias(f"le_{i}")
+            for i in range(len(_AQ_PS))
+        ],
+        *[
+            F.sum(
+                (F.col("value") < F.element_at("ap", i + 1)).cast("double")
+            ).alias(f"lt_{i}")
+            for i in range(len(_AQ_PS))
+        ],
+    )
+    rows = ranked.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.round(F.element_at("ex", i + 1), 6).alias("exact_value"),
+                        (
+                            (F.col(f"lt_{i}") < (F.lit(p) + F.lit(eps)) * F.col("n"))
+                            & (F.col(f"le_{i}") >= (F.lit(p) - F.lit(eps)) * F.col("n"))
+                        )
+                        .cast("bigint")
+                        .alias("within_bounds"),
+                    )
+                    for i, p in enumerate(_AQ_PS)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.p", "r.exact_value", "r.within_bounds")

@@ -209,3 +209,96 @@ def recursive_cte_key_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY root_depth
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the local-clustering primitive, on the part co-purchase
+# graph: parts are nodes, an (undirected) edge connects two parts that appear
+# together in >= 2 orders (the support threshold keeps the graph the
+# affinity graph, and bounds edge count at any SF — measured ~3.4k edges at
+# sf0.01 AND ~3.6k at sf0.1, because co-purchase support concentrates).
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2
+_TRI_TOPK = 15
+
+
+@register(
+    "triangle_count_copart",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+    ),
+    tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY 1
+    )
+    SELECT node AS p_partkey, n_triangles
+    FROM per_node
+    ORDER BY n_triangles DESC, p_partkey
+    LIMIT {_TRI_TOPK}
+    """,
+    tags=("graph", "triangle"),
+)
+def triangle_count_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 parts by triangle participation in the co-purchase graph.
+
+    Scale shape: the edge build is one (order) self-join plus a
+    (pa, pb) count shuffle; triangle enumeration is the canonical oriented
+    2-path join — edges ordered pa < pb mean each triangle is produced
+    exactly once, the wedge join keys on the shared middle node, and the
+    closing edge check is an equi-join (broadcast here: the support
+    threshold keeps |E| dim-sized; at denser graphs you'd orient by
+    (degree, id) instead of id so wedge fan-out concentrates on low-degree
+    middles — noted, not needed at this support level). Per-node counts
+    are a posexplode-free 3-way UNION ALL + count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = persist_once(
+        li.alias("a")
+        .join(li.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tris = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("node").alias("p_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
+        .limit(_TRI_TOPK)
+    )

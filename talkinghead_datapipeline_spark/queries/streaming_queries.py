@@ -603,3 +603,4 @@ def streaming_purchase_view_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_events_stream(spark, sf_dir, transform, "ssfull")
+

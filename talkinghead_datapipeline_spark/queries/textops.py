@@ -1361,3 +1361,239 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — the classic sparse lexical ranking function
+# (Robertson & Walker, Okapi BM25; the baseline TF-IDF's big sibling and the
+# standard hard-negative miner in training-data retrieval stacks). A fixed
+# 4-term query is scored against every document: corpus stats (N, avgdl, per-
+# term df) collapse to ONE broadcastable 1-row aggregate, per-doc tf comes
+# from a map-only array filter (no explode, no per-token shuffle), and the
+# result is a TakeOrderedAndProject top-10 — the whole plan is one scan, one
+# 1-row agg, zero wide shuffles, which is exactly the 100 TB shape.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1.0 ELSE 0.0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    # Left-assoc 4-term sum, each term written with the same association
+    # order as the Spark expression so both engines hit identical doubles.
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * {_BM25_K1 + 1.0!r})"
+        f" / (tf_{t} + {_BM25_K1!r} * (1.0 - {_BM25_B!r} + {_BM25_B!r} * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+      FROM tf
+    )
+    SELECT doc_id, round({score}, 6) AS bm25_score
+    FROM tf CROSS JOIN stats
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("bm25_topk_docs", oracle=_bm25_oracle(), tags=("text", "retrieval"))
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-10 docs for a fixed 4-term query.
+
+    Scale shape: per-doc term frequencies are map-only array filters (no
+    explode), corpus stats (N, avgdl, df per query term) are ONE 1-row
+    aggregate broadcast back via crossJoin, scoring is a pure column
+    expression, and the top-10 is TakeOrderedAndProject — so a 100 TB corpus
+    costs one scan plus a driver-sized reduction, with no shuffle keyed on
+    anything document-shaped. Complements `tfidf_top_terms` (per-doc top
+    terms) with the query-side ranking direction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            # NB: the lambda must be unary — a second Python parameter would
+            # make Spark bind it as the (element, index) form.
+            F.size(F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("double")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1.0).otherwise(0.0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{t}") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup coverage (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass): a token
+# position is duplicated if ANY k-token window covering it occurs elsewhere
+# in the corpus (any doc, any position — unlike the Gopher coverage variant,
+# duplication here is CORPUS-global, not within-doc). The reference paper
+# uses a suffix array; the distributed re-expression is k-gram anchoring:
+# every duplicated >= k-token substring is exactly a run of duplicated
+# k-grams, so per-position coverage by duplicated k-grams reproduces the
+# suffix-array answer for spans >= k.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+_SUBSTR_H = "('0x' || substr(md5(gram), 1, 8))::BIGINT"
+
+
+def _substr_dup_oracle() -> str:
+    k = _SUBSTR_K
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(list_aggregate(toks[CAST(i AS INT):CAST(i + {k} - 1 AS INT)],
+                                                'string_agg', ' ')), 1, 8))::BIGINT AS gh
+      FROM (SELECT doc_id, toks,
+                   CAST(unnest(range(1, len(toks) - {k} + 2)) AS BIGINT) AS i
+            FROM base
+            WHERE len(toks) >= {k})
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT g.doc_id,
+             list_distinct(flatten(list(range(g.i, g.i + {k})))) AS covered
+      FROM grams g JOIN dup d ON g.gh = d.gh
+      GROUP BY g.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_toks,
+           CAST(coalesce(len(c.covered), 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(len(c.covered), 0) AS DOUBLE) / len(b.toks), 6)
+             AS dup_token_frac
+    FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+    """
+
+
+@register(
+    "substring_dup_coverage",
+    oracle=_substr_dup_oracle(),
+    tags=("text", "dedup", "coverage"),
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token coverage under corpus-global exact-substring
+    duplication (Lee et al. 2022 ExactSubstr, k=8 tokens): a position is
+    covered when any 8-gram spanning it occurs >= 2 times anywhere in the
+    corpus (including elsewhere in the same doc).
+
+    Scale shape: the only wide shuffle is the wordcount-shaped duplicate-
+    k-gram count, keyed on a 32-bit md5 prefix of the gram (grams never
+    travel as strings past the first exchange; hash collisions are applied
+    identically on both engines and are ~1e-2 likely at this corpus, noted).
+    The duplicated-gram set re-joins occurrences on the same hash key,
+    covered positions union per doc with array_distinct (bounded by doc
+    length), and the coverage fraction is pure arithmetic — no per-position
+    join, no UDF, no driver collect. This is the distributed answer to the
+    paper's single-machine suffix array.
+    """
+    k = _SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    base = rebalance_for_compute(docs, "doc_id").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    grams = base.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(" ", F.slice("toks", i, k))
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.i", "g.gh")
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    cov = (
+        grams.join(dup.select("gh"), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("i"), F.col("i") + (k - 1)))
+                )
+            ).alias("covered")
+        )
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.coalesce(F.size("covered"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.size("covered"), F.lit(0)).cast("double") / F.size("toks"),
+            6,
+        ).alias("dup_token_frac"),
+    )

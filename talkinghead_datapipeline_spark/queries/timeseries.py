@@ -830,3 +830,133 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nf("t2") / n("t1"), 6).alias("view_to_click"),
         F.round(nf("t3") / n("t2"), 6).alias("click_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average, the standard smoothing /
+# drift-tracking primitive (pandas ewm(adjust=True) semantics), expressed as
+# a TRUNCATED fixed-lag FIR so it stays a pure window expression: weights
+# below (1-alpha)^K are dropped (K=24, alpha=0.2 -> tail mass < 0.5%), which
+# (a) keeps the plan a single sort-shuffle per key like every other frame-
+# grain window here, and (b) avoids the r^-j running-sum rescaling trick
+# whose intermediate overflows doubles on 100 TB-scale series lengths.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+_EWMA_K = 24
+_EWMA_COEFS = tuple((1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_K))
+
+
+def _ewma_oracle() -> str:
+    # Same left-assoc summation order as the Spark expression: identical
+    # IEEE doubles on both engines, round-6 only as belt-and-braces.
+    num = " + ".join(
+        f"coalesce({c!r} * lag(value, {k}) OVER w, 0.0)"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {c!r} ELSE 0.0 END"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    return f"""
+    SELECT user_id, event_id,
+           round(({num}) / ({den}), 6) AS ewma_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """
+
+
+@register("ewma_user_values", oracle=_ewma_oracle(), tags=("timeseries", "window"))
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=0.2) per user series, truncated at 24 lags —
+    pandas ``ewm(alpha=.2, adjust=True)`` up to a <0.5% weight tail.
+
+    Scale shape: one sort-shuffle on the series key, then a map-only FIR
+    over lag columns (the s8_savgol_fir scheme) — Spark evaluates all 24
+    lags over one shared window sort. No rescaled running sums (overflow-
+    prone), no applyInPandas."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    num = None
+    den = None
+    for k, c in enumerate(_EWMA_COEFS):
+        x = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        nterm = F.coalesce(F.lit(c) * x, F.lit(0.0))
+        dterm = F.when(x.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return ev.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + forward fill — regularize an irregular event series onto an
+# hourly grid (the feature-store / metrics-backfill primitive): per-user
+# dense hour spine via sequence+explode, left join the sparse hourly
+# aggregate, carry the last observation forward.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_hourly",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM sparse GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    )
+    SELECT g.user_id, g.h AS hour_ts,
+           round(last_value(s.v IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS value_ffill,
+           CAST(CASE WHEN s.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM grid g LEFT JOIN sparse s ON g.user_id = s.user_id AND g.h = s.h
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill with forward fill per user: sparse hourly means ->
+    dense hour spine (sequence/explode between the user's own min and max
+    observed hour) -> left join -> ignore-nulls carry-forward.
+
+    Scale shape: the spine explode is bounded by each key's own time span
+    (never the global calendar), the join and the fill window share the
+    same (user_id) hash/sort partitioning so AQE coalesces them onto one
+    exchange, and the first spine hour is an observed hour by construction,
+    so the fill never emits NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    grid = (
+        sparse.groupBy("user_id")
+        .agg(F.min("h").alias("h_lo"), F.max("h").alias("h_hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(sparse, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_ts"),
+            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+            F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+        )
+    )

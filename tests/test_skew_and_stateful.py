@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from talkinghead_datapipeline_spark.catalog import load_table, table_path
@@ -294,3 +296,41 @@ def test_full_outer_view_expiry_boundary_is_strict(spark, tmp_path):
         # view 1 (horizon == W), view 3 (horizon > W), purchase 4 (> W):
         # all withheld in state at stream end
     }
+
+
+def test_tws_gate_or_runs(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-handle stateful API) is
+    environment-gated on google.protobuf (the API's Python state-server
+    protocol dep; probed absent 2026-08-14, installs disallowed). If the
+    dep ever appears, the operator must produce exactly the batch GROUP BY
+    folds; until then the gate must raise the informative NotImplementedError
+    BEFORE any stream starts (no half-started checkpoints)."""
+    from talkinghead_datapipeline_spark.streaming.stateful import (
+        tws_available,
+        tws_user_type_stats,
+    )
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            tws_user_type_stats(ev)
+        return
+    from talkinghead_datapipeline_spark.queries.streaming_queries import (
+        _run_events_stream,
+    )
+
+    got = _run_events_stream(spark, sf_dir, tws_user_type_stats, "twsstats").toPandas()
+    exp = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .toPandas()
+    )
+    key = ["user_id", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n_events"]].equals(exp[key + ["n_events"]])

@@ -116,6 +116,8 @@ HEADLINE = (
     "triangle_count_copart",
     "winsorized_price_stats",
     "approx_quantiles_certified",
+    "item_cf_top_recs",
+    "ohlc_6h_bars",
 )
 
 

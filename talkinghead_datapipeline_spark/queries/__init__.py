@@ -127,16 +127,18 @@ _DRIVER_PRIORITY = (
     "triangle_count_copart",  # oriented 2-path triangle counting
     "winsorized_price_stats",  # p01/p99 percentile clipping
     "approx_quantiles_certified",  # GK sketch rank-error contract checked
-    # --- stalest r1-only seat that still fits (the other seven r1-only
-    # keys — e3_key_intersection_semi, e6_exists_filter, e7_memoization_anti,
-    # n7_argmax_per_group, n11_group_extent, s10_quantile_per_flag,
-    # set_intersect_keys — yield to the seven new never-certified operators
-    # above and lead the r7 rotation; never-certified beats stale-certified
-    # per the pinned policy) ---
-    "e2_name_derivation",
-    # --- round-6 canaries: every query whose code changed this round ---
+    "item_cf_top_recs",  # Jaccard item-item CF (co-occurrence recommender)
+    "ohlc_6h_bars",  # first/last/extreme downsampling via min_by/max_by
+    # (the eight r1-only keys — e2_name_derivation, e3_key_intersection_semi,
+    # e6_exists_filter, e7_memoization_anti, n7_argmax_per_group,
+    # n11_group_extent, s10_quantile_per_flag, set_intersect_keys — yield
+    # their seats to the nine new never-certified operators above and lead
+    # the r7 rotation; never-certified beats stale-certified per the pinned
+    # policy, and all eight re-pass the local replica every session)
+    # --- round-6 canaries: changed-code re-certification seats.
+    # ngram_jaccard_near_dups' change (gram re-dedup) lives in the builder
+    # shared with ngram_jaccard_exact_pairs, whose seat below covers it. ---
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
-    "ngram_jaccard_near_dups",  # gram re-dedup after hashing
     "sim_ivf_trained_topk",  # persisted training corpus
     "streaming_purchase_view_join",  # shares the interval-join builder
     "gopher_repetition_signals",  # sibling of the coverage variant

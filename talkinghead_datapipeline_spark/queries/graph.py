@@ -282,7 +282,10 @@ def triangle_count_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
     e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
     tris = (
-        e1.join(e2, F.col("b") == F.col("b2"))
+        # support-thresholded affinity edges are dim-sized at every SF
+        # (~3.5k at sf0.01 AND sf0.1), so both the wedge side and the
+        # closing-edge side broadcast; a denser graph would SMJ the wedge.
+        e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
         .join(
             F.broadcast(e3),
             (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
@@ -301,4 +304,111 @@ def triangle_count_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("p_partkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
         .limit(_TRI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering — the classic co-occurrence recommender
+# (Jaccard-weighted "customers who bought X also bought Y"), sharing the
+# support-thresholded co-purchase edge machinery with triangle counting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "item_cf_top_recs",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    cnt AS (SELECT p, count(*) AS c FROM li GROUP BY 1),
+    co AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS co
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+    ),
+    sym AS (
+      SELECT pa AS item, pb AS rec, co FROM co
+      UNION ALL SELECT pb, pa, co FROM co
+    ),
+    scored AS (
+      SELECT s.item, s.rec, s.co,
+             round(CAST(s.co AS DOUBLE) / (ca.c + cb.c - s.co), 6) AS jaccard
+      FROM sym s
+      JOIN cnt ca ON ca.p = s.item
+      JOIN cnt cb ON cb.p = s.rec
+    ),
+    best AS (
+      SELECT item, rec, co, jaccard,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY jaccard DESC, rec) AS rk
+      FROM scored
+    )
+    SELECT item AS p_partkey, rec AS rec_partkey,
+           CAST(co AS BIGINT) AS n_co_orders, jaccard
+    FROM best WHERE rk = 1
+    ORDER BY jaccard DESC, p_partkey
+    LIMIT 25
+    """,
+    tags=("graph", "recommendation", "similarity"),
+)
+def item_cf_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-weighted item-item CF: for each part, its single best
+    "bought-together" recommendation (top-25 strongest overall).
+
+    Scale shape: co-occurrence is the one heavy shuffle (same edge build
+    triangle_count_copart caches — literally the same persist_once frame),
+    per-item totals are a dim-sized count broadcast into the score join,
+    the per-item argmax is WindowGroupLimit-prunable rank=1, and the final
+    list is TakeOrderedAndProject. Support >= 2 bounds the pair set the
+    same way it bounds the triangle edge set."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cnt = li.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    co = persist_once(
+        li.alias("a")
+        .join(li.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _TRI_SUPPORT)
+    )
+    sym = co.select(
+        F.col("pa").alias("item"), F.col("pb").alias("rec"), "co"
+    ).unionAll(co.select(F.col("pb").alias("item"), F.col("pa").alias("rec"), "co"))
+    scored = (
+        sym.join(
+            F.broadcast(cnt.select(F.col("p").alias("item"), F.col("c").alias("ca"))),
+            "item",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("p").alias("rec"), F.col("c").alias("cb"))),
+            "rec",
+        )
+        .select(
+            "item",
+            "rec",
+            "co",
+            F.round(
+                F.col("co").cast("double") / (F.col("ca") + F.col("cb") - F.col("co")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("item").orderBy(F.desc("jaccard"), F.asc("rec"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("item").alias("p_partkey"),
+            F.col("rec").alias("rec_partkey"),
+            F.col("co").cast("bigint").alias("n_co_orders"),
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("p_partkey"))
+        .limit(25)
     )

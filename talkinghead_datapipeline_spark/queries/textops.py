@@ -1423,7 +1423,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode), corpus stats (N, avgdl, df per query term) are ONE 1-row
     aggregate broadcast back via crossJoin, scoring is a pure column
     expression, and the top-10 is TakeOrderedAndProject — so a 100 TB corpus
-    costs one scan plus a driver-sized reduction, with no shuffle keyed on
+    costs two column-pruned scans (tf rows + the stats fold; caching the
+    tf projection would trade them for one materialization) plus a
+    driver-sized reduction, with no shuffle keyed on
     anything document-shaped. Complements `tfidf_top_terms` (per-doc top
     terms) with the query-side ranking direction.
     """

@@ -960,3 +960,65 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars — first/last/extreme downsampling into fixed 6h bars (the
+# market-data resample; generally: "keep the endpoints and extremes of each
+# bucket", which no plain min/max rollup expresses). first/last are min_by/
+# max_by over a composite (ts, event_id) order so ties are deterministic.
+# ---------------------------------------------------------------------------
+
+_BAR_US = 6 * 3600 * 1_000_000  # 6h in microseconds
+
+
+@register(
+    "ohlc_6h_bars",
+    oracle=f"""
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {_BAR_US}) * {_BAR_US}) AS bar_ts,
+           round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6)
+             AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0')), 6)
+             AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ohlc", "agg"),
+)
+def ohlc_6h_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC + volume per (event_type, 6h bar): open/close via min_by/max_by
+    on a zero-padded (epoch_us, event_id) composite — one hash aggregate, no window,
+    no self-join (the naive form is two window passes or a join back to
+    per-bar min/max timestamps). Bars are epoch-floored on both engines so
+    bucket boundaries agree exactly. One shuffle on the (type, bar) key at
+    any scale; partial aggregation halves what moves."""
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / F.lit(_BAR_US)) * F.lit(_BAR_US)).cast(
+            "bigint"
+        )
+    )
+    # Zero-padded (epoch_us, event_id) string: a scalar composite order key
+    # both engines' min_by/arg_min accept (DuckDB's arg_min has no struct/
+    # list key overload); lexicographic == numeric under the padding.
+    order_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type", bar.alias("bar_ts")
+    ).agg(
+        F.round(F.min_by("value", order_key), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", order_key), 6).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )

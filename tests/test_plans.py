@@ -31,6 +31,8 @@ _NESTED_LOOP_OK = {
     "zorder_data_skipping",  # 1-row broadcast global-min/max stats row
     "sim_sq8_quant_topk",  # 1-row broadcast codec bounds + query vector
     "tfidf_top_terms",  # 1-row broadcast corpus-size (N) crossJoin
+    "bm25_topk_docs",  # 1-row broadcast corpus-stats (N, avgdl, df) crossJoin
+    "approx_quantiles_certified",  # 1-row broadcast sketch-result crossJoin
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",
@@ -590,3 +592,50 @@ def test_entropy_single_shuffle(spark, sf_dir):
     and the per-doc window/rollup: one hash exchange total."""
     plan = _plan(spark, sf_dir, "text_unigram_entropy")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_map_only_with_broadcast_stats(spark, sf_dir):
+    """BM25 must score map-side against the broadcast 1-row corpus stats
+    and pick the top-10 via TakeOrderedAndProject — no document-keyed
+    shuffle anywhere (the only exchanges are the stats fold's
+    SinglePartition + its broadcast)."""
+    plan = _plan(spark, sf_dir, "bm25_topk_docs")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_substring_dup_coverage_wordcount_shape(spark, sf_dir):
+    """ExactSubstr coverage: gram occurrences shuffle on the 32-bit gram
+    hash (count + join back), coverage unions shuffle on doc_id — hash
+    exchanges stay bounded (no quadratic pair join, no BNLJ)."""
+    plan = _plan(spark, sf_dir, "substring_dup_coverage")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """All 24 EWMA lags must share ONE window sort: one user_id hash
+    exchange, one Window operator."""
+    plan = _plan(spark, sf_dir, "ewma_user_values")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars are ONE hash aggregate (partial+final over the bar key):
+    no Window, no self-join back to per-bar extremes."""
+    plan = _plan(spark, sf_dir, "ohlc_6h_bars")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangle_and_cf_broadcast_small_sides(spark, sf_dir):
+    """Support-thresholded co-occurrence keeps |E| dim-sized, so the
+    closing-edge / item-total joins must all be broadcast (no SMJ of the
+    cached edge frame against itself)."""
+    for name in ("triangle_count_copart", "item_cf_top_recs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "InMemoryTableScan" in plan, name  # persist_once edge reuse

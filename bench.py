@@ -118,6 +118,7 @@ HEADLINE = (
     "approx_quantiles_certified",
     "item_cf_top_recs",
     "ohlc_6h_bars",
+    "random_projection_jl",
 )
 
 

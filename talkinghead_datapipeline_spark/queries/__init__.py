@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = (
     "approx_quantiles_certified",  # GK sketch rank-error contract checked
     "item_cf_top_recs",  # Jaccard item-item CF (co-occurrence recommender)
     "ohlc_6h_bars",  # first/last/extreme downsampling via min_by/max_by
+    "random_projection_jl",  # Achlioptas ±1/√k JL projection, map-only
     # (the eight r1-only keys — e2_name_derivation, e3_key_intersection_semi,
     # e6_exists_filter, e7_memoization_anti, n7_argmax_per_group,
     # n11_group_extent, s10_quantile_per_flag, set_intersect_keys — yield
@@ -138,10 +139,12 @@ _DRIVER_PRIORITY = (
     # --- round-6 canaries: changed-code re-certification seats.
     # ngram_jaccard_near_dups' change (gram re-dedup) lives in the builder
     # shared with ngram_jaccard_exact_pairs, whose seat below covers it. ---
+    # (gopher_repetition_signals' canary also yielded: its round-6 change
+    # is the gram builder shared with gopher_dup_trigram_coverage and
+    # gopher_dup_line_signals, both seated in the never-certified block)
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "sim_ivf_trained_topk",  # persisted training corpus
     "streaming_purchase_view_join",  # shares the interval-join builder
-    "gopher_repetition_signals",  # sibling of the coverage variant
 )
 
 

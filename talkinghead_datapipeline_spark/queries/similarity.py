@@ -987,3 +987,93 @@ def sim_sq8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sq_cos"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — the dimensionality-reduction
+# primitive of every large-scale embedding pipeline (shrink 64-dim vectors to
+# 16 before ANN / clustering / storage). Achlioptas (2003): a ±1 sign matrix
+# scaled by 1/sqrt(k) satisfies the JL lemma, needing no Gaussian sampling —
+# here the signs derive from md5("jl|j|i") parity at BUILD time, so the
+# matrix is a pure literal both engines share (nothing random at runtime,
+# nothing to broadcast but constants folded into the plan).
+# ---------------------------------------------------------------------------
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs(j: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"jl|{j}|{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(_JL_IN_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    k = float(_JL_OUT_DIM)
+    ys = ",\n             ".join(
+        f"{_dot_sql('embedding', '[' + ', '.join(str(s) for s in _jl_signs(j)) + ']')}"
+        f" / sqrt({k}) AS y{j}"
+        for j in range(_JL_OUT_DIM)
+    )
+    sq = " + ".join(f"y{j} * y{j}" for j in range(_JL_OUT_DIM))
+    outs = ", ".join(f"round(y{j}, 6) AS y{j}" for j in range(_JL_OUT_DIM))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, label,
+             {_dot_sql('embedding', 'embedding')} AS nx2,
+             {ys}
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, {outs},
+           round(({sq}) / nx2, 6) AS norm_ratio
+    FROM proj
+    """
+
+
+@register(
+    "random_projection_jl",
+    oracle=_jl_oracle(),
+    tags=("similarity", "projection", "jl"),
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16 JL projection with a deterministic Achlioptas ±1/√k matrix;
+    emits the 16 components and each vector's squared-norm preservation
+    ratio (E[ratio]=1 under JL; the per-vector value is deterministic given
+    the matrix, so the oracle certifies every cell, not just the law).
+
+    Scale shape: map-only — 16 literal-array dot products per row (the sign
+    matrix constant-folds into codegen; nothing is broadcast, shuffled, or
+    iterated), the same per-row cost profile as PQ encode. At a real corpus
+    k grows as O(log n / eps^2) and the matrix stays literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = float(_JL_OUT_DIM)
+    ys = [
+        (
+            _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in _jl_signs(j)]),
+            )
+            / F.sqrt(F.lit(k))
+        ).alias(f"y{j}")
+        for j in range(_JL_OUT_DIM)
+    ]
+    proj = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("nx2"),
+        *ys,
+    )
+    sq = None
+    for j in range(_JL_OUT_DIM):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        sq = term if sq is None else sq + term
+    return proj.select(
+        "vec_id",
+        "label",
+        *[F.round(F.col(f"y{j}"), 6).alias(f"y{j}") for j in range(_JL_OUT_DIM)],
+        F.round(sq / F.col("nx2"), 6).alias("norm_ratio"),
+    )

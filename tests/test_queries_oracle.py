@@ -125,15 +125,15 @@ def test_driver_priority_rotation_policy():
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
     # round-6 canaries: every query whose implementation changed this round
-    # holds a seat, either directly or through the query that exercises the
-    # same changed builder (ngram_jaccard_near_dups' gram re-dedup lives in
-    # the shingle builder ngram_jaccard_exact_pairs' seat drives; its own
-    # seat yielded to a new never-certified operator — the window is
-    # exactly 46 never-certified + these 4 + emb_label_centroids, which
-    # sits in the never-certified block after its r5 error row).
+    # holds a seat, either directly or through a seated query that drives
+    # the same changed builder (ngram_jaccard_near_dups' gram re-dedup →
+    # ngram_jaccard_exact_pairs' seat; gopher_repetition_signals' shared
+    # gram builder → the two seated gopher_dup_* variants). The window is
+    # exactly 47 never-certified + these 3; emb_label_centroids sits in the
+    # never-certified block after its r5 error row.
     canaries = {"ngram_jaccard_exact_pairs",
                 "sim_ivf_trained_topk", "streaming_purchase_view_join",
-                "gopher_repetition_signals", "emb_label_centroids"}
+                "emb_label_centroids"}
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
 
 

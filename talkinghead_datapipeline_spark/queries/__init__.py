@@ -51,12 +51,11 @@ _MODULES = (
 # therefore coverage policy, ROTATED each round so every registered query
 # eventually receives a driver row. Round-6 window (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy):
-# leads with the never-certified keys — the round-6 operators (including
-# five added late in the round: PageRank, HLL, z-order, SCD-2, entropy) plus
+# all 47 never-certified keys — the round-6 operators plus
 # emb_label_centroids, whose r5 seat produced an error row (array output
-# crashed the driver canonicalizer; now flattened) — then the 17 stalest
-# entries (r1-only driver rows), then 5 round-6 canaries (every query whose
-# code changed this round). The 45 r4-only entries no longer fit
+# crashed the driver canonicalizer; now flattened) — then 3 canary seats
+# for changed-code re-certification. The 8 r1-only-certified keys and the
+# 45 r4-only entries lead the r7 rotation
 # (streaming_hourly_event_counts,
 # streaming_user_sessions — their family holds four fresh r6 seats —
 # multimodal_binary_features, multimodal_image_channel_means,

@@ -20,8 +20,19 @@ from talkinghead_datapipeline_spark.catalog import (
 from talkinghead_datapipeline_spark.queries import register
 
 
+_EMB_DIM = 64  # every vector column in the fixture schema (embeddings,
+# anchors, centroids, qvec, rhat/qhat) is 64-dim.
+
+
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product in double precision."""
+    """Sequential left-fold dot product in double precision.
+
+    Deliberately the zip_with+aggregate HOF, not an element_at chain: for
+    two ARRAY COLUMNS the HOF's native array iteration beats a 64-term
+    extraction chain (A/B at sf0.1: brute cosine 0.34s vs 0.40s, centroid
+    assign 0.65s vs 0.79s) even though HOF lambdas are CodegenFallback.
+    The chain only wins when one side is a LITERAL vector that constant-
+    folds — see random_projection_jl (2.3x there)."""
     prods = F.zip_with(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),

@@ -639,3 +639,24 @@ def test_triangle_and_cf_broadcast_small_sides(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "InMemoryTableScan" in plan, name  # persist_once edge reuse
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Source-level invariant the per-round reviews have grep-verified by
+    hand since r2, now pinned: no `F.udf(` / `@udf` row-at-a-time Python
+    UDFs anywhere in the package — Python in the hot path is always
+    Arrow-batched (pandas_udf / mapInPandas / applyInPandas[WithState]).
+    BatchEvalPython in a plan would mean per-row Python round trips."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "talkinghead_datapipeline_spark"
+    )
+    pat = re.compile(r"(?<!pandas_)\budf\s*\(|@udf\b|functions\.udf\b")
+    hits = []
+    for f in pkg.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line) and "pandas_udf" not in line:
+                hits.append(f"{f.name}:{i}: {line.strip()}")
+    assert not hits, f"row-at-a-time Python UDFs found: {hits}"

@@ -31,8 +31,10 @@ def _dot(a: Column, b: Column) -> Column:
     two ARRAY COLUMNS the HOF's native array iteration beats a 64-term
     extraction chain (A/B at sf0.1: brute cosine 0.34s vs 0.40s, centroid
     assign 0.65s vs 0.79s) even though HOF lambdas are CodegenFallback.
-    The chain only wins when one side is a LITERAL vector that constant-
-    folds — see random_projection_jl (2.3x there)."""
+    A literal-side chain won 2.3x in a FRESH session but degraded 3.5x in
+    a long bench session (JVM code-cache pressure on the generated
+    16x64-term methods) — random_projection_jl's docstring carries that
+    A/B; the fold is the steady-state default everywhere."""
     prods = F.zip_with(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),
@@ -1056,42 +1058,30 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (E[ratio]=1 under JL; the per-vector value is deterministic given
     the matrix, so the oracle certifies every cell, not just the law).
 
-    Scale shape: map-only — 16 literal-weight dot products per row, written
-    as explicit element_at chains rather than the _dot aggregate HOF:
-    lambda higher-order functions are CodegenFallback (interpreted) in
-    Spark, and 16 folds/row made the HOF form 2.3x slower (measured 1.64s
-    -> 0.70s at sf0.1, bit-identical output — the chain keeps the same
-    left-assoc order as the oracle's list fold). Nothing is broadcast,
-    shuffled, or iterated; at a real corpus k grows as O(log n / eps^2)
-    and the matrix stays literal (the Arrow-batched matmul tier of the
-    inference harness is the handoff if k*d ever outgrows codegen)."""
+    Scale shape: map-only — 16 literal-vector dot products per row via the
+    _dot fold; nothing is broadcast, shuffled, or iterated, and at a real
+    corpus k grows as O(log n / eps^2) with the matrix staying literal.
+    Expression-form A/B (bit-identical outputs, both measured at sf0.1):
+    an explicit element_at chain beats the HOF fold 0.70s vs 1.64s in a
+    fresh session (HOF lambdas are CodegenFallback), but LOSES 5.7s vs
+    1.6s inside the 77-query bench session — the 16x64-term generated
+    code degrades once a long session pressures the JVM code cache. The
+    HOF form is the right steady-state default; the real production
+    answer for k*d this large is the Arrow-batched numpy matmul tier of
+    the inference harness."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = float(_JL_OUT_DIM)
-
-    def dot_signs(col: Column, signs: list[float]) -> Column:
-        acc = None
-        for i, sgn in enumerate(signs):
-            t = F.element_at(col, i + 1).cast("double") * F.lit(sgn)
-            acc = t if acc is None else acc + t
-        return acc
-
-    def dot_self(col: Column) -> Column:
-        acc = None
-        for i in range(_JL_IN_DIM):
-            x = F.element_at(col, i + 1).cast("double")
-            acc = x * x if acc is None else acc + x * x
-        return acc
-
     ys = [
-        (dot_signs(F.col("embedding"), _jl_signs(j)) / F.sqrt(F.lit(k))).alias(
-            f"y{j}"
-        )
+        (
+            _dot(F.col("embedding"), F.array(*[F.lit(s) for s in _jl_signs(j)]))
+            / F.sqrt(F.lit(k))
+        ).alias(f"y{j}")
         for j in range(_JL_OUT_DIM)
     ]
     proj = emb.select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
-        dot_self(F.col("embedding")).alias("nx2"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("nx2"),
         *ys,
     )
     sq = None

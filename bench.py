@@ -176,6 +176,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # Each query's own warm-up repopulates whatever it persists;
+            # letting 77 queries' persist_once frames accumulate instead
+            # inflates LATER queries' medians (measured: same query 0.9s
+            # isolated vs 2.8s late in the shared session) — cache
+            # eviction + GC pressure, not plan cost. Clearing between
+            # queries makes each row self-contained and cross-round
+            # comparable regardless of its position in HEADLINE.
+            spark.catalog.clearCache()
 
     result = {
         "metric": "headline_queries_total_sec",

@@ -119,6 +119,7 @@ HEADLINE = (
     "item_cf_top_recs",
     "ohlc_6h_bars",
     "random_projection_jl",
+    "shingle_containment_pairs",
 )
 
 

@@ -51,9 +51,9 @@ _MODULES = (
 # therefore coverage policy, ROTATED each round so every registered query
 # eventually receives a driver row. Round-6 window (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy):
-# all 47 never-certified keys — the round-6 operators plus
+# all 48 never-certified keys — the round-6 operators plus
 # emb_label_centroids, whose r5 seat produced an error row (array output
-# crashed the driver canonicalizer; now flattened) — then 3 canary seats
+# crashed the driver canonicalizer; now flattened) — then 2 canary seats
 # for changed-code re-certification. The 8 r1-only-certified keys and the
 # 45 r4-only entries lead the r7 rotation
 # (streaming_hourly_event_counts,
@@ -81,7 +81,7 @@ _MODULES = (
 # r7 rotation; all remain covered by the local DuckDB-differential pytest
 # replica every round.
 _DRIVER_PRIORITY = (
-    # --- never driver-certified (37): new in round 6 + the r5 error row ---
+    # --- never driver-certified (48): new in round 6 + the r5 error row ---
     "streaming_purchase_view_full",  # both-sides watermark-expiry emission
     "source_mixture_manifest",  # data-mixing rates + achieved composition
     "incremental_dedup_against_index",  # asymmetric daily-crawl LSH probe
@@ -129,21 +129,24 @@ _DRIVER_PRIORITY = (
     "item_cf_top_recs",  # Jaccard item-item CF (co-occurrence recommender)
     "ohlc_6h_bars",  # first/last/extreme downsampling via min_by/max_by
     "random_projection_jl",  # Achlioptas ±1/√k JL projection, map-only
+    "shingle_containment_pairs",  # directional partial-dup detection
     # (the eight r1-only keys — e2_name_derivation, e3_key_intersection_semi,
     # e6_exists_filter, e7_memoization_anti, n7_argmax_per_group,
     # n11_group_extent, s10_quantile_per_flag, set_intersect_keys — yield
-    # their seats to the nine new never-certified operators above and lead
+    # their seats to the new never-certified operators above and lead
     # the r7 rotation; never-certified beats stale-certified per the pinned
     # policy, and all eight re-pass the local replica every session)
     # --- round-6 canaries: changed-code re-certification seats.
     # ngram_jaccard_near_dups' change (gram re-dedup) lives in the builder
     # shared with ngram_jaccard_exact_pairs, whose seat below covers it. ---
-    # (gopher_repetition_signals' canary also yielded: its round-6 change
-    # is the gram builder shared with gopher_dup_trigram_coverage and
-    # gopher_dup_line_signals, both seated in the never-certified block)
+    # (gopher_repetition_signals' canary yielded: its round-6 change is
+    # the gram builder shared with gopher_dup_trigram_coverage and
+    # gopher_dup_line_signals, both seated in the never-certified block;
+    # streaming_purchase_view_join's canary yielded likewise — its changed
+    # interval-join builder is driven by the seated never-certified
+    # streaming_purchase_view_full / _left variants)
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "sim_ivf_trained_topk",  # persisted training corpus
-    "streaming_purchase_view_join",  # shares the interval-join builder
 )
 
 

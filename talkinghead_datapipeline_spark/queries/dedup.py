@@ -1088,3 +1088,130 @@ def incremental_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT pairs — the partial-duplicate / quote-detection class
+# Jaccard misses by construction: a short doc fully embedded in a long one
+# has tiny Jaccard (union is dominated by the long doc) but containment ~1.
+# Directional: A is contained in B when |sh(A) ∩ sh(B)| >= t·|sh(A)|.
+# ---------------------------------------------------------------------------
+
+_CONT_N = 5  # shingle width (the decontamination width; partial-dup grain)
+_CONT_T = 0.8
+
+_CONT_SHINGLES_SQL = f"""
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               list_distinct(list_transform(
+                 range(1, len(string_split_regex(lower(text), '\\s+')) - {_CONT_N - 2}),
+                 i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+{_CONT_N - 1}], ' '))),
+               s -> {_HASH32_SQL.format(x='s')}))) AS sh
+      FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= {_CONT_N}
+"""
+
+_CONT_ORACLE = f"""
+    WITH g AS ({_CONT_SHINGLES_SQL})
+    SELECT a.doc_id AS contained, b.doc_id AS container,
+           CAST(len(a.sh) AS BIGINT) AS n_shingles,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+             AS containment
+    FROM g a JOIN g b
+      ON (len(a.sh) < len(b.sh)
+          OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+    WHERE len(list_intersect(a.sh, b.sh)) >= {_CONT_T} * len(a.sh)
+"""
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=_CONT_ORACLE,
+    tags=("dedup", "containment", "join", "exact", "prefix-filter"),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (100% recall) directional containment pairs over 5-token
+    shingles, t=0.8 — finds docs embedded in other docs (quotes, partial
+    crawls, boilerplate wrapping), which the Jaccard tiers structurally
+    miss. The smaller doc is the contained side; equal sizes tiebreak on
+    doc_id (their two containment values coincide, so one row suffices).
+
+    Scale shape — the containment variant of AllPairs prefix filtering
+    (Bayardo WWW'07): sort each doc's hashed-shingle set and index only
+    its first ``|A| − ⌈t·|A|⌉ + 1`` shingles on the CONTAINED side — if
+    containment ≥ t then at most ``(1−t)·|A|`` of A's shingles miss B, so
+    by pigeonhole at least one prefix shingle lands in B. The CONTAINER
+    side keeps a full inverted index (containment puts no prefix bound on
+    the superset — the structural asymmetry vs the Jaccard join). The
+    equi-join on the shingle hash is the only wide shuffle; candidates
+    dedup via DISTINCT before one exact array_intersect verify against
+    the persisted shingle frame. Hash-order prefixes suffice on this
+    corpus (shingle df is flat); a production corpus would order
+    rarest-first so prefix entries hit short posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = persist_once(
+        rebalance_for_compute(docs)
+        .select(
+            "doc_id",
+            F.array_sort(D.hashed_shingles(F.col("text"), n=_CONT_N)).alias("sh"),
+        )
+        .filter(F.size("sh") >= 1)
+    )
+    sized = g.select(
+        "doc_id", "sh", F.size("sh").alias("sz")
+    ).withColumn(
+        "_plen",
+        (F.col("sz") - F.ceil(F.col("sz") * F.lit(_CONT_T)) + 1).cast("int"),
+    )
+    idx_a = sized.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.expr("slice(sh, 1, _plen)")).alias("ha"),
+    )
+    idx_b = sized.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode("sh").alias("hb"),
+    )
+    cand = (
+        idx_a.join(
+            idx_b,
+            (F.col("ha") == F.col("hb"))
+            & (
+                (F.col("sz_a") < F.col("sz_b"))
+                | (
+                    (F.col("sz_a") == F.col("sz_b"))
+                    & (F.col("key_a") < F.col("key_b"))
+                )
+            ),
+        )
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            g.select(F.col("doc_id").alias("key_a"), F.col("sh").alias("_sha")),
+            "key_a",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("key_b"), F.col("sh").alias("_shb")),
+            "key_b",
+        )
+        .select(
+            F.col("key_a").alias("contained"),
+            F.col("key_b").alias("container"),
+            F.size("_sha").cast("bigint").alias("n_shingles"),
+            (
+                F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                / F.size("_sha")
+            ).alias("_c"),
+        )
+        .filter(F.col("_c") >= _CONT_T)
+        .select(
+            "contained",
+            "container",
+            "n_shingles",
+            F.round("_c", 6).alias("containment"),
+        )
+    )
+    return verify

@@ -128,11 +128,13 @@ def test_driver_priority_rotation_policy():
     # holds a seat, either directly or through a seated query that drives
     # the same changed builder (ngram_jaccard_near_dups' gram re-dedup →
     # ngram_jaccard_exact_pairs' seat; gopher_repetition_signals' shared
-    # gram builder → the two seated gopher_dup_* variants). The window is
-    # exactly 47 never-certified + these 3; emb_label_centroids sits in the
-    # never-certified block after its r5 error row.
+    # gram builder → the two seated gopher_dup_* variants;
+    # streaming_purchase_view_join's interval-join builder → the seated
+    # _full/_left variants). The window is exactly 48 never-certified +
+    # these 2; emb_label_centroids sits in the never-certified block after
+    # its r5 error row.
     canaries = {"ngram_jaccard_exact_pairs",
-                "sim_ivf_trained_topk", "streaming_purchase_view_join",
+                "sim_ivf_trained_topk",
                 "emb_label_centroids"}
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
 

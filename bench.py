@@ -120,6 +120,13 @@ HEADLINE = (
     "ohlc_6h_bars",
     "random_projection_jl",
     "shingle_containment_pairs",
+    "semdedup_prune_stats",
+    "rrf_hybrid_topk",
+    "dsir_importance_weights",
+    "gopher_quality_filter",
+    "zipf_slope_per_lang",
+    "hard_negative_mining",
+    "ccnet_perplexity_buckets",
 )
 
 

@@ -44,6 +44,7 @@ _MODULES = (
     "inference_nodes",
     "assembly",
     "functions_suite",
+    "curation",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -147,6 +148,22 @@ _DRIVER_PRIORITY = (
     # streaming_purchase_view_full / _left variants)
     "ngram_jaccard_exact_pairs",  # slim-join + positional-filter rewrite
     "sim_ivf_trained_topk",  # persisted training corpus
+)
+
+# Overflow queue: never-driver-certified queries registered AFTER the
+# round-6 window filled its 50 seats. They could not displace the 48
+# already-waiting never-certified entries (oldest-waiting-first keeps the
+# cumulative-coverage invariant monotone), so they LEAD the r7 rotation
+# ahead of the stale-certified re-seats listed above. The policy test pins
+# that never-certified keys outside the window are exactly this queue.
+_NEXT_ROUND_QUEUE = (
+    "semdedup_prune_stats",
+    "rrf_hybrid_topk",
+    "dsir_importance_weights",
+    "gopher_quality_filter",
+    "zipf_slope_per_lang",
+    "hard_negative_mining",
+    "ccnet_perplexity_buckets",
 )
 
 

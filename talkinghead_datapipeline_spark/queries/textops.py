@@ -1379,7 +1379,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_cte() -> str:
+    """CTE block defining ``bm25_scored(doc_id, dl, tf_<term>..., bm25_raw)``
+    — shared by the bm25_topk_docs oracle and curation.rrf_hybrid_topk's."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
         for t in _BM25_TERMS
@@ -1396,8 +1398,9 @@ def _bm25_oracle() -> str:
         f" / (tf_{t} + {_BM25_K1!r} * (1.0 - {_BM25_B!r} + {_BM25_B!r} * dl / avgdl)))"
         for t in _BM25_TERMS
     )
+    tf_names = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
     return f"""
-    WITH tf AS (
+    tf AS (
       SELECT doc_id,
              CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS dl,
              {tf_cols}
@@ -1407,9 +1410,18 @@ def _bm25_oracle() -> str:
     stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
       FROM tf
-    )
-    SELECT doc_id, round({score}, 6) AS bm25_score
-    FROM tf CROSS JOIN stats
+    ),
+    bm25_scored AS (
+      SELECT doc_id, dl, {tf_names}, {score} AS bm25_raw
+      FROM tf CROSS JOIN stats
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()}
+    SELECT doc_id, round(bm25_raw, 6) AS bm25_score
+    FROM bm25_scored
     ORDER BY bm25_score DESC, doc_id
     LIMIT 10
     """
@@ -1430,6 +1442,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms) with the query-side ranking direction.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scored(docs)
+        .select("doc_id", F.round("bm25_raw", 6).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """``(doc_id, dl, tf_<term>..., bm25_raw)`` for the fixed 4-term query —
+    the shared scoring frame behind `bm25_topk_docs` and
+    `curation.rrf_hybrid_topk` (mirrors the SQL `_bm25_scored_cte`)."""
     tf = docs.select(
         "doc_id",
         F.split(F.lower("text"), r"\s+").alias("toks"),
@@ -1470,11 +1494,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         score = term if score is None else score + term
-    return (
-        tf.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 6).alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-        .limit(10)
+    return tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        score.alias("bm25_raw"),
     )
 
 

@@ -101,7 +101,17 @@ def test_driver_priority_rotation_policy():
             if v.get("err") is None and v.get("rows_match") is not False
         }
     never = set(names) - certified
-    assert never <= prefix, f"never-driver-checked queries outside window: {sorted(never - prefix)}"
+    # The window holds 50 seats; once more than 50 never-certified queries
+    # exist, the overflow is tracked explicitly in _NEXT_ROUND_QUEUE (it
+    # leads the next rotation) rather than silently dropped from coverage.
+    from talkinghead_datapipeline_spark.queries import _NEXT_ROUND_QUEUE
+
+    outside = never - prefix
+    assert outside == set(_NEXT_ROUND_QUEUE), (
+        "never-driver-checked queries outside the window must be exactly "
+        f"the declared overflow queue; unexpected: {sorted(outside - set(_NEXT_ROUND_QUEUE))}, "
+        f"stale queue entries: {sorted(set(_NEXT_ROUND_QUEUE) - outside)}"
+    )
 
     families = {
         "dedup": "minhash_lsh_near_dups",

@@ -47,6 +47,10 @@ _NESTED_LOOP_OK = {
     "q15_top_supplier",  # max-revenue scalar subquery (1 row)
     "class_balanced_downsample",  # minority-cap scalar aggregate (1 row)
     "weighted_sample_by_length",  # max-length scalar aggregate (1 row)
+    "hard_negative_mining",  # one-anchor-per-class broadcast (~10 rows),
+    # label != anchor_label is deliberately non-equi
+    "dsir_importance_weights",  # 1-row broadcast (t_raw, t_tgt) totals crossJoin
+    "rrf_hybrid_topk",  # inherits bm25_scored's 1-row corpus-stats crossJoin
 }
 
 
@@ -660,3 +664,51 @@ def test_no_row_at_a_time_python_udfs():
             if pat.search(line) and "pandas_udf" not in line:
                 hits.append(f"{f.name}:{i}: {line.strip()}")
     assert not hits, f"row-at-a-time Python UDFs found: {hits}"
+
+
+def test_gopher_filter_is_map_only(spark, sf_dir):
+    """The Gopher rule battery is pure column expressions over the token
+    array: the plan must contain NO exchange of any kind — the decision
+    inlines into the corpus scan."""
+    plan = _plan(spark, sf_dir, "gopher_quality_filter")
+    assert "Exchange" not in plan, plan
+
+
+def test_dsir_model_joins_are_broadcast(spark, sf_dir):
+    """The DSIR bucket model is at most 64 rows: both the tgt/raw count
+    merge and the model join back onto the feature stream must broadcast
+    (an SMJ would shuffle the full token stream on a 64-value key)."""
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zipf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-lang top-100 rank filter must run as WindowGroupLimit
+    (partial top-k per partition), never a full vocabulary sort."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "zipf_slope_per_lang")
+
+
+def test_hard_negative_topk_uses_window_group_limit(spark, sf_dir):
+    """Anchor scoring is map-only against the ~10-row broadcast anchor
+    table; the per-anchor top-5 must be WindowGroupLimit and the corpus
+    side must never hit a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_cutoffs_are_partial_topk(spark, sf_dir):
+    """Both ranker cutoffs and the fused top-10 must be
+    TakeOrderedAndProject (partial per-partition top-k); the rank windows
+    then run on driver-sized 20-row frames."""
+    plan = _plan(spark, sf_dir, "rrf_hybrid_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_semdedup_pairwise_stays_within_cluster(spark, sf_dir):
+    """SemDeDup's quadratic pass must be keyed on the cluster id (equi
+    join on label) — no CartesianProduct / BNLJ corpus blowup."""
+    plan = _plan(spark, sf_dir, "semdedup_prune_stats")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

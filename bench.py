@@ -127,6 +127,9 @@ HEADLINE = (
     "zipf_slope_per_lang",
     "hard_negative_mining",
     "ccnet_perplexity_buckets",
+    "minhash_estimate_error",
+    "retention_cohorts",
+    "tokenizer_fertility_per_lang",
 )
 
 

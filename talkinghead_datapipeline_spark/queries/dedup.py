@@ -128,6 +128,136 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash estimator certification — the sketch-quality contract for the
+# dedup stack, in the same certified-sketch family as cms_heavy_hitters /
+# hll_distinct_users / approx_quantiles_certified: for every LSH candidate
+# pair, the signature-agreement ESTIMATE of Jaccard is compared against the
+# exact Jaccard, with a per-pair binomial two-sigma verdict. E[match/K] = J
+# because each permutation minimum agrees with probability J.
+# ---------------------------------------------------------------------------
+
+_MH_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(D.N_PERM)
+)
+
+_MINHASH_EST_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(grams) >= 1),
+    banded AS ({_BANDED_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             CAST({_MH_MATCHES_SQL} AS DOUBLE) / {D.N_PERM} AS est,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams))) AS exact
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.key_a
+      JOIN sigs sb ON sb.doc_id = p.key_b
+      JOIN sh ga ON ga.doc_id = p.key_a
+      JOIN sh gb ON gb.doc_id = p.key_b
+    )
+    SELECT key_a, key_b,
+           round(est, 6) AS est_jaccard,
+           round(exact, 6) AS exact_jaccard,
+           round(abs(est - exact), 6) AS abs_err,
+           (abs(est - exact) <= 2 * sqrt(exact * (1 - exact) / {D.N_PERM}))
+             AS within_2sigma
+    FROM scored
+"""
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_MINHASH_EST_ORACLE,
+    tags=("dedup", "minhash", "sketch-certified"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-vs-exact Jaccard certification over the LSH candidate pairs:
+    per pair, the K=8 signature-agreement estimate, the exact
+    Jaccard-over-hashed-shingles, the absolute error, and a binomial
+    two-sigma verdict (sigma = sqrt(J(1-J)/K)). est and exact are exact
+    dyadic rationals (match-count/8, intersect/union of integer counts)
+    and IEEE sqrt is correctly rounded, so the verdict boolean is
+    deterministic across engines.
+
+    Scale shape: the same band-keyed shuffle as minhash_lsh_near_dups
+    bounds the candidate set; signatures and gram arrays re-join
+    doc-keyed. At production K (128+) the estimate tightens as 1/sqrt(K)
+    while this plan's cost is linear in K — the certification query is how
+    a K upgrade is validated before rollout."""
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", D.hashed_shingles(F.col("text")).alias("grams")
+    ).filter(F.size("grams") >= 1)
+    sigs = persist_once(
+        sh.select("doc_id", "grams", D.minhash_sig_from_hashes(F.col("grams")).alias("sig"))
+    )
+    n_bands = D.N_PERM // D.BAND_WIDTH
+    band_vals = [
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at("sig", b * D.BAND_WIDTH + k + 1).cast("string")
+                for k in range(D.BAND_WIDTH)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    # Band identity is the VALUE string alone — exactly the oracle's
+    # UNION-ALL banding (the operator's posexplode variant also keys the
+    # band index; across-band value collisions are md5-improbable, and the
+    # oracle convention here follows _MINHASH_PAIRS_ORACLE).
+    banded = sigs.select("doc_id", F.explode(F.array(*band_vals)).alias("bval"))
+    a = banded.select(F.col("doc_id").alias("key_a"), "bval")
+    b = banded.select(F.col("doc_id").alias("key_b"), "bval")
+    pairs = (
+        a.join(b, ["bval"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("grams").alias("ga"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("grams").alias("gb"),
+    )
+    matches = None
+    for k in range(D.N_PERM):
+        m = F.when(
+            F.element_at("sig_a", k + 1) == F.element_at("sig_b", k + 1), 1
+        ).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = matches.cast("double") / F.lit(D.N_PERM)
+    isz = F.size(F.array_intersect("ga", "gb")).cast("double")
+    exact = isz / (F.size("ga") + F.size("gb") - isz)
+    scored = (
+        pairs.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select("key_a", "key_b", est.alias("est"), exact.alias("exact"))
+    )
+    return scored.select(
+        "key_a",
+        "key_b",
+        F.round("est", 6).alias("est_jaccard"),
+        F.round("exact", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        (
+            F.abs(F.col("est") - F.col("exact"))
+            <= 2 * F.sqrt(F.col("exact") * (1 - F.col("exact")) / F.lit(D.N_PERM))
+        ).alias("within_2sigma"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

@@ -1623,3 +1623,80 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — the standard tokenizer-evaluation
+# rollup (tokens per word / chars per token by language): high-fertility
+# languages burn budget, and a tokenizer change is evaluated by exactly
+# this table before rollout.
+# ---------------------------------------------------------------------------
+
+
+_SUBWORD_MAX = 4  # max subword piece length: fertility(word) = ceil(len/4)
+
+
+@register(
+    "tokenizer_fertility_per_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                  w -> (length(w) + {_SUBWORD_MAX - 1}) // {_SUBWORD_MAX})) AS BIGINT)
+               AS n_sub,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sub) AS BIGINT) AS total_subword_tokens,
+           round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_sub), 6) AS chars_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+    tags=("text", "tokenize", "analytics"),
+)
+def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted tokenizer fertility per language under a
+    max-4-char-piece subword model (each word costs ceil(len/4) pieces —
+    the closed-form stand-in for a trained vocab, chosen because the
+    GPT-2-style pre-tokenizer regex degenerates to 1.0 on this
+    space-separated fixture and certifies nothing): total subword pieces
+    over total whitespace words — the corpus-level ratio, not
+    avg-of-ratios, which is the budgeting-relevant form — plus chars per
+    piece. A real-tokenizer drop-in only swaps the per-word cost
+    expression; the rollup and certification stay identical.
+
+    Scale shape: per-doc counts are single-scan integer array folds; the
+    rollup is one lang-keyed partial-agg reduce of exact BIGINT sums, so
+    both engines divide identical integers."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower("text"), r"\s+")
+    n_sub = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: ((F.length(w) + (_SUBWORD_MAX - 1)) / _SUBWORD_MAX).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = docs.select(
+        "lang",
+        n_sub.alias("n_sub"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_ws"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sub").cast("bigint").alias("total_subword_tokens"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_sub"), 6
+        ).alias("chars_per_token"),
+    )

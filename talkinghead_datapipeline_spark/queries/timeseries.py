@@ -1022,3 +1022,85 @@ def ohlc_6h_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — the classic product-analytics rollup: users grouped by
+# first-activity week, activity counted per weeks-since-cohort, rates
+# against the cohort size. Weeks are epoch-floored integers (floor of
+# epoch_us / one week) so bucket boundaries agree exactly across engines —
+# no calendar week-start convention in play.
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH weeks AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT w.user_id, c.cohort_week, w.week - c.cohort_week AS week_idx
+      FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_idx,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_idx, s.cohort_size
+    """,
+    tags=("timeseries", "analytics", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix over PURCHASE activity: cohort = a user's
+    first purchase epoch-week; each (cohort_week, weeks-since) cell counts
+    distinct purchasing users and its rate against the cohort size.
+    week_idx 0 is the cohort week itself (retention 1.0 by construction —
+    the sanity diagonal); purchases cover ~91% of fixture user-weeks, so
+    later cells are genuinely mixed (any-event activity is saturated at
+    1.0 on this fixture and certifies nothing).
+
+    Scale shape: everything keys on user_id or cohort_week — the (user,
+    week) projection reduces per user (min + distinct share one hash
+    partitioning), cohort sizes are a tiny frame joined broadcast, and no
+    window or sort appears anywhere. At 100 TB the only big shuffle is the
+    user-keyed reduction of raw events to (user, week) pairs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    weeks = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week")
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        weeks.join(cohorts, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_idx"))
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_idx", "cohort_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_idx",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

@@ -290,3 +290,103 @@ def test_ccnet_buckets_match_python(spark, sf_dir):
             assert abs(row["avg_ce"] - round(sum(vals) / len(vals), 6)) < 2e-6
             assert abs(row["min_ce"] - round(min(vals), 6)) < 1e-9
             assert abs(row["max_ce"] - round(max(vals), 6)) < 1e-9
+
+
+def test_minhash_estimate_error_matches_python(spark, sf_dir):
+    """Signatures, band candidates, estimates, exact Jaccard, and the
+    two-sigma verdict re-derived with hashlib + sets."""
+    P = 4294967311
+    A = (89251, 773955, 654571, 438878, 433015, 858597, 85946, 697367)
+    from talkinghead_datapipeline_spark.operators import dedup as D
+
+    assert tuple(D.MINHASH_A) == A and D.MINHASH_P == P  # pin the perms
+    B_ = tuple(D.MINHASH_B)
+    docs = _docs_pdf(sf_dir)
+    grams: dict[int, set] = {}
+    sigs: dict[int, tuple] = {}
+    for r in docs.itertuples():
+        toks = r.text.lower().split()
+        if len(toks) < 3:
+            continue
+        g = {
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:8], 16
+            )
+            for i in range(len(toks) - 2)
+        }
+        if not g:
+            continue
+        grams[r.doc_id] = g
+        sigs[r.doc_id] = tuple(
+            min((a * h + b) % P for h in g) for a, b in zip(A, B_)
+        )
+    bands: dict[str, set] = {}
+    for d, s in sigs.items():
+        for lo in (0, 4):
+            bands.setdefault("|".join(map(str, s[lo : lo + 4])), set()).add(d)
+    want = {}
+    for members in bands.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 8.0
+                inter = len(grams[a] & grams[b])
+                exact = inter / (len(grams[a]) + len(grams[b]) - inter)
+                want[(a, b)] = (
+                    round(est, 6),
+                    round(exact, 6),
+                    round(abs(est - exact), 6),
+                    abs(est - exact) <= 2 * math.sqrt(exact * (1 - exact) / 8),
+                )
+    got = _SPECS["minhash_estimate_error"].spark(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        e, x, err, ok = want[(r["key_a"], r["key_b"])]
+        assert (r["est_jaccard"], r["exact_jaccard"]) == (e, x)
+        assert r["abs_err"] == err and bool(r["within_2sigma"]) == ok
+
+
+def test_retention_cohorts_match_python(spark, sf_dir):
+    """Purchase-week cohort matrix re-derived with dict/set arithmetic;
+    the week_idx=0 diagonal must be exactly 1.0."""
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, epoch_us(ts) // 604800000000 AS week"
+        f" FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchdf()
+    cohort = ev.groupby("user_id")["week"].min().to_dict()
+    cells = {
+        (cohort[u], w - cohort[u])
+        for u, w in set(zip(ev["user_id"], ev["week"]))
+    }
+    active = Counter(
+        (cohort[u], w - cohort[u]) for u, w in set(zip(ev["user_id"], ev["week"]))
+    )
+    sizes = Counter(cohort.values())
+    got = _SPECS["retention_cohorts"].spark(spark, sf_dir).toPandas()
+    assert len(got) == len(cells)
+    for _, r in got.iterrows():
+        key = (r["cohort_week"], r["week_idx"])
+        assert r["n_active"] == active[key]
+        assert r["cohort_size"] == sizes[r["cohort_week"]]
+        assert abs(r["retention"] - round(active[key] / sizes[r["cohort_week"]], 6)) < 1e-9
+        if r["week_idx"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_tokenizer_fertility_matches_python(spark, sf_dir):
+    """ceil(len/4) subword costs and corpus-level ratios re-derived in
+    pure Python per language."""
+    docs = _docs_pdf(sf_dir)
+    got = _SPECS["tokenizer_fertility_per_lang"].spark(spark, sf_dir).toPandas()
+    for lang, g in docs.groupby("lang"):
+        n_sub = n_ws = n_chars = 0
+        for tx in g["text"]:
+            toks = tx.lower().split()
+            n_sub += sum((len(w) + 3) // 4 for w in toks)
+            n_ws += len(tx.split())
+            n_chars += len(tx)
+        row = got[got.lang == lang].iloc[0]
+        assert row["n_docs"] == len(g)
+        assert row["total_subword_tokens"] == n_sub
+        assert abs(row["fertility"] - round(n_sub / n_ws, 6)) < 1e-9
+        assert abs(row["chars_per_token"] - round(n_chars / n_sub, 6)) < 1e-9

@@ -130,6 +130,8 @@ HEADLINE = (
     "minhash_estimate_error",
     "retention_cohorts",
     "tokenizer_fertility_per_lang",
+    "group_split_no_leakage",
+    "sim_lsh_recall_certified",
 )
 
 

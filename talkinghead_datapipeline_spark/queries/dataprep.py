@@ -849,3 +849,90 @@ def approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.p", "r.exact_value", "r.within_bounds")
+
+
+# ---------------------------------------------------------------------------
+# Group-wise split — leakage control one level above split_train_val_test:
+# correlated rows (all docs of one SOURCE: one crawl domain, one video, one
+# session) must land in the SAME split, or near-identical rows straddle
+# train/test and evaluation leaks. Membership hashes the GROUP key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_split_no_leakage",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+             CASE WHEN {_salted_hash_sql('gsplit|', 'source')} % 100 < 80 THEN 'train'
+                  WHEN {_salted_hash_sql('gsplit|', 'source')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM assigned), 6) AS frac_docs,
+           CAST((SELECT count(*) FROM
+                   (SELECT source FROM assigned GROUP BY source
+                    HAVING count(DISTINCT split) > 1)) AS BIGINT)
+             AS n_leaked_sources
+    FROM assigned
+    GROUP BY split
+    """,
+    tags=("dataprep", "split", "leakage"),
+)
+def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise 80/10/10 split keyed on the SOURCE (all of a source's
+    docs move together — the grouping split sklearn calls GroupShuffleSplit,
+    here deterministic by hash so membership survives corpus growth), with
+    the leakage certification IN the output: n_leaked_sources counts
+    sources straddling more than one split and must be 0 — a driver hash
+    match is therefore a machine-checked no-leakage proof.
+
+    Scale shape: assignment is a map-side expression of the group key (no
+    group table, no join); the rollup is one split-keyed agg plus a
+    source-keyed distinct for the certification column. The split column
+    partitions the write at 100 TB exactly like split_train_val_test."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _salted_hash("gsplit|", F.col("source")) % 100
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    total = assigned.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    leaked = (
+        assigned.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum((F.col("n_splits") > 1).cast("bigint")).alias("n_leaked")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_sources",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+                "frac_docs"
+            ),
+            F.col("n_leaked").cast("bigint").alias("n_leaked_sources"),
+        )
+    )

@@ -1094,3 +1094,68 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(f"y{j}"), 6).alias(f"y{j}") for j in range(_JL_OUT_DIM)],
         F.round(sq / F.col("nx2"), 6).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Certified ANN recall — the acceptance metric for every approximate tier:
+# recall@10 of the LSH-bucketed search against the exact brute-force top-10,
+# for the same fixed query. Composes the two REGISTERED queries (and their
+# oracles), so the metric certifies precisely what users run.
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from talkinghead_datapipeline_spark.queries import _REGISTRY
+
+    exact = _REGISTRY["sim_brute_cosine_topk"].oracle
+    ann = _REGISTRY["sim_lsh_bucket_topk"].oracle
+    return f"""
+    WITH exact_tk AS ({exact}),
+    ann_tk AS ({ann})
+    SELECT CAST((SELECT count(*) FROM exact_tk) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ann_tk) AS BIGINT) AS n_ann,
+           CAST((SELECT count(*) FROM exact_tk e
+                 JOIN ann_tk a ON a.vec_id = e.vec_id) AS BIGINT) AS n_hits,
+           round(CAST((SELECT count(*) FROM exact_tk e
+                       JOIN ann_tk a ON a.vec_id = e.vec_id) AS DOUBLE)
+                 / (SELECT count(*) FROM exact_tk), 6) AS recall_at_10
+    """
+
+
+@register(
+    "sim_lsh_recall_certified",
+    oracle=_recall_oracle(),
+    tags=("similarity", "ann", "recall-certified"),
+)
+def sim_lsh_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of sim_lsh_bucket_topk vs sim_brute_cosine_topk, as one
+    certified summary row — the number an ANN rollout is gated on. Both
+    sides are the registered queries themselves, so this row moves if and
+    only if the user-visible results move.
+
+    Scale shape: each input is already a driver-sized top-10
+    (TakeOrderedAndProject); the join and counts here are constant-size
+    regardless of corpus. The production form runs a SAMPLE of queries
+    through the same composition and averages — same plan, one more
+    grouping key."""
+    from talkinghead_datapipeline_spark.queries import _REGISTRY
+
+    exact = _REGISTRY["sim_brute_cosine_topk"].spark(spark, sf_dir).select("vec_id")
+    ann = _REGISTRY["sim_lsh_bucket_topk"].spark(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_ann = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"))
+    n_hits = exact.join(ann, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_ann))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_at_10"),
+        )
+    )

@@ -51,6 +51,8 @@ _NESTED_LOOP_OK = {
     # label != anchor_label is deliberately non-equi
     "dsir_importance_weights",  # 1-row broadcast (t_raw, t_tgt) totals crossJoin
     "rrf_hybrid_topk",  # inherits bm25_scored's 1-row corpus-stats crossJoin
+    "group_split_no_leakage",  # 1-row broadcast total + leak-count crossJoins
+    "sim_lsh_recall_certified",  # three 1-row count frames crossJoined
 }
 
 

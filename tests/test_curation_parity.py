@@ -390,3 +390,50 @@ def test_tokenizer_fertility_matches_python(spark, sf_dir):
         assert row["total_subword_tokens"] == n_sub
         assert abs(row["fertility"] - round(n_sub / n_ws, 6)) < 1e-9
         assert abs(row["chars_per_token"] - round(n_chars / n_sub, 6)) < 1e-9
+
+
+def test_group_split_matches_python(spark, sf_dir):
+    """Hash-assignment and per-split rollups re-derived with hashlib; the
+    no-leakage column must be 0 in every row (and is 0 by construction in
+    the reference too — the assert double-checks the Spark wiring)."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchdf()
+
+    def split_of(src: str) -> str:
+        b = int(hashlib.md5(f"gsplit|{src}".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    want: dict[str, list] = {}
+    for r in docs.itertuples():
+        s = split_of(r.source)
+        want.setdefault(s, [set(), 0, 0])
+        want[s][0].add(r.source)
+        want[s][1] += 1
+        want[s][2] += len(r.text.split())
+    got = _SPECS["group_split_no_leakage"].spark(spark, sf_dir).toPandas()
+    assert set(got["split"]) == set(want)
+    for _, r in got.iterrows():
+        srcs, n_docs, n_tok = want[r["split"]]
+        assert r["n_sources"] == len(srcs)
+        assert r["n_docs"] == n_docs and r["n_tokens"] == n_tok
+        assert r["n_leaked_sources"] == 0
+        assert abs(r["frac_docs"] - round(n_docs / len(docs), 6)) < 1e-9
+
+
+def test_lsh_recall_is_intersection_of_registered_queries(spark, sf_dir):
+    """The certified recall row must equal the literal intersection of the
+    two registered queries' outputs — no independent re-derivation exists
+    or should (the composition IS the definition)."""
+    exact = {
+        r["vec_id"]
+        for r in _SPECS["sim_brute_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    ann = {
+        r["vec_id"]
+        for r in _SPECS["sim_lsh_bucket_topk"].spark(spark, sf_dir).collect()
+    }
+    row = _SPECS["sim_lsh_recall_certified"].spark(spark, sf_dir).collect()[0]
+    assert row["n_exact"] == len(exact) and row["n_ann"] == len(ann)
+    assert row["n_hits"] == len(exact & ann)
+    assert abs(row["recall_at_10"] - round(len(exact & ann) / len(exact), 6)) < 1e-9

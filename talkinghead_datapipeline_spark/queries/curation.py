@@ -476,13 +476,16 @@ _ZIPF_TOP = 100
              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
              sum(x * x) AS sxx, sum(y * y) AS syy
       FROM xy GROUP BY lang
+      HAVING count(*) >= 3
     )
     SELECT lang, CAST(n AS BIGINT) AS n_terms,
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              AS intercept,
-           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                ELSE round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
     FROM sums
     """,
     tags=("text", "analytics", "curation"),
@@ -514,6 +517,9 @@ def zipf_slope_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log("cnt").alias("y"),
         )
     )
+    # HAVING n >= 3: a language with fewer than 3 ranked terms has a
+    # degenerate design matrix (n=1 -> 0/0 slope; n=2 -> r2 pinned 1.0);
+    # dropping it beats emitting NaN into the certified surface.
     sums = xy.groupBy("lang").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").alias("sx"),
@@ -521,20 +527,27 @@ def zipf_slope_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
+    ).filter(F.col("n") >= 3)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # r2 is NULL (not NaN) when a language's counts are uniform (zero
+    # y-variance) — NaN semantics differ across engines; NULL does not.
+    r2 = F.when(
+        n * syy - sy * sy == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+    )
     return sums.select(
         "lang",
         n.cast("bigint").alias("n_terms"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
-        ).alias("r2"),
+        r2.alias("r2"),
     )
 
 

@@ -437,3 +437,28 @@ def test_lsh_recall_is_intersection_of_registered_queries(spark, sf_dir):
     assert row["n_exact"] == len(exact) and row["n_ann"] == len(ann)
     assert row["n_hits"] == len(exact & ann)
     assert abs(row["recall_at_10"] - round(len(exact & ann) / len(exact), 6)) < 1e-9
+
+
+def test_zipf_degenerate_languages_guarded(spark, tmp_path):
+    """A language with < 3 ranked terms must be DROPPED (degenerate design
+    matrix), and a uniform-count language must emit NULL r2 (not NaN) —
+    differentially, on a corpus crafted to hit both edges."""
+    from tests.test_textops_extra import _diff_on
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "solo",  # 1 distinct term -> dropped by HAVING n >= 3
+                "alpha beta gamma delta",  # uniform counts -> r2 NULL
+                "the the the data data is",  # healthy varying counts
+            ],
+            "lang": ["xx", "uu", "en"],
+        }
+    )
+    pdf = _diff_on(spark, tmp_path, "zipf_slope_per_lang", docs)
+    assert set(pdf["lang"]) == {"uu", "en"}  # 'xx' dropped
+    uu = pdf[pdf.lang == "uu"].iloc[0]
+    assert pd.isna(uu["r2"]) and uu["zipf_slope"] == 0.0
+    en = pdf[pdf.lang == "en"].iloc[0]
+    assert en["zipf_slope"] < 0 and not pd.isna(en["r2"])

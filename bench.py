@@ -135,6 +135,13 @@ HEADLINE = (
 )
 
 
+# The original round-1 headline set (the first 29 HEADLINE keys, unchanged
+# since r1): its subtotal is the stable cross-round comparison basis — the
+# full total grows every round as new operators join the suite, so only
+# this fixed-key subtotal can be read across BENCH_r{N} artifacts.
+R1_KEYS = HEADLINE[:29]
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -207,6 +214,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": timings,
+        # Fixed-key subtotal comparable across rounds (see R1_KEYS); null
+        # if any of its 29 queries failed, same partial-total rule.
+        "subtotal_r1_29": (
+            round(sum(timings[k] for k in R1_KEYS), 4)
+            if all(k in timings for k in R1_KEYS)
+            else None
+        ),
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
     }

@@ -88,11 +88,12 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Norms are precomputed per VECTOR before the pair join: inline
     # cosine(ea, eb) evaluates three 64-dim folds per PAIR (dot + both
-    # norms) where one suffices. Measured A/B at sf0.1 (fresh session,
-    # median-of-3): 1.49s inline -> 1.21s precomputed — less than the
-    # naive 3x because the cluster-keyed self-join + pruned-id distinct
-    # carry a fixed share, but a real 19% on this, the suite's slowest
-    # curation row. The
+    # norms) where one suffices. Controlled A/B at sf0.1 (one session,
+    # variants interleaved, median of 5): 1.89s inline -> 1.13s
+    # precomputed (1.67x) — less than the naive 3x because the
+    # cluster-keyed self-join + pruned-id distinct carry a fixed share.
+    # (Fresh-session single runs scatter 1.2-1.5s; the interleaved A/B is
+    # the attributable number.) The
     # per-pair dot still folds sequentially in DOUBLE and each norm is
     # the same fold it always was, so the division reproduces cosine()
     # bit-for-bit and the oracle (which inlines the norms per pair)

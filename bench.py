@@ -132,6 +132,10 @@ HEADLINE = (
     "tokenizer_fertility_per_lang",
     "group_split_no_leakage",
     "sim_lsh_recall_certified",
+    # llm_curation_pipeline stays out with the other composites
+    # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time
+    # for multi-stage compositions is fixed per-stage scheduling, not
+    # data volume — their scale signal lives in SCALING.md instead.
 )
 
 

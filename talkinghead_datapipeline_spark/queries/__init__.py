@@ -169,6 +169,7 @@ _NEXT_ROUND_QUEUE = (
     "tokenizer_fertility_per_lang",
     "group_split_no_leakage",
     "sim_lsh_recall_certified",
+    "llm_curation_pipeline",
 )
 
 

@@ -753,3 +753,196 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ce",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline — the production composition of this round's
+# operators as ONE lazy plan: Gopher quality gate -> PII redaction -> exact
+# dedup keep-first (on the redacted text) -> DSIR importance weights
+# trained on the SURVIVING corpus. One oracle certifies the whole chain:
+# the row count proves the two filters, the weights prove the model.
+# ---------------------------------------------------------------------------
+
+
+def _curation_pipeline_oracle() -> str:
+    from talkinghead_datapipeline_spark.queries.textops import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    keepq AS (
+      SELECT doc_id, lang, text FROM sig
+      WHERE len(toks) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+              / len(toks) BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+        AND len(list_distinct(list_filter(
+              toks, w -> w IN ({_GOPHER_STOPS_SQL})))) >= {_GOPHER_MIN_STOP}
+    ),
+    red AS (
+      SELECT doc_id, lang,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '|||EMAIL|||', 'g'),
+                 '{_PII_PHONE}', '|||PHONE|||', 'g'),
+               '{_PII_IPV4}', '|||IP|||', 'g') AS rtext
+      FROM keepq
+    ),
+    surv AS (
+      SELECT doc_id, lang, rtext FROM (
+        SELECT doc_id, lang, rtext,
+               row_number() OVER (PARTITION BY md5(rtext)
+                                  ORDER BY doc_id) AS rn
+        FROM red
+      ) WHERE rn = 1
+    ),
+    feats AS (
+      SELECT doc_id, lang, {_DSIR_HASH_SQL} AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(rtext), '\\s+')) AS tok
+            FROM surv)
+    ),
+    raw_counts AS (
+      SELECT bucket, CAST(count(*) AS DOUBLE) AS c_raw
+      FROM feats GROUP BY bucket
+    ),
+    tgt_counts AS (
+      SELECT bucket, CAST(count(*) AS DOUBLE) AS c_tgt
+      FROM feats WHERE lang = 'en' GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS t_tgt
+      FROM feats
+    ),
+    model AS (
+      SELECT r.bucket,
+             ln((coalesce(t.c_tgt, 0.0) + 1.0) / (tot.t_tgt + {_DSIR_B}.0))
+               - ln((r.c_raw + 1.0) / (tot.t_raw + {_DSIR_B}.0)) AS log_ratio
+      FROM raw_counts r
+      LEFT JOIN tgt_counts t ON t.bucket = r.bucket
+      CROSS JOIN totals tot
+    )
+    SELECT f.doc_id, f.lang,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(sum(m.log_ratio), 6) AS dsir_logweight
+    FROM feats f JOIN model m ON m.bucket = f.bucket
+    GROUP BY f.doc_id, f.lang
+    """
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=_curation_pipeline_oracle(),
+    tags=("text", "curation", "pipeline"),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a pretraining corpus actually runs, as a
+    single lazy plan: Gopher rule gate, PII sentinel redaction, exact
+    keep-first dedup on the REDACTED text (redaction can merge docs that
+    differed only in PII — dedup must see the final form), then DSIR
+    importance weights with the model trained on the surviving corpus
+    (training on pre-filter text would let dropped boilerplate shape the
+    target distribution). Output: one row per surviving doc with its
+    token count and importance log-weight.
+
+    Scale shape: the gate and redaction are map-side expressions fused
+    into the scan; dedup is one uniform md5-keyed window; the DSIR model
+    reduces to <= 64 rows broadcast back. Catalyst pipelines all four
+    stages — no materialization boundaries between them."""
+    from talkinghead_datapipeline_spark.queries.textops import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower("text"), r"\s+")
+    mwl = (
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.size(toks)
+    )
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(toks, (lambda s: lambda w: F.array_contains(s, w))(stops))
+        )
+    )
+    keepq = docs.filter(
+        F.size(toks).between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mwl.between(_GOPHER_MWL_LO, _GOPHER_MWL_HI)
+        & (n_stop >= _GOPHER_MIN_STOP)
+    )
+    rtext = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "|||EMAIL|||"),
+            _PII_PHONE,
+            "|||PHONE|||",
+        ),
+        _PII_IPV4,
+        "|||IP|||",
+    )
+    red = keepq.select("doc_id", "lang", rtext.alias("rtext"))
+    w = W.partitionBy(F.md5("rtext")).orderBy("doc_id")
+    surv = (
+        red.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    feats = (
+        rebalance_for_compute(surv, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("rtext"), r"\s+")).alias("tok"),
+        )
+        .select(
+            "doc_id", "lang", (portable_hash32(F.col("tok")) % _DSIR_B).alias("bucket")
+        )
+    )
+    raw_counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c_raw")
+    )
+    tgt_counts = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_tgt"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("t_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("t_tgt"),
+    )
+    model = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_tgt", F.lit(0.0)) + 1.0)
+                    / (F.col("t_tgt") + float(_DSIR_B))
+                )
+                - F.log((F.col("c_raw") + 1.0) / (F.col("t_raw") + float(_DSIR_B)))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"),
+        )
+    )

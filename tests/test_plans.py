@@ -53,6 +53,7 @@ _NESTED_LOOP_OK = {
     "rrf_hybrid_topk",  # inherits bm25_scored's 1-row corpus-stats crossJoin
     "group_split_no_leakage",  # 1-row broadcast total + leak-count crossJoins
     "sim_lsh_recall_certified",  # three 1-row count frames crossJoined
+    "llm_curation_pipeline",  # inherits DSIR's 1-row totals crossJoin
 }
 
 

@@ -462,3 +462,62 @@ def test_zipf_degenerate_languages_guarded(spark, tmp_path):
     assert pd.isna(uu["r2"]) and uu["zipf_slope"] == 0.0
     en = pdf[pdf.lang == "en"].iloc[0]
     assert en["zipf_slope"] < 0 and not pd.isna(en["r2"])
+
+
+def test_llm_curation_pipeline_matches_python(spark, sf_dir):
+    """The full 4-stage composition re-derived in pure Python: Gopher gate,
+    re-based PII redaction, md5 keep-first dedup on redacted text, DSIR
+    weights trained on the survivors."""
+    import re
+
+    stops = {"the", "a", "and", "of", "to", "in", "is", "data"}
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchdf()
+    pats = [
+        (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "|||EMAIL|||"),
+        (re.compile(r"\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"), "|||PHONE|||"),
+        (re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"), "|||IP|||"),
+    ]
+    surv = []
+    seen_digests = set()
+    for r in docs.itertuples():  # doc_id order = keep-first order
+        if len(r.text) == 0:
+            continue
+        toks = r.text.lower().split()
+        wc = len(toks)
+        mwl = sum(len(w) for w in toks) / wc
+        if not (50 <= wc <= 100_000 and 3.0 <= mwl <= 10.0
+                and len(stops & set(toks)) >= 2):
+            continue
+        rtext = r.text
+        for pat, repl in pats:
+            rtext = pat.sub(repl, rtext)
+        dg = hashlib.md5(rtext.encode()).hexdigest()
+        if dg in seen_digests:
+            continue
+        seen_digests.add(dg)
+        surv.append((r.doc_id, r.lang, rtext))
+    feats = [
+        (d, lg, _bucket(t)) for d, lg, rt in surv for t in rt.lower().split()
+    ]
+    raw = Counter(b for _, _, b in feats)
+    tgt = Counter(b for _, lg, b in feats if lg == "en")
+    t_raw = float(len(feats))
+    t_tgt = float(sum(1 for _, lg, _ in feats if lg == "en"))
+    lr = {
+        b: math.log((tgt.get(b, 0) + 1.0) / (t_tgt + 64.0))
+        - math.log((c + 1.0) / (t_raw + 64.0))
+        for b, c in raw.items()
+    }
+    want_w, want_n = Counter(), Counter()
+    for d, _, b in feats:
+        want_w[d] += lr[b]
+        want_n[d] += 1
+    got = _SPECS["llm_curation_pipeline"].spark(spark, sf_dir).toPandas()
+    assert set(got["doc_id"]) == {d for d, _, _ in surv}
+    for _, r in got.iterrows():
+        d = r["doc_id"]
+        assert r["n_toks"] == want_n[d]
+        assert abs(r["dsir_logweight"] - round(want_w[d], 6)) < 2e-6

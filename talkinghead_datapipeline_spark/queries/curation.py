@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.similarity import cosine
@@ -299,7 +303,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash as every dedup operator, so Spark and DuckDB bucket
     identically."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    feats = (
+    # persist_once: feats feeds FOUR consumers (raw counts, target counts,
+    # totals, and the final per-doc join) — unpersisted, Catalyst re-derives
+    # the scan+explode+hash chain for each, i.e. four corpus passes at
+    # 100 TB. One materialization of the slim (doc_id, lang, bucket) rows
+    # replaces them.
+    feats = persist_once(
         rebalance_for_compute(docs, "doc_id")
         .select(
             "doc_id",
@@ -854,8 +863,10 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the gate and redaction are map-side expressions fused
     into the scan; dedup is one uniform md5-keyed window; the DSIR model
-    reduces to <= 64 rows broadcast back. Catalyst pipelines all four
-    stages — no materialization boundaries between them."""
+    reduces to <= 64 rows broadcast back. The slim post-dedup feature
+    frame is persisted ONCE — it feeds four consumers, and without the
+    persist Catalyst re-derives the whole gate+redact+dedup chain per
+    consumer (four corpus scans, verified in the executed plan)."""
     from talkinghead_datapipeline_spark.queries.textops import (
         _PII_EMAIL,
         _PII_IPV4,
@@ -899,7 +910,12 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    feats = (
+    # persist_once: same four-consumer reuse as dsir_importance_weights,
+    # but each re-derivation here would repeat the WHOLE gate + redaction
+    # + dedup-window chain over the corpus (verified in the executed plan
+    # before this fix: four FileScans of documents). One materialization
+    # of the slim feature rows is the 100 TB-correct shape.
+    feats = persist_once(
         rebalance_for_compute(surv, "doc_id")
         .select(
             "doc_id",

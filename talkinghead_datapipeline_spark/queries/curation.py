@@ -200,7 +200,10 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from talkinghead_datapipeline_spark.queries.textops import _BM25_TERMS, bm25_scored
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = bm25_scored(docs)
+    # persist_once: both cutoffs consume the scored frame, and bm25_scored
+    # itself reads its tf projection twice (stats fold + final select) —
+    # unpersisted, that is four tf derivations over the corpus.
+    scored = persist_once(bm25_scored(docs))
     dens = None
     for t in _BM25_TERMS:
         c = F.col(f"tf_{t}")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
 from talkinghead_datapipeline_spark.queries import register
 
@@ -899,14 +899,18 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions the write at 100 TB exactly like split_train_val_test."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = _salted_hash("gsplit|", F.col("source")) % 100
-    assigned = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+    # persist_once: three consumers (total, leak count, main rollup) —
+    # unpersisted each re-scans documents and recomputes the assignment.
+    assigned = persist_once(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )
     total = assigned.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     leaked = (

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, rebalance_for_compute
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -1161,7 +1165,10 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant muddies the oracle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     toks = F.split(F.lower("text"), r"\s+")
-    pairs = (
+    # persist_once: pairs feeds THREE consumers (bigram counts, unigram
+    # counts, the scoring re-join) — unpersisted, the scan+explode chain
+    # re-derives per consumer (three corpus passes at 100 TB).
+    pairs = persist_once(
         rebalance_for_compute(docs)
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 2)

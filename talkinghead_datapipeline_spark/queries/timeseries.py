@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.operators.resample import (
     resample_linear,
     with_frame_index,
@@ -1081,7 +1081,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks = ev.select(
         "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week")
     )
-    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # persist_once: cohorts feeds both the activity join and the sizes
+    # agg — unpersisted, the user-keyed reduction over raw events runs
+    # twice. The frame is user-sized, the cheapest thing to hold.
+    cohorts = persist_once(
+        weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    )
     active = (
         weeks.join(cohorts, "user_id")
         .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_idx"))

@@ -132,6 +132,9 @@ HEADLINE = (
     "tokenizer_fertility_per_lang",
     "group_split_no_leakage",
     "sim_lsh_recall_certified",
+    "fuzzy_part_match_pairs",
+    "keyword_domain_tags",
+    "nb_lang_classifier_scores",
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time
     # for multi-stage compositions is fixed per-stage scheduling, not

@@ -45,6 +45,7 @@ _MODULES = (
     "assembly",
     "functions_suite",
     "curation",
+    "linkage",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -170,6 +171,10 @@ _NEXT_ROUND_QUEUE = (
     "group_split_no_leakage",
     "sim_lsh_recall_certified",
     "llm_curation_pipeline",
+    "dedup_keep_best_quality",
+    "fuzzy_part_match_pairs",
+    "keyword_domain_tags",
+    "nb_lang_classifier_scores",
 )
 
 

@@ -1345,3 +1345,128 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verify
+
+
+# ---------------------------------------------------------------------------
+# Keep-BEST dedup: canonical_per_component keeps the min-id member of each
+# duplicate cluster; production corpus cleaning (FineWeb, RefinedWeb) keeps
+# the highest-QUALITY member instead, so a boilerplate-heavy copy never
+# shadows a cleaner one.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(grams) >= 1),
+    banded AS ({_BANDED_SQL}),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.grams, sb.grams))), 6)
+               AS jaccard
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.key_a
+      JOIN sh sb ON sb.doc_id = p.key_b
+    ),
+    fpairs AS (SELECT key_a, key_b FROM scored WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fpairs
+      UNION
+      SELECT key_b AS s, key_a AS d FROM fpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON re.r = e.s
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+    qual AS (
+      SELECT doc_id,
+             least(CAST(n_chars AS DOUBLE) / 400, 1.0)
+               * (CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+                       AS DOUBLE)
+                  / len(string_split_regex(lower(text), '\\s+'))) AS q
+      FROM documents
+    ),
+    labeled AS (
+      SELECT qu.doc_id, qu.q, coalesce(c.comp, qu.doc_id) AS component
+      FROM qual qu LEFT JOIN comp c ON c.doc_id = qu.doc_id
+    ),
+    ranked AS (
+      SELECT component, doc_id, q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members,
+             max(q) OVER (PARTITION BY component) AS best_q
+      FROM labeled
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(best_q, 6) AS best_quality
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("dedup", "components", "quality", "curation"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse (the FineWeb/RefinedWeb keep-best
+    policy): cluster near-duplicates with the scale-safe edge graph
+    (exact-dedup pre-pass + LSH over representatives + pointer-jumping
+    components), then keep the HIGHEST-quality member of every cluster —
+    not the lowest-id one — with quality = capped length score x
+    unique-token ratio. Docs without any near-dup edge pass through as
+    their own singleton cluster.
+
+    Cross-engine determinism: quality is a single-row expression (no
+    accumulation), so Spark and DuckDB produce bit-identical doubles and
+    the (q DESC, doc_id) tie-break can never flip between engines; the
+    output rounds q only for display.
+
+    Scale: quality is map-side; the graph shuffles are bounded by the
+    dedup_edge_graph design (O(cluster) edges, never O(cluster^2) pairs);
+    representative selection is ONE component-keyed shuffle (row_number +
+    count + max share the same window partition, so AQE plans a single
+    Exchange)."""
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    q = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)) * (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+    edges = D.dedup_edge_graph(docs, "doc_id", "text", jaccard_min=0.2)
+    comps = connected_components(edges).withColumnRenamed("id", "doc_id")
+    labeled = (
+        docs.select("doc_id", q.alias("_q"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", "_q", F.coalesce("comp", "doc_id").alias("component")
+        )
+    )
+    part = W.partitionBy("component")
+    ranked = labeled.select(
+        "component",
+        "doc_id",
+        F.row_number()
+        .over(part.orderBy(F.col("_q").desc(), "doc_id"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("n_members"),
+        F.max("_q").over(part).alias("_best"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("rep_doc_id"),
+        "n_members",
+        F.round("_best", 6).alias("best_quality"),
+    )

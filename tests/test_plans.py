@@ -54,6 +54,7 @@ _NESTED_LOOP_OK = {
     "group_split_no_leakage",  # 1-row broadcast total + leak-count crossJoins
     "sim_lsh_recall_certified",  # three 1-row count frames crossJoined
     "llm_curation_pipeline",  # inherits DSIR's 1-row totals crossJoin
+    "nb_lang_classifier_scores",  # 5-row class totals + 1-row vocab crossJoins
 }
 
 
@@ -715,3 +716,31 @@ def test_semdedup_pairwise_stays_within_cluster(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semdedup_prune_stats")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_keyword_tags_is_map_only(spark, sf_dir):
+    """Taxonomy tagging is pure column expressions (tokenize + per-domain
+    filter + CASE argmax): the plan must contain NO exchange — tagging
+    happens at scan speed inside one codegen stage."""
+    plan = _plan(spark, sf_dir, "keyword_domain_tags")
+    assert "Exchange" not in plan, plan
+
+
+def test_fuzzy_match_blocking_is_equi_join(spark, sf_dir):
+    """Both blocking passes must plan as broadcast EQUI joins on the block
+    key over the distinct-name frame — a dropped key degenerates the
+    linkage to all-pairs (CartesianProduct), the exact blowup blocking
+    exists to prevent."""
+    plan = _plan(spark, sf_dir, "fuzzy_part_match_pairs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_nb_model_join_is_broadcast(spark, sf_dir):
+    """The NB model is vocabulary x classes rows: its join back onto the
+    per-(doc, word) count frame must broadcast (an SMJ would shuffle the
+    whole count frame on a 31-value word key)."""
+    plan = _plan(spark, sf_dir, "nb_lang_classifier_scores")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -118,21 +118,30 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # One explicit hash distribution by src; each iteration's rank⨝edges
-    # then reuses it instead of re-shuffling the (big) edge side. The
-    # fixture persist doubles as the 100 TB "materialize the edge list
-    # once" step — PageRank reads edges _ITERS times.
-    edges = persist_once(edges.repartition("src"))
-    nodes = persist_once(edges.select(F.col("src").alias("node")).distinct())
+    # then reuses it instead of re-shuffling the (big) edge side.
+    edges = edges.repartition("src")
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
+    # persist the ITERATION state (edges ⨝ outdeg), not the raw edge list:
+    # the whole 3-iteration DAG executes as ONE job, inside which the
+    # state subtree appears _ITERS times — with only edges persisted, the
+    # outdeg agg + join re-executed per iteration. Locally that's a wash
+    # (cold-cache medians 2.95s edges-persist vs 3.04s state-persist at
+    # sf0.1 — co-partitioning makes the re-run shuffle-free), but the
+    # degree-annotated adjacency is the canonical materialization: per
+    # iteration it reads one cache instead of re-running an agg + join
+    # over it, and it costs the same memory (one extra double per edge).
+    state = persist_once(
+        edges.join(outdeg, edges.src == outdeg.node).select(
+            "src", "dst", "outdeg"
+        )
+    )
+    nodes = persist_once(state.select(F.col("src").alias("node")).distinct())
     n_nodes = float(nodes.count())  # one tiny job; |V| is an agg, not data
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - _DAMP) / n_nodes
-    state = edges.join(outdeg, edges.src == outdeg.node).select(
-        "src", "dst", "outdeg"
-    )
     for _ in range(_ITERS):
         contrib = (
             state.join(ranks, state.src == ranks.node)

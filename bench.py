@@ -135,6 +135,10 @@ HEADLINE = (
     "fuzzy_part_match_pairs",
     "keyword_domain_tags",
     "nb_lang_classifier_scores",
+    "rfm_segments",
+    "trailing_zscore_anomalies",
+    "ab_test_lift",
+    "knn_mutual_edges",
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time
     # for multi-stage compositions is fixed per-stage scheduling, not

@@ -46,6 +46,7 @@ _MODULES = (
     "functions_suite",
     "curation",
     "linkage",
+    "behavior",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -175,6 +176,10 @@ _NEXT_ROUND_QUEUE = (
     "fuzzy_part_match_pairs",
     "keyword_domain_tags",
     "nb_lang_classifier_scores",
+    "rfm_segments",
+    "trailing_zscore_anomalies",
+    "ab_test_lift",
+    "knn_mutual_edges",
 )
 
 

@@ -1,0 +1,400 @@
+"""User-behavior analytics (north-star extensions; the reference has no
+analogue): RFM segmentation, trailing-window anomaly detection, an
+experimentation z-test, and a mutual-kNN graph over embeddings.
+
+Cross-engine conventions follow queries/__init__.py. Two extra rules this
+module leans on:
+- ntile/rank inputs are ROUNDED FIRST (then id-tiebroken) so a per-user
+  double accumulation can never reorder the tile sort between engines;
+- window statistics are explicit sum/sum-of-squares forms, not
+  stddev_samp — both engines then run plain sequential sums over the same
+  frame order instead of engine-specific moment recurrences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.queries import register
+from talkinghead_datapipeline_spark.queries.similarity import _dot, _dot_sql, _norm
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value grid: quintile each user's
+# Recency / Frequency / Monetary over purchase events, roll up the segments.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT user_id, monetary,
+             ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r_tile,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+      FROM per_user
+    )
+    SELECT CAST(r_tile AS BIGINT) AS r_tile,
+           CAST(f_tile AS BIGINT) AS f_tile,
+           CAST(m_tile AS BIGINT) AS m_tile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(monetary), 2) AS segment_value
+    FROM tiled
+    GROUP BY r_tile, f_tile, m_tile
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE, tags=("behavior", "window", "analytics"))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: per purchasing user, recency (last purchase
+    time), frequency (purchase count) and monetary (summed value) are
+    quintiled with ntile(5) — tile 1 = best — and the 5x5x5 segment grid
+    rolls up user counts and value. The marketing-analytics workhorse.
+
+    Determinism: ntile assigns by row position, so each sort carries a
+    full tiebreak (metric, user_id); monetary is rounded to cents BEFORE
+    the sort so per-user double-sum accumulation order can never flip two
+    engines' tile boundaries.
+
+    Scale: one user-keyed aggregation (map-side combinable) reduces the
+    event stream to |users| rows; the three ntiles are single-partition
+    windows over that REDUCED frame — the one intentionally non-scalable
+    hop, shared with equi_depth_deciles: at 100 TB you'd swap ntile for
+    approx-quantile boundaries (approx_quantiles_certified is that
+    operator) and keep this exact form for certification. The rollup is a
+    125-cell agg."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    tiled = per_user.select(
+        "monetary",
+        F.ntile(5).over(W.orderBy(F.desc("last_us"), "user_id")).alias("r_tile"),
+        F.ntile(5).over(W.orderBy(F.desc("freq"), "user_id")).alias("f_tile"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    ).select(
+        F.col("r_tile").cast("bigint").alias("r_tile"),
+        F.col("f_tile").cast("bigint").alias("f_tile"),
+        F.col("m_tile").cast("bigint").alias("m_tile"),
+        "n_users",
+        "segment_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomalies — monitoring-grade outlier detection:
+# each event scored against its user's previous 10 values.
+# ---------------------------------------------------------------------------
+
+_ZS_WIN = 10
+_ZS_MIN_STD = 0.01  # degenerate-frame guard (also kills cancellation noise)
+
+_ZSCORE_ORACLE = f"""
+    WITH framed AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER w AS n_prev,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {_ZS_WIN} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_id, user_id, value,
+             s1 / n_prev AS mean_prev,
+             sqrt(greatest((s2 - s1 * s1 / n_prev) / (n_prev - 1), 0.0)) AS std_prev
+      FROM framed WHERE n_prev = {_ZS_WIN}
+    )
+    SELECT event_id, user_id, round(value, 2) AS value,
+           round((value - mean_prev) / std_prev, 6) AS zscore
+    FROM scored
+    WHERE std_prev > {_ZS_MIN_STD}
+      AND abs(round((value - mean_prev) / std_prev, 6)) >= 2.0
+"""
+
+
+@register(
+    "trailing_zscore_anomalies",
+    oracle=_ZSCORE_ORACLE,
+    tags=("behavior", "window", "timeseries", "quality"),
+)
+def trailing_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing z-score anomaly flags: each event's value scored
+    against the mean/std of that user's previous 10 values (full frames
+    only); |z| >= 2 rows surface. The structure every metrics-monitoring
+    pipeline runs; the streaming analogue is a stateful window over the
+    same frame arithmetic.
+
+    Determinism: the frame statistics are explicit sum / sum-of-squares
+    (NOT stddev_samp, whose moment recurrence differs between engines) so
+    both engines fold the same 10 doubles in the same frame order; the
+    anomaly cut compares the ROUNDED z on both sides so a last-ULP
+    difference at the |z|=2 boundary cannot flip a row in or out.
+
+    Scale: one user-keyed window — a single hash shuffle, then pure
+    per-partition frame arithmetic; no self-joins, no collects. Skewed
+    users are bounded by per-user event counts (the sessionize family
+    shares this shape and its salting note)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-_ZS_WIN, -1)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"),
+    ).filter(F.col("n_prev") == _ZS_WIN)
+    mean_prev = F.col("s1") / F.col("n_prev")
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prev"))
+        / (F.col("n_prev") - 1),
+        F.lit(0.0),
+    )
+    z = F.round((F.col("value") - mean_prev) / F.sqrt(var), 6)
+    return (
+        framed.withColumn("_std", F.sqrt(var))
+        .filter((F.col("_std") > _ZS_MIN_STD) & (F.abs(z) >= 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            z.alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation: two-proportion z-test between user cohorts — the A/B
+# readout every event pipeline feeds.
+# ---------------------------------------------------------------------------
+
+_AB_CONV_MIN = 14  # "heavy buyer": >= 14 purchases (~corpus mean 13.4) —
+# every-user-converts saturation at >= 1 made the pooled variance 0
+
+_AB_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             count(*) FILTER (event_type = 'purchase') AS np
+      FROM events GROUP BY user_id
+    ),
+    per_cohort AS (
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN np >= {_AB_CONV_MIN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM per_user
+      GROUP BY cohort
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN cohort = 0 THEN n_users END) AS n0,
+        max(CASE WHEN cohort = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN cohort = 1 THEN n_users END) AS n1,
+        max(CASE WHEN cohort = 1 THEN n_converted END) AS c1
+      FROM per_cohort
+    )
+    SELECT n0 AS n_control, c0 AS conv_control,
+           n1 AS n_treatment, c1 AS conv_treatment,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS p_control,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p_treatment,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                               * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                               * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z_stat
+    FROM wide
+"""
+
+
+@register("ab_test_lift", oracle=_AB_ORACLE, tags=("behavior", "analytics", "stats"))
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: users split into control/treatment by
+    user_id parity, conversion = "heavy buyer" (>= 14 purchase events —
+    the corpus mean is ~13.4, so the rate is interior at every SF; >= 1
+    saturates to 100% and zeroes the pooled variance); emits both
+    cohorts' sizes, conversion rates, and the pooled z statistic. The
+    deterministic-assignment A/B readout (a real system hashes a salt +
+    user id — `_salted_hash` in dataprep is that primitive).
+
+    Determinism: all inputs to the float math are exact BIGINT counts, so
+    the z expression is a single-row computation both engines evaluate
+    identically; the variance term is NULLed (try_divide) rather than
+    raised if a degenerate corpus ever saturates a rate again.
+
+    Scale: ONE user-keyed reduction (map-side partial) collapses the event
+    stream to per-user purchase counts; everything after is a 2-row
+    rollup and a driver-sized pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
+    )
+    per_cohort = per_user.groupBy(
+        (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("np") >= _AB_CONV_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    wide = per_cohort.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return wide.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c1").alias("conv_treatment"),
+        F.round(p0, 6).alias("p_control"),
+        F.round(p1, 6).alias("p_treatment"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph over embeddings — the neighborhood graph semantic-
+# clustering and diversity-sampling passes build on (mutual = both ends
+# rank each other top-k; prunes hub vertices that one-directional kNN
+# over-connects).
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+    WITH pairs AS (
+      SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+             round({_dot_sql('a.embedding', 'b.embedding')}
+                   / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                      * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    both_dirs AS (
+      SELECT label, src, dst, cos_sim FROM pairs
+      UNION ALL
+      SELECT label, dst, src, cos_sim FROM pairs
+    ),
+    ranked AS (
+      SELECT label, src, dst, cos_sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rk
+      FROM both_dirs
+    ),
+    knn AS (SELECT * FROM ranked WHERE rk <= {_KNN_K})
+    SELECT k1.label, k1.src AS key_a, k1.dst AS key_b, k1.cos_sim
+    FROM knn k1 JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+    WHERE k1.src < k1.dst
+"""
+
+
+@register(
+    "knn_mutual_edges",
+    oracle=_KNN_ORACLE,
+    tags=("similarity", "graph", "curation"),
+)
+def knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-5 cosine kNN graph within each embedding cluster:
+    an edge (a, b) survives iff b is in a's top-5 neighbors AND a is in
+    b's — the hub-pruned neighborhood graph semantic clustering and
+    diversity sampling build on.
+
+    Determinism: cosine is computed ONCE per unordered pair (symmetric)
+    and rounded to 6 before ranking, with dst as the tiebreak — a rank
+    over raw floats could flip on cross-engine ULPs, a rank over rounded
+    values cannot.
+
+    Scale shape: the quadratic pass is cluster-bounded (the SemDeDup
+    argument — cell caps bound cost at n_cells x cell_size²); each
+    unordered pair is scored once and mirrored by a UNION ALL (map-side),
+    the per-src top-k is WindowGroupLimit-prunable, and the mutuality
+    check is an equi-join of the kNN list with its own transpose —
+    k·|V| rows, not |V|²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("label").alias("_lb"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("label") == F.col("_lb")) & (F.col("src") < F.col("dst")),
+        )
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    both = pairs.unionAll(
+        pairs.select(
+            "label",
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "cos_sim",
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    )
+    knn = persist_once(
+        both.withColumn("rk", rk).filter(F.col("rk") <= _KNN_K).select(
+            "label", "src", "dst", "cos_sim"
+        )
+    )
+    k2 = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        knn.join(k2, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            F.col("src").alias("key_a"),
+            F.col("dst").alias("key_b"),
+            "cos_sim",
+        )
+    )

@@ -139,6 +139,10 @@ HEADLINE = (
     "trailing_zscore_anomalies",
     "ab_test_lift",
     "knn_mutual_edges",
+    "temperature_mixture_weights",
+    "dataset_card_stats",
+    "source_overlap_matrix",
+    "nb_lang_margin",
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time
     # for multi-stage compositions is fixed per-stage scheduling, not

@@ -47,6 +47,7 @@ _MODULES = (
     "curation",
     "linkage",
     "behavior",
+    "corpus_stats",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -180,6 +181,10 @@ _NEXT_ROUND_QUEUE = (
     "trailing_zscore_anomalies",
     "ab_test_lift",
     "knn_mutual_edges",
+    "temperature_mixture_weights",
+    "dataset_card_stats",
+    "source_overlap_matrix",
+    "nb_lang_margin",
 )
 
 

@@ -55,6 +55,8 @@ _NESTED_LOOP_OK = {
     "sim_lsh_recall_certified",  # three 1-row count frames crossJoined
     "llm_curation_pipeline",  # inherits DSIR's 1-row totals crossJoin
     "nb_lang_classifier_scores",  # 5-row class totals + 1-row vocab crossJoins
+    "temperature_mixture_weights",  # 1-row broadcast totals crossJoin
+    "nb_lang_margin",  # inherits the NB score matrix's tiny crossJoins
 }
 
 

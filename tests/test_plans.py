@@ -746,3 +746,35 @@ def test_nb_model_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nb_lang_classifier_scores")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_zscore_single_exchange(spark, sf_dir):
+    """Trailing z-score is one user-keyed window: exactly ONE exchange and
+    one scan — the whole detector rides a single hash shuffle."""
+    plan = _plan(spark, sf_dir, "trailing_zscore_anomalies")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_rfm_single_scan(spark, sf_dir):
+    """RFM reads events once; the three ntiles run over the REDUCED
+    per-user frame (one user agg + one single-partition hop), never over
+    raw events."""
+    plan = _plan(spark, sf_dir, "rfm_segments")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dataset_cards_single_scan(spark, sf_dir):
+    """The per-source datasheet is ONE aggregation pass: a second scan
+    would mean a stat was computed by re-reading the corpus."""
+    plan = _plan(spark, sf_dir, "dataset_card_stats")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_knn_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-src top-5 must prune partially per partition
+    (WindowGroupLimit below the rank sort), and the cluster-keyed pair
+    join must never degenerate to a cartesian."""
+    plan = _plan(spark, sf_dir, "knn_mutual_edges")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan

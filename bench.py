@@ -143,6 +143,8 @@ HEADLINE = (
     "dataset_card_stats",
     "source_overlap_matrix",
     "nb_lang_margin",
+    "unigram_kl_per_source",
+    # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time
     # for multi-stage compositions is fixed per-stage scheduling, not

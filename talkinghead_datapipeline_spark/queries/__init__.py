@@ -185,6 +185,8 @@ _NEXT_ROUND_QUEUE = (
     "dataset_card_stats",
     "source_overlap_matrix",
     "nb_lang_margin",
+    "kcenter_coreset_selection",
+    "unigram_kl_per_source",
 )
 
 

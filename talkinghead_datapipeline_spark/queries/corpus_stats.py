@@ -327,3 +327,77 @@ def nb_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence — domain-shift measurement: how far each
+# subset's token distribution sits from the corpus mixture (the DoReMi /
+# domain-reweighting diagnostic).
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents WHERE len(text) > 0
+    ),
+    src_w AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY source, w),
+    src_t AS (SELECT source, CAST(count(*) AS DOUBLE) AS t FROM tok GROUP BY source),
+    corp_w AS (SELECT w, CAST(count(*) AS DOUBLE) AS cq FROM tok GROUP BY w),
+    corp_t AS (SELECT CAST(count(*) AS DOUBLE) AS tq FROM tok)
+    SELECT s.source,
+           CAST(st.t AS BIGINT) AS n_tokens,
+           round(sum((s.c / st.t) * ln((s.c / st.t) / (cw.cq / ct.tq))), 6)
+             AS kl_unigram
+    FROM src_w s
+    JOIN src_t st ON st.source = s.source
+    JOIN corp_w cw ON cw.w = s.w
+    CROSS JOIN corp_t ct
+    GROUP BY s.source, st.t
+"""
+
+
+@register(
+    "unigram_kl_per_source",
+    oracle=_KL_ORACLE,
+    tags=("profiling", "curation", "text"),
+)
+def unigram_kl_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) over unigram distributions — the
+    domain-shift diagnostic behind domain-reweighting recipes (DoReMi-
+    style): a subset with high KL is lexically far from the mixture and a
+    candidate for up/down-weighting. KL is finite by construction (every
+    source token exists in the corpus distribution).
+
+    Scale: one token explode feeds all four count reductions (persisted
+    once); the (source, word) frame is vocabulary x sources rows, so the
+    per-word corpus distribution broadcasts into the final join and the
+    KL sum folds ≤ |vocab| terms per source — round(,6) sits far above
+    that accumulation's noise."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = persist_once(
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+    )
+    src_w = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    src_t = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    corp_w = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cq"))
+    corp_t = tok.agg(F.count(F.lit(1)).cast("double").alias("tq"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cq") / F.col("tq")
+    return (
+        src_w.join(F.broadcast(src_t), "source")
+        .join(F.broadcast(corp_w), "w")
+        .crossJoin(F.broadcast(corp_t))
+        .groupBy("source", "t")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_unigram"))
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_tokens"),
+            "kl_unigram",
+        )
+    )

@@ -1159,3 +1159,103 @@ def sim_lsh_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection — greedy farthest-first traversal (Gonzalez
+# 1985; the facility-location selection behind coreset/data-pruning
+# methods): pick the point farthest from everything selected so far, k
+# times. The selection-time distance IS the k-center radius sequence.
+# ---------------------------------------------------------------------------
+
+_KC_K = 6  # selected centers (seed + 5 greedy picks)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-first as DuckDB CTEs: the running min-dist
+    frame d_i carries forward (least of previous and dist-to-newest), the
+    next center is the rounded-distance argmax with vec_id tiebreak —
+    identical update rule to the Spark side, so every selected id and
+    radius matches."""
+    steps = []
+    out_rows = ["SELECT 0 AS sel_idx, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM c0"]
+    for i in range(1, _KC_K):
+        prev_d = "base" if i == 1 else f"d{i - 1}"
+        prev_c = f"c{i - 1}"
+        dist = f"round(1 - {_cosine_sql(f'{prev_d}.embedding', f'{prev_c}.embedding')}, 6)"
+        d_expr = dist if i == 1 else f"least({prev_d}.d, {dist})"
+        steps.append(
+            f"""
+    d{i} AS (
+      SELECT {prev_d}.vec_id, {prev_d}.embedding, {d_expr} AS d
+      FROM {prev_d} CROSS JOIN {prev_c}
+    ),
+    c{i} AS (SELECT * FROM d{i} ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+        out_rows.append(
+            f"SELECT {i} AS sel_idx, vec_id, d AS radius FROM c{i}"
+        )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 1),{','.join(steps)}
+    SELECT CAST(sel_idx AS BIGINT) AS sel_idx, vec_id, radius
+    FROM ({' UNION ALL '.join(out_rows)})
+    """
+
+
+@register(
+    "kcenter_coreset_selection",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "curation", "iterative", "coreset"),
+)
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-first) coreset selection over the
+    embedding table: seed = lowest vec_id, then 5 greedy picks of the
+    point with maximum min-cosine-distance to the selected set; emits each
+    pick with its selection-time distance — the k-center radius sequence
+    that certifies coverage (radius_i bounds every point's distance to the
+    first i centers). The facility-location primitive behind
+    coreset/data-pruning curation.
+
+    Determinism: distances round to 6 BEFORE the argmax (vec_id tiebreak),
+    and the running min-dist uses the same least() recurrence on both
+    engines, so the selected sequence is engine-exact.
+
+    Scale: each of the k−1 rounds is one MAP-ONLY pass over the persisted
+    (embedding, norm) projection — the newest center enters as a literal
+    64-float array (broadcast-by-construction), the argmax is a
+    TakeOrdered top-1, and the only driver traffic is ONE row per round
+    (the same bounded pattern as components' convergence count; k is a
+    constant). No pairwise expansion exists anywhere — cost is k scans,
+    the textbook k-center bound."""
+    emb = persist_once(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, seed.vec_id, [float(x) for x in seed.embedding], 0.0)]
+
+    def dist_to(center_vec: list[float]) -> Column:
+        lit = F.array(*[F.lit(v) for v in center_vec])
+        return F.round(
+            F.lit(1.0) - _dot(F.col("embedding"), lit) / (F.col("nrm") * _norm(lit)),
+            6,
+        )
+
+    running = None
+    for i in range(1, _KC_K):
+        newest = dist_to(centers[-1][2])
+        running = newest if running is None else F.least(running, newest)
+        top = (
+            emb.select("vec_id", "embedding", running.alias("d"))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((i, top.vec_id, [float(x) for x in top.embedding], float(top.d)))
+
+    return spark.createDataFrame(
+        [(i, vid, r) for i, vid, _, r in centers],
+        "sel_idx BIGINT, vec_id BIGINT, radius DOUBLE",
+    )

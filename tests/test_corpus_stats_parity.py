@@ -127,3 +127,71 @@ def test_nb_margin_vs_python(spark, sf_dir):
         assert row.predicted_lang == order[0], r.doc_id
         assert abs(row.margin - (scores[order[0]] - scores[order[1]])) < 1e-4
         assert int(row.is_correct) == int(order[0] == r.lang)
+
+
+def test_unigram_kl_vs_python(spark, sf_dir):
+    docs = _docs(sf_dir)
+    docs = docs[docs.text.str.len() > 0]
+    src_w: Counter = Counter()
+    src_t: Counter = Counter()
+    corp_w: Counter = Counter()
+    for r in docs.itertuples():
+        for w in re.split(r"\s+", r.text.lower()):
+            src_w[(r.source, w)] += 1
+            src_t[r.source] += 1
+            corp_w[w] += 1
+    tq = sum(corp_w.values())
+    got = (
+        _SPECS["unigram_kl_per_source"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    assert len(got) == len(src_t)
+    for src, t in src_t.items():
+        kl = sum(
+            (c / t) * math.log((c / t) / (corp_w[w] / tq))
+            for (s, w), c in src_w.items()
+            if s == src
+        )
+        row = got.loc[src]
+        assert int(row.n_tokens) == t
+        assert abs(row.kl_unigram - kl) < 1e-5
+
+
+def test_kcenter_vs_python(spark, sf_dir):
+    """Greedy farthest-first recomputed in numpy with the same rounded-
+    distance argmax rule; selected ids and radii must match exactly."""
+    import numpy as np
+
+    pdf = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+            " ORDER BY vec_id"
+        )
+        .fetchdf()
+    )
+    ids = pdf.vec_id.to_numpy()
+    vecs = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    nrm = np.sqrt((vecs * vecs).sum(axis=1))
+    sel = [0]  # seed = lowest vec_id (frame is id-ordered)
+    radii = [0.0]
+    d = np.full(len(ids), np.inf)
+    for _ in range(1, 6):
+        c = sel[-1]
+        dc = np.round(1 - (vecs @ vecs[c]) / (nrm * nrm[c]), 6)
+        d = np.minimum(d, dc)
+        # argmax with vec_id tiebreak
+        best = max(range(len(ids)), key=lambda i: (d[i], -ids[i]))
+        sel.append(best)
+        radii.append(float(d[best]))
+    got = (
+        _SPECS["kcenter_coreset_selection"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values("sel_idx")
+    )
+    assert [int(v) for v in got.vec_id] == [int(ids[i]) for i in sel]
+    for r, want in zip(got.radius, radii):
+        assert abs(r - want) < 1e-9

@@ -57,6 +57,7 @@ _NESTED_LOOP_OK = {
     "nb_lang_classifier_scores",  # 5-row class totals + 1-row vocab crossJoins
     "temperature_mixture_weights",  # 1-row broadcast totals crossJoin
     "nb_lang_margin",  # inherits the NB score matrix's tiny crossJoins
+    "unigram_kl_per_source",  # 1-row broadcast corpus-total crossJoin
 }
 
 

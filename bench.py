@@ -144,6 +144,10 @@ HEADLINE = (
     "source_overlap_matrix",
     "nb_lang_margin",
     "unigram_kl_per_source",
+    "psi_snapshot_drift",
+    "fk_integrity_audit",
+    "asof_next_view_tolerance",
+    "event_transition_matrix",
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time

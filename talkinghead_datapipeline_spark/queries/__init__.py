@@ -48,6 +48,7 @@ _MODULES = (
     "linkage",
     "behavior",
     "corpus_stats",
+    "dataops",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -187,6 +188,10 @@ _NEXT_ROUND_QUEUE = (
     "nb_lang_margin",
     "kcenter_coreset_selection",
     "unigram_kl_per_source",
+    "psi_snapshot_drift",
+    "fk_integrity_audit",
+    "asof_next_view_tolerance",
+    "event_transition_matrix",
 )
 
 

@@ -1,0 +1,374 @@
+"""Data-ops / data-quality queries (north-star extensions): snapshot
+drift (PSI), referential-integrity auditing, forward as-of joins with
+tolerance, and event-transition analytics — the operational queries a
+production lakehouse runs between pipeline commits.
+
+Cross-engine conventions follow queries/__init__.py. The snapshot-version
+derivation rules are shared with snapshot_diff_summary (timeseries.py) so
+"v2" means the same dataset everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.queries import register
+from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H
+
+# ---------------------------------------------------------------------------
+# PSI — population stability index between two snapshot versions: the
+# standard model-monitoring drift metric, computed over reference-decile
+# bins. v2 is the same md5-derived version snapshot_diff_summary audits.
+# ---------------------------------------------------------------------------
+
+_PSI_CUTS = tuple(i / 10 for i in range(1, 10))  # decile boundaries from v1
+
+_PSI_ORACLE = f"""
+    WITH v1 AS (SELECT o_totalprice AS price FROM orders),
+    tagged AS (SELECT o_orderkey, o_totalprice, {_SNAP_H} AS h FROM orders),
+    v2 AS (
+      SELECT CASE WHEN h = 1 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS price
+      FROM tagged WHERE h <> 0
+      UNION ALL
+      SELECT o_totalprice AS price FROM tagged WHERE h = 2
+    ),
+    cuts AS (
+      SELECT {", ".join(f"quantile_cont(price, {c}) AS c{i}" for i, c in enumerate(_PSI_CUTS))}
+      FROM v1
+    ),
+    b1 AS (
+      SELECT 1 + {" + ".join(f"(CASE WHEN price > c{i} THEN 1 ELSE 0 END)" for i in range(9))} AS bin
+      FROM v1 CROSS JOIN cuts
+    ),
+    b2 AS (
+      SELECT 1 + {" + ".join(f"(CASE WHEN price > c{i} THEN 1 ELSE 0 END)" for i in range(9))} AS bin
+      FROM v2 CROSS JOIN cuts
+    ),
+    n1 AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b1 GROUP BY bin),
+    n2 AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b2 GROUP BY bin),
+    t1 AS (SELECT sum(c) AS t FROM n1),
+    t2 AS (SELECT sum(c) AS t FROM n2)
+    SELECT CAST(n1.bin AS BIGINT) AS bin,
+           n1.c AS n_ref, n2.c AS n_cur,
+           round(CAST(n1.c AS DOUBLE) / t1.t, 6) AS p_ref,
+           round(CAST(n2.c AS DOUBLE) / t2.t, 6) AS p_cur,
+           round((CAST(n2.c AS DOUBLE) / t2.t - CAST(n1.c AS DOUBLE) / t1.t)
+                 * ln((CAST(n2.c AS DOUBLE) / t2.t)
+                      / (CAST(n1.c AS DOUBLE) / t1.t)), 6) AS psi_term
+    FROM n1 JOIN n2 ON n2.bin = n1.bin
+    CROSS JOIN t1 CROSS JOIN t2
+"""
+
+
+@register(
+    "psi_snapshot_drift",
+    oracle=_PSI_ORACLE,
+    tags=("profiling", "versioning", "drift"),
+)
+def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the orders snapshot and its
+    derived v2 (snapshot_diff_summary's version rules): bin both versions
+    by v1's exact decile boundaries and emit each bin's share pair and PSI
+    term (p_cur − p_ref)·ln(p_cur/p_ref) — the model-monitoring drift
+    readout; Σ terms > 0.2 is the conventional "investigate" threshold.
+    Every v1 decile is non-empty by construction, and v2 is a ≥90% subset
+    of v1's rows, so no log hits a zero share on this derivation.
+
+    Scale: boundaries are one exact percentile over the reference
+    (percentile_approx at 100 TB — approx_quantiles_certified certifies
+    that swap), broadcast as a 1-row frame; binning is map-side CASE
+    arithmetic; the rollup keys on 10 bins. Both engines compute the
+    identical interpolated boundaries from identical doubles, the same
+    precedent winsorized_price_stats' driver row already certifies."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(F.col("o_totalprice").alias("price"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    tagged = orders.select("o_totalprice", h.alias("h"))
+    v2 = (
+        tagged.filter(F.col("h") != 0)
+        .select(
+            F.when(F.col("h") == 1, F.col("o_totalprice") + 1.5)
+            .otherwise(F.col("o_totalprice"))
+            .alias("price")
+        )
+        .unionAll(
+            tagged.filter(F.col("h") == 2).select(
+                F.col("o_totalprice").alias("price")
+            )
+        )
+    )
+    cuts = v1.agg(
+        F.percentile("price", F.array(*[F.lit(c) for c in _PSI_CUTS])).alias(
+            "cuts"
+        )
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        b = F.lit(1)
+        for i in range(len(_PSI_CUTS)):
+            b = b + (F.col("price") > F.element_at("cuts", i + 1)).cast("int")
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    n1 = binned(v1).select(F.col("bin"), F.col("c").alias("n_ref"))
+    n2 = binned(v2).select(F.col("bin").alias("_b2"), F.col("c").alias("n_cur"))
+    t1 = n1.agg(F.sum("n_ref").cast("double").alias("t1"))
+    t2 = n2.agg(F.sum("n_cur").cast("double").alias("t2"))
+    p_ref = F.col("n_ref").cast("double") / F.col("t1")
+    p_cur = F.col("n_cur").cast("double") / F.col("t2")
+    return (
+        n1.join(F.broadcast(n2), n1.bin == n2._b2)
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — orphaned-children counts per FK relation,
+# run against the DERIVED v2 snapshot (which deletes 1/20 of orders) so the
+# audit demonstrably catches dangling references; the raw orders→customer
+# relation rides along as the all-green control row.
+# ---------------------------------------------------------------------------
+
+_FK_ORACLE = f"""
+    WITH tagged AS (SELECT o_orderkey, {_SNAP_H} AS h FROM orders),
+    orders_v2 AS (SELECT o_orderkey FROM tagged WHERE h <> 0),
+    li AS (
+      SELECT 'lineitem->orders_v2' AS relation,
+             CAST(count(*) AS BIGINT) AS n_children,
+             CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders_v2 o ON o.o_orderkey = l.l_orderkey
+    ),
+    oc AS (
+      SELECT 'orders->customer' AS relation,
+             CAST(count(*) AS BIGINT) AS n_children,
+             CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT relation, n_children, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_children, 6) AS orphan_rate
+    FROM (SELECT * FROM li UNION ALL SELECT * FROM oc)
+"""
+
+
+@register(
+    "fk_integrity_audit",
+    oracle=_FK_ORACLE,
+    tags=("integrity", "join", "audit"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned-child counts per FK relation.
+    lineitem is checked against the DERIVED orders v2 (1/20 of parents
+    deleted by the shared snapshot rules) so the query demonstrably
+    catches dangling children of a bad partial delete; orders→customer is
+    the intact control row. The pre-commit data-quality gate of any
+    lakehouse pipeline.
+
+    Scale: each relation is one LEFT join counted map-side — the child
+    side shuffles once on the FK, the parent key set is a pruned
+    single-column projection; no row carries more than its key."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    orders_v2 = orders.select("o_orderkey", h.alias("_h")).filter(
+        F.col("_h") != 0
+    ).select(F.col("o_orderkey").alias("_pk"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("_fk")
+    )
+    r1 = li.join(orders_v2, li._fk == orders_v2._pk, "left").agg(
+        F.lit("lineitem->orders_v2").alias("relation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+        F.count(F.when(F.col("_pk").isNull(), 1)).cast("bigint").alias(
+            "n_orphans"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_pk")
+    )
+    oc = orders.select(F.col("o_custkey").alias("_fk"))
+    r2 = oc.join(cust, oc._fk == cust._pk, "left").agg(
+        F.lit("orders->customer").alias("relation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+        F.count(F.when(F.col("_pk").isNull(), 1)).cast("bigint").alias(
+            "n_orphans"
+        ),
+    )
+    return r1.unionAll(r2).select(
+        "relation",
+        "n_children",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_children"), 6
+        ).alias("orphan_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with tolerance — pd.merge_asof(direction='forward',
+# tolerance=30min) as an ignore-nulls window: for each purchase, the NEXT
+# view's value, voided when it arrives more than 30 minutes later.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 1_800_000_000  # 30 minutes
+
+_ASOF_FWD_ORACLE = f"""
+    WITH nxt AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS ts_us,
+             first_value(CASE WHEN event_type = 'view' THEN value END
+                         IGNORE NULLS) OVER w AS next_view_value,
+             first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER w AS next_view_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           round(value, 2) AS purchase_value,
+           round(CASE WHEN next_view_us - ts_us <= {_ASOF_TOL_US}
+                      THEN next_view_value END, 2) AS next_view_value,
+           CAST(CASE WHEN next_view_us - ts_us <= {_ASOF_TOL_US}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_tolerance
+    FROM nxt WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "asof_next_view_tolerance",
+    oracle=_ASOF_FWD_ORACLE,
+    tags=("timeseries", "window", "asof"),
+)
+def asof_next_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pd.merge_asof
+    direction='forward', tolerance=30min): each purchase picks up the NEXT
+    view's value, voided (NULL + flag 0) when that view arrives more than
+    30 minutes later. Complements asof_prior_view_value (backward,
+    untoleranced) to complete the as-of class.
+
+    Scale: identical O(N) shape to the backward form — ONE user-keyed
+    shuffle, a following-frame ignore-nulls first_value (both the value
+    and its timestamp come from the same first matching row, so the
+    tolerance check is self-consistent), no range join, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nv = F.first(
+        F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
+    ).over(w)
+    nu = F.first(
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    within = (nu - F.unix_micros("ts")) <= _ASOF_TOL_US
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("purchase_value"),
+            F.round(F.when(within, nv), 2).alias("next_view_value"),
+            F.coalesce(within.cast("bigint"), F.lit(0)).alias(
+                "within_tolerance"
+            ),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — first-order Markov transitions between event
+# types: the behavioral-flow readout (what users do next) product
+# analytics dashboards are built on.
+# ---------------------------------------------------------------------------
+
+_TRANS_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           round(CAST(c.n AS DOUBLE) / t.t, 6) AS p_next
+    FROM cnt c JOIN tot t ON t.cur = c.cur
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANS_ORACLE,
+    tags=("behavior", "window", "analytics"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: per-user
+    lead() pairs, global (current → next) counts, and the conditional
+    P(next | current). |event_types|² output rows.
+
+    Scale: one user-keyed window shuffle builds the pair stream map-side;
+    counts reduce on the (cur, nxt) pair key (25 cells) and the row totals
+    broadcast back — the event stream is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("cur").agg(F.sum("n").cast("double").alias("t"))
+    return cnt.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_next"),
+    )

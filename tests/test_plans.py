@@ -58,6 +58,7 @@ _NESTED_LOOP_OK = {
     "temperature_mixture_weights",  # 1-row broadcast totals crossJoin
     "nb_lang_margin",  # inherits the NB score matrix's tiny crossJoins
     "unigram_kl_per_source",  # 1-row broadcast corpus-total crossJoin
+    "psi_snapshot_drift",  # 1-row broadcast decile-cuts + totals crossJoins
 }
 
 

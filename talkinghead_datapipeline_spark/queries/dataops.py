@@ -16,7 +16,7 @@ from pyspark.sql.window import Window as W
 
 from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
-from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H
+from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H, snap_hash20
 
 # ---------------------------------------------------------------------------
 # PSI — population stability index between two snapshot versions: the
@@ -86,19 +86,9 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent winsorized_price_stats' driver row already certifies."""
     orders = load_table(spark, sf_dir, "orders")
     v1 = orders.select(F.col("o_totalprice").alias("price"))
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 20
+    tagged = orders.select(
+        "o_totalprice", snap_hash20("o_orderkey").alias("h")
     )
-    tagged = orders.select("o_totalprice", h.alias("h"))
     v2 = (
         tagged.filter(F.col("h") != 0)
         .select(
@@ -197,19 +187,9 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side shuffles once on the FK, the parent key set is a pruned
     single-column projection; no row carries more than its key."""
     orders = load_table(spark, sf_dir, "orders")
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 20
-    )
-    orders_v2 = orders.select("o_orderkey", h.alias("_h")).filter(
+    orders_v2 = orders.select(
+        "o_orderkey", snap_hash20("o_orderkey").alias("_h")
+    ).filter(
         F.col("_h") != 0
     ).select(F.col("o_orderkey").alias("_pk"))
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -255,9 +235,11 @@ _ASOF_FWD_ORACLE = f"""
     WITH nxt AS (
       SELECT user_id, event_id, event_type, value,
              epoch_us(ts) AS ts_us,
-             first_value(CASE WHEN event_type = 'view' THEN value END
+             first_value(CASE WHEN event_type = 'view' AND value IS NOT NULL
+                              THEN value END
                          IGNORE NULLS) OVER w AS next_view_value,
-             first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+             first_value(CASE WHEN event_type = 'view' AND value IS NOT NULL
+                              THEN epoch_us(ts) END
                          IGNORE NULLS) OVER w AS next_view_us
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -282,8 +264,10 @@ def asof_next_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join with tolerance (pd.merge_asof
     direction='forward', tolerance=30min): each purchase picks up the NEXT
     view's value, voided (NULL + flag 0) when that view arrives more than
-    30 minutes later. Complements asof_prior_view_value (backward,
-    untoleranced) to complete the as-of class.
+    30 minutes later (views with NULL value are skipped by BOTH the value
+    and the timestamp expression, so the pair always comes from one row).
+    Complements asof_prior_view_value (backward, untoleranced) to complete
+    the as-of class.
 
     Scale: identical O(N) shape to the backward form — ONE user-keyed
     shuffle, a following-frame ignore-nulls first_value (both the value
@@ -295,13 +279,13 @@ def asof_next_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(1, W.unboundedFollowing)
     )
-    nv = F.first(
-        F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
-    ).over(w)
-    nu = F.first(
-        F.when(F.col("event_type") == "view", F.unix_micros("ts")),
-        ignorenulls=True,
-    ).over(w)
+    # both CASEs guard on value IS NOT NULL so the value and its
+    # timestamp provably come from the SAME first matching row — without
+    # the guard, a NULL-valued view would advance nu but not nv and the
+    # tolerance decision would pair with a different event's value.
+    is_view = (F.col("event_type") == "view") & F.col("value").isNotNull()
+    nv = F.first(F.when(is_view, F.col("value")), ignorenulls=True).over(w)
+    nu = F.first(F.when(is_view, F.unix_micros("ts")), ignorenulls=True).over(w)
     within = (nu - F.unix_micros("ts")) <= _ASOF_TOL_US
     return (
         ev.select(

@@ -1221,13 +1221,14 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the running min-dist uses the same least() recurrence on both
     engines, so the selected sequence is engine-exact.
 
-    Scale: each of the k−1 rounds is one MAP-ONLY pass over the persisted
-    (embedding, norm) projection — the newest center enters as a literal
-    64-float array (broadcast-by-construction), the argmax is a
-    TakeOrdered top-1, and the only driver traffic is ONE row per round
-    (the same bounded pattern as components' convergence count; k is a
-    constant). No pairwise expansion exists anywhere — cost is k scans,
-    the textbook k-center bound."""
+    Scale: each of the k−1 rounds is one MAP-ONLY pass over the cached
+    running-min frame — the newest center enters as a literal 64-float
+    array (broadcast-by-construction), one new distance folds into the
+    materialized d per row, the argmax is a TakeOrdered top-1, and the
+    only driver traffic is ONE row per round (the same bounded pattern as
+    components' convergence count; k is a constant). No pairwise
+    expansion exists anywhere — n·(k−1) distance evaluations, the
+    textbook k-center bound."""
     emb = persist_once(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -1243,17 +1244,23 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    running = None
+    # The running min-dist column MATERIALIZES each round (persist +
+    # replace), so round i computes ONE new distance per row and folds it
+    # into the cached d — n·(k−1) distance evaluations total, the textbook
+    # k-center bound. Chaining F.least lazily instead would re-evaluate
+    # every prior center's distance on every scan (n·k²/2).
+    cur = emb.select("vec_id", "embedding", "nrm", dist_to(centers[0][2]).alias("d"))
     for i in range(1, _KC_K):
-        newest = dist_to(centers[-1][2])
-        running = newest if running is None else F.least(running, newest)
-        top = (
-            emb.select("vec_id", "embedding", running.alias("d"))
-            .orderBy(F.desc("d"), "vec_id")
-            .limit(1)
-            .collect()[0]
-        )
+        cur = persist_once(cur)
+        top = cur.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
         centers.append((i, top.vec_id, [float(x) for x in top.embedding], float(top.d)))
+        if i < _KC_K - 1:
+            cur = cur.select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.least(F.col("d"), dist_to(centers[-1][2])).alias("d"),
+            )
 
     return spark.createDataFrame(
         [(i, vid, r) for i, vid, _, r in centers],

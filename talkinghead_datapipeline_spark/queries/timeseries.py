@@ -594,6 +594,23 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAP_H = "('0x' || substr(md5('snap|' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20"
 
 
+def snap_hash20(key) -> "F.Column":
+    """Spark side of ``_SNAP_H`` — THE snapshot-version hash. Every query
+    deriving the v2 orders snapshot (snapshot_diff_summary,
+    psi_snapshot_drift, fk_integrity_audit) must call this one helper so
+    "v2" cannot silently diverge between them."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap|"), F.col(key).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+
+
 @register(
     "snapshot_diff_summary",
     oracle=f"""
@@ -630,19 +647,9 @@ def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned lakehouse runs between commits."""
     orders = load_table(spark, sf_dir, "orders")
     v1 = orders.select(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price"))
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 20
+    tagged = orders.select(
+        "o_orderkey", "o_totalprice", snap_hash20("o_orderkey").alias("h")
     )
-    tagged = orders.select("o_orderkey", "o_totalprice", h.alias("h"))
     v2 = (
         tagged.filter(F.col("h") != 0)
         .select(

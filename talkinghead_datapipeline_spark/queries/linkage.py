@@ -81,6 +81,12 @@ def fuzzy_part_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     always preserves one token exactly — measured 96/96 pairs found vs the
     unblocked join at sf0.01 (single-pass first-char blocking found 16) —
     and each extra pass is another cheap equi-join, not a cross.
+
+    ASCII-domain caveat (pinned by tests/test_cross_engine_primitives.py):
+    Spark's levenshtein counts CODE POINTS while DuckDB's counts UTF-8
+    BYTES — identical on this corpus's ASCII names, divergent on
+    non-ASCII. A non-ASCII entity corpus must normalize first (or verify
+    with a codepoint-level UDF) before reusing this oracle pairing.
     """
     parts = load_table(spark, sf_dir, "part")
     names = parts.groupBy("p_name").agg(

@@ -148,6 +148,8 @@ HEADLINE = (
     "fk_integrity_audit",
     "asof_next_view_tolerance",
     "event_transition_matrix",
+    "fuzzy_blocking_recall_certified",
+    # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites
     # (corpus_clean_pipeline, dedup_cluster_assignments): local-mode time

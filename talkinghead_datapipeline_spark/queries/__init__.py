@@ -192,6 +192,8 @@ _NEXT_ROUND_QUEUE = (
     "fk_integrity_audit",
     "asof_next_view_tolerance",
     "event_transition_matrix",
+    "fuzzy_name_clusters",
+    "fuzzy_blocking_recall_certified",
 )
 
 

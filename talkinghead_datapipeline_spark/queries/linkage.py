@@ -390,3 +390,158 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("lp_prior") + F.col("_ll"), 6).alias("nb_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution clusters — fuzzy pairs are edges; transitive closure
+# gives the ENTITY (a ~ b, b ~ c collapse even when a ~ c was never
+# emitted). Same components machinery as document dedup, over string keys.
+# ---------------------------------------------------------------------------
+
+_FUZZY_CAND_CTES = f"""
+    names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_name
+    ),
+    tok AS (
+      SELECT p_name, cnt,
+             string_split(p_name, ' ')[1] AS w_first,
+             string_split(p_name, ' ')[-1] AS w_last
+      FROM names
+    ),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM tok a JOIN tok b ON a.w_first = b.w_first AND a.p_name < b.p_name
+      UNION
+      SELECT a.p_name, b.p_name
+      FROM tok a JOIN tok b ON a.w_last = b.w_last AND a.p_name < b.p_name
+    ),
+    fpairs AS (
+      SELECT name_a, name_b FROM cand
+      WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_LEV}
+    )
+"""
+
+_FUZZY_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_FUZZY_CAND_CTES},
+    edges AS (
+      SELECT name_a AS s, name_b AS d FROM fpairs
+      UNION
+      SELECT name_b AS s, name_a AS d FROM fpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON re.r = e.s
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+    SELECT coalesce(cm.c, n.p_name) AS entity,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n.cnt) AS BIGINT) AS n_rows
+    FROM names n LEFT JOIN comp cm ON cm.id = n.p_name
+    GROUP BY entity
+"""
+
+
+@register(
+    "fuzzy_name_clusters",
+    oracle=_FUZZY_CLUSTERS_ORACLE,
+    tags=("linkage", "components", "iterative"),
+)
+def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters: the fuzzy match pairs become edges,
+    pointer-jumping components collapse transitive chains ("red bolt" ~
+    "red rod" ~ "hot rod" is ONE entity), and each cluster reports its
+    canonical name (min), distinct-name count, and underlying row count.
+    The entity table a linkage pipeline publishes.
+
+    Scale: inherits the blocked pair generation (vocabulary-bound) and
+    the O(log diameter) pointer-jumping loop (string labels — min-label
+    propagation is type-agnostic); the final rollup is one entity-keyed
+    agg over the distinct-name frame."""
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = fuzzy_part_match_pairs(spark, sf_dir).select(
+        F.col("name_a").alias("key_a"), F.col("name_b").alias("key_b")
+    )
+    comps = connected_components(pairs).withColumnRenamed("id", "p_name")
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        names.join(comps, "p_name", "left")
+        .select(
+            F.coalesce("comp", "p_name").alias("entity"),
+            "cnt",
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-recall certification — the sim_lsh_recall_certified pattern for
+# record linkage: compare the REGISTERED blocked pairs against the
+# unblocked all-pairs join. The quadratic pass is legitimate here precisely
+# because it runs on the DISTINCT-NAME domain (vocabulary-bound at any
+# row count) — certifying the blocking is exactly the workload where you
+# pay it once.
+# ---------------------------------------------------------------------------
+
+_FUZZY_RECALL_ORACLE = f"""
+    WITH {_FUZZY_CAND_CTES},
+    exact AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_LEV}
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM fpairs),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT nb.n_blocked, ne.n_exact,
+           round(CAST(nb.n_blocked AS DOUBLE) / ne.n_exact, 6) AS recall
+    FROM nb CROSS JOIN ne
+"""
+
+
+@register(
+    "fuzzy_blocking_recall_certified",
+    oracle=_FUZZY_RECALL_ORACLE,
+    tags=("linkage", "certification"),
+)
+def fuzzy_blocking_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified recall of the two-pass blocking vs the unblocked
+    all-pairs edit-distance join (1.0 on this corpus — the measured claim
+    in fuzzy_part_match_pairs' docstring, now machine-checked every
+    round). Blocked pairs come from the REGISTERED query, so this row
+    moves iff user-visible results move.
+
+    Scale: the exact side's a<b self-join is quadratic ONLY in the
+    distinct-name vocabulary (constant-ish in row count); its small side
+    broadcasts. A vocabulary too large for that would certify on a
+    deterministic md5 sample of names instead — the certification grade
+    degrades before the pipeline does."""
+    blocked = fuzzy_part_match_pairs(spark, sf_dir)
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    exact = a.join(
+        F.broadcast(b), F.col("name_a") < F.col("name_b")
+    ).filter(F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_LEV)
+    nb = blocked.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocked"))
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return nb.crossJoin(F.broadcast(ne)).select(
+        "n_blocked",
+        "n_exact",
+        F.round(
+            F.col("n_blocked").cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+    )

@@ -175,3 +175,48 @@ def test_keep_best_quality_vs_python_closure(spark, sf_dir):
         assert int(r["rep_doc_id"]) == rep
         assert int(r["n_members"]) == len(members)
         assert abs(r["best_quality"] - round(q[rep], 6)) < 1e-9
+
+
+def test_fuzzy_clusters_vs_python(spark, sf_dir):
+    """Union-find over the Python unblocked pair set; entity = min name."""
+    parts = (
+        duckdb.connect()
+        .execute(f"SELECT p_name FROM '{sf_dir}/part.parquet'")
+        .fetchdf()
+    )
+    cnt = Counter(parts["p_name"])
+    names = sorted(cnt)
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if _lev(a, b) <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want: dict[str, list] = {}
+    for n in names:
+        want.setdefault(find(n), []).append(n)
+    got = _SPECS["fuzzy_name_clusters"].spark(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        members = want[r.entity]
+        assert int(r.n_names) == len(members)
+        assert int(r.n_rows) == sum(cnt[m] for m in members)
+
+
+def test_fuzzy_recall_certified_is_total(spark, sf_dir):
+    got = (
+        _SPECS["fuzzy_blocking_recall_certified"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert got.n_blocked == got.n_exact
+    assert got.recall == 1.0

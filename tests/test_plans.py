@@ -59,6 +59,8 @@ _NESTED_LOOP_OK = {
     "nb_lang_margin",  # inherits the NB score matrix's tiny crossJoins
     "unigram_kl_per_source",  # 1-row broadcast corpus-total crossJoin
     "psi_snapshot_drift",  # 1-row broadcast decile-cuts + totals crossJoins
+    "fuzzy_blocking_recall_certified",  # vocabulary-bound a<b cert join
+    # + two 1-row count frames crossJoined
 }
 
 

@@ -149,6 +149,9 @@ HEADLINE = (
     "asof_next_view_tolerance",
     "event_transition_matrix",
     "fuzzy_blocking_recall_certified",
+    "ols_normal_equations",
+    "emb_covariance_upper",
+    "time_to_convert_stats",
     # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites

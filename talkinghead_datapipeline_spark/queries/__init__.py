@@ -13,6 +13,11 @@ Conventions (hash-stability across Spark/DuckDB):
 - Cast computed integers to BIGINT on both sides (DuckDB widens to int64
   where Spark keeps int32).
 - Every top-k / limit query orders by a deterministic full tiebreak.
+- A rounded value that can be a tiny NEGATIVE near zero gets ``+ 0.0`` on
+  BOTH sides: IEEE -0.0 vs +0.0 survive round(), compare equal, but sort
+  and hash differently — one engine rounding -1e-9 where the other rounds
+  +1e-9 misaligns the driver's whole row ordering (observed on
+  emb_covariance_upper at sf0.01).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ _MODULES = (
     "behavior",
     "corpus_stats",
     "dataops",
+    "mlstats",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -194,6 +200,9 @@ _NEXT_ROUND_QUEUE = (
     "event_transition_matrix",
     "fuzzy_name_clusters",
     "fuzzy_blocking_recall_certified",
+    "ols_normal_equations",
+    "emb_covariance_upper",
+    "time_to_convert_stats",
 )
 
 

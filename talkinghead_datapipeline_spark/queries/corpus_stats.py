@@ -347,7 +347,7 @@ _KL_ORACLE = """
     SELECT s.source,
            CAST(st.t AS BIGINT) AS n_tokens,
            round(sum((s.c / st.t) * ln((s.c / st.t) / (cw.cq / ct.tq))), 6)
-             AS kl_unigram
+             + 0.0 AS kl_unigram
     FROM src_w s
     JOIN src_t st ON st.source = s.source
     JOIN corp_w cw ON cw.w = s.w
@@ -394,7 +394,8 @@ def unigram_kl_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(corp_w), "w")
         .crossJoin(F.broadcast(corp_t))
         .groupBy("source", "t")
-        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_unigram"))
+        # + 0.0: negative-zero normalization (see emb_covariance_upper)
+        .agg((F.round(F.sum(p * F.log(p / q)), 6) + 0.0).alias("kl_unigram"))
         .select(
             "source",
             F.col("t").cast("bigint").alias("n_tokens"),

@@ -58,7 +58,7 @@ _PSI_ORACLE = f"""
            round(CAST(n2.c AS DOUBLE) / t2.t, 6) AS p_cur,
            round((CAST(n2.c AS DOUBLE) / t2.t - CAST(n1.c AS DOUBLE) / t1.t)
                  * ln((CAST(n2.c AS DOUBLE) / t2.t)
-                      / (CAST(n1.c AS DOUBLE) / t1.t)), 6) AS psi_term
+                      / (CAST(n1.c AS DOUBLE) / t1.t)), 6) + 0.0 AS psi_term
     FROM n1 JOIN n2 ON n2.bin = n1.bin
     CROSS JOIN t1 CROSS JOIN t2
 """
@@ -135,7 +135,8 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
             F.round(p_ref, 6).alias("p_ref"),
             F.round(p_cur, 6).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            # + 0.0: negative-zero normalization (see emb_covariance_upper)
+            (F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6) + 0.0).alias(
                 "psi_term"
             ),
         )

@@ -1,0 +1,264 @@
+"""In-engine ML sufficient statistics (north-star extensions): one-pass
+OLS via normal equations, the distributed covariance/Gram matrix, and
+conversion-latency stats — the "train simple models inside the engine"
+primitives (the same shape lineitem_measure_correlations certifies for
+Pearson).
+
+Cross-engine conventions follow queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# OLS via normal equations — the one-pass distributed linear regression:
+# accumulate the sufficient statistics (moment sums), solve the 3x3 system
+# by Cramer's rule as PURE ARITHMETIC on the aggregated row, so "training"
+# is one map-side-combinable aggregation and the model pops out as columns.
+# y = l_extendedprice, x1 = l_quantity, x2 = l_discount.
+# ---------------------------------------------------------------------------
+
+_OLS_SUMS_SQL = """
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(l_quantity AS DOUBLE)) AS sx1,
+             sum(l_discount) AS sx2,
+             sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sx11,
+             sum(CAST(l_quantity AS DOUBLE) * l_discount) AS sx12,
+             sum(l_discount * l_discount) AS sx22,
+             sum(l_extendedprice) AS sy,
+             sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sx1y,
+             sum(l_discount * l_extendedprice) AS sx2y
+      FROM lineitem
+"""
+
+# Cramer's rule over S·beta = b with
+# S = [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]], b = [sy,sx1y,sx2y]
+_DET = (
+    "(n*(sx11*sx22-sx12*sx12) - sx1*(sx1*sx22-sx12*sx2)"
+    " + sx2*(sx1*sx12-sx11*sx2))"
+)
+_D0 = (
+    "(sy*(sx11*sx22-sx12*sx12) - sx1*(sx1y*sx22-sx12*sx2y)"
+    " + sx2*(sx1y*sx12-sx11*sx2y))"
+)
+_D1 = (
+    "(n*(sx1y*sx22-sx12*sx2y) - sy*(sx1*sx22-sx12*sx2)"
+    " + sx2*(sx1*sx2y-sx1y*sx2))"
+)
+_D2 = (
+    "(n*(sx11*sx2y-sx1y*sx12) - sx1*(sx1*sx2y-sx1y*sx2)"
+    " + sy*(sx1*sx12-sx11*sx2))"
+)
+
+_OLS_ORACLE = f"""
+    WITH sums AS ({_OLS_SUMS_SQL})
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round({_D0} / {_DET}, 6) AS beta0,
+           round({_D1} / {_DET}, 6) AS beta1,
+           round({_D2} / {_DET}, 6) AS beta2
+    FROM sums
+"""
+
+
+@register(
+    "ols_normal_equations",
+    oracle=_OLS_ORACLE,
+    tags=("mlstats", "agg", "regression"),
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed OLS: fit l_extendedprice ~ 1 + l_quantity +
+    l_discount by accumulating the nine moment sums in a single map-side-
+    combinable aggregation and solving the 3x3 normal equations with
+    Cramer's rule as scalar arithmetic on the 1-row result. The
+    train-inside-the-engine regression primitive: at 100 TB "training" is
+    one scan + one 9-number reduce, and the model is a row.
+
+    Determinism: both engines compute the same moment sums to within
+    accumulation-order ULPs (~1e-15 relative); the determinants are
+    well-conditioned at this design matrix (quantity 1..50, discount
+    0..0.1), so round(,6) on the coefficients sits far above the noise —
+    the same argument lineitem_measure_correlations' driver row already
+    certifies for one-pass Pearson."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    d = F.col("l_discount")
+    y = F.col("l_extendedprice")
+    sums = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("sx1"),
+        F.sum(d).alias("sx2"),
+        F.sum(q * q).alias("sx11"),
+        F.sum(q * d).alias("sx12"),
+        F.sum(d * d).alias("sx22"),
+        F.sum(y).alias("sy"),
+        F.sum(q * y).alias("sx1y"),
+        F.sum(d * y).alias("sx2y"),
+    )
+    det = F.expr(_DET)
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.expr(_D0) / det, 6).alias("beta0"),
+        F.round(F.expr(_D1) / det, 6).alias("beta1"),
+        F.round(F.expr(_D2) / det, 6).alias("beta2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance matrix — X^T X via pair expansion: THE linear-
+# algebra primitive under distributed PCA / least squares. Upper triangle
+# only (the matrix is symmetric); eigen-solving the 64x64 result is a
+# driver-sized step by construction.
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """
+    WITH dims AS (
+      SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings e CROSS JOIN range(1, 65) t(i)
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(a.x) AS si, sum(b.x) AS sj, sum(a.x * b.x) AS sij
+      FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round((sij - si * sj / n) / (n - 1), 6) + 0.0 AS cov
+    FROM pairs
+"""
+
+
+@register(
+    "emb_covariance_upper",
+    oracle=_COV_ORACLE,
+    tags=("mlstats", "similarity", "agg"),
+)
+def emb_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding table (64x64 →
+    2080 cells): per-dimension rows via posexplode, a vec-keyed self-join
+    builds (i ≤ j) pair products, and one (i, j)-keyed aggregation yields
+    the sufficient sums; cov = (Σxy − ΣxΣy/n)/(n−1). Distributed PCA is
+    this query + a driver-side eigensolve of the driver-sized result
+    (mirroring how kcenter/IVF keep the model tiny and the data pass
+    distributed).
+
+    Scale: the expansion is rows x d(d+1)/2 pair terms — the irreducible
+    Gram-matrix work — sharded across executors by the vec-keyed join and
+    reduced map-side on 2080 keys; nothing quadratic in ROWS exists. At
+    very high d you'd switch to d chunked column-block passes; d=64 fits
+    the single-pass form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    a = dims.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xa"))
+    b = dims.select(
+        F.col("vec_id").alias("_v"), F.col("i").alias("j"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(b, (F.col("vec_id") == F.col("_v")) & (F.col("i") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("xa").alias("si"),
+            F.sum("xb").alias("sj"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sij"),
+        )
+    )
+    return pairs.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        # + 0.0 normalizes IEEE negative zero: a near-zero covariance can
+        # round to -0.0 on one engine and +0.0 on the other (observed at
+        # sf0.01), and the driver's repr-sort then misaligns every later
+        # row. -0.0 + 0.0 = +0.0 kills the class on both sides.
+        (
+            F.round(
+                (F.col("sij") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            )
+            + 0.0
+        ).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency — time from the most recent view to each purchase:
+# the funnel-timing readout (how long intent takes to convert).
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+    WITH paired AS (
+      SELECT epoch_us(ts)
+             - last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                          IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS delta_us
+      FROM events
+      QUALIFY event_type = 'purchase' AND delta_us IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(delta_us) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_sec,
+           round(quantile_cont(delta_us, 0.5) / 1000000, 6) AS median_sec,
+           round(quantile_cont(delta_us, 0.9) / 1000000, 6) AS p90_sec
+    FROM paired
+"""
+
+
+@register(
+    "time_to_convert_stats",
+    oracle=_TTC_ORACLE,
+    tags=("behavior", "window", "analytics"),
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency stats: per purchase, the gap to that user's most
+    recent prior view (the backward as-of pairing), rolled up into count /
+    mean / median / p90 seconds — the funnel-timing number product teams
+    track. Mean is computed as exact BIGINT Σ / n (no double
+    accumulation); the percentiles interpolate over exact integer
+    microsecond deltas, identical on both engines.
+
+    Scale: one user-keyed window pass builds the pairing; the rollup is a
+    single 1-row aggregation (exact percentile here; the certified
+    percentile_approx swap applies at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_view_us = F.last(
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    paired = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") - prior_view_us).alias("delta_us"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("delta_us").isNotNull()
+        )
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(
+            F.sum("delta_us").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("mean_sec"),
+        F.round(F.percentile("delta_us", F.lit(0.5)) / 1_000_000, 6).alias(
+            "median_sec"
+        ),
+        F.round(F.percentile("delta_us", F.lit(0.9)) / 1_000_000, 6).alias(
+            "p90_sec"
+        ),
+    )

@@ -152,6 +152,9 @@ HEADLINE = (
     "ols_normal_equations",
     "emb_covariance_upper",
     "time_to_convert_stats",
+    "chi2_lang_source_cells",
+    "benford_first_digit",
+    "histogram_fixed_width",
     # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites

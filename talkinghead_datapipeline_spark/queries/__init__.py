@@ -55,6 +55,7 @@ _MODULES = (
     "corpus_stats",
     "dataops",
     "mlstats",
+    "stats_tests",
 )
 
 # The driver's correctness gate iterates ``queries()`` in insertion order and
@@ -203,6 +204,9 @@ _NEXT_ROUND_QUEUE = (
     "ols_normal_equations",
     "emb_covariance_upper",
     "time_to_convert_stats",
+    "chi2_lang_source_cells",
+    "benford_first_digit",
+    "histogram_fixed_width",
 )
 
 

@@ -1,0 +1,244 @@
+"""Statistical-test & data-forensics queries (north-star extensions):
+chi-square independence, Benford first-digit audit, and a dense
+fixed-width histogram — the hypothesis-testing companions to
+ab_test_lift's z-test.
+
+Cross-engine conventions follow queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence — lang × source over documents: does
+# subset provenance predict language? The categorical counterpart of
+# ab_test_lift's two-proportion z-test.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents WHERE len(text) > 0
+      GROUP BY lang, source
+    ),
+    rowt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+    colt AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT sum(o) AS t FROM obs),
+    cells AS (
+      SELECT o.lang, o.source, o.o,
+             r.rt * c.ct / t.t AS e
+      FROM obs o
+      JOIN rowt r ON r.lang = o.lang
+      JOIN colt c ON c.source = o.source
+      CROSS JOIN tot t
+    )
+    SELECT lang, source,
+           CAST(o AS BIGINT) AS observed,
+           round(e, 6) AS expected,
+           round((o - e) * (o - e) / e, 6) AS chi2_term
+    FROM cells
+"""
+
+
+@register(
+    "chi2_lang_source_cells",
+    oracle=_CHI2_ORACLE,
+    tags=("stats", "analytics", "agg"),
+)
+def chi2_lang_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for lang × source: observed counts,
+    expected counts under independence (row·col/total), and each cell's
+    (O−E)²/E term — Σ terms is the chi-square statistic (df =
+    (rows−1)(cols−1)). Per-cell emission keeps the driver check exact AND
+    shows which cells drive the dependence, the readout an analyst
+    actually wants. Zero-observed cells contribute O=0 only through the
+    row/col totals (standard contingency semantics).
+
+    Scale: one (lang, source)-keyed count reduction; row/col totals are
+    group-count-sized broadcasts; everything after is per-cell arithmetic
+    on exact counts — deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    obs = persist_once(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("double").alias("o")
+        )
+    )
+    rowt = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    e = F.col("rt") * F.col("ct") / F.col("t")
+    return (
+        obs.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the fraud/data-forensics screen: natural
+# multi-scale amounts should follow P(d) = log10(1 + 1/d).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    cnt AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT sum(n) AS t FROM cnt)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / t.t, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(CAST(n AS DOUBLE) / t.t - log10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM cnt CROSS JOIN tot t
+"""
+
+
+@register(
+    "benford_first_digit",
+    oracle=_BENFORD_ORACLE,
+    tags=("stats", "profiling", "audit"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: per leading digit,
+    the observed share vs log10(1 + 1/d) and the signed deviation — the
+    forensic screen auditors run for fabricated amounts. (TPC-H's uniform
+    price generator deliberately FAILS Benford — large deviations here are
+    the fixture behaving honestly, and the query's job is to expose
+    exactly that.)
+
+    Determinism: the digit comes from floor()'s decimal string (an
+    explicit floor — engine CAST-to-integer rounding rules differ); shares
+    are exact-count divisions rounded late.
+
+    Scale: map-side digit extraction, one 9-key count reduction, 1-row
+    total broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    # explicit floor(): DuckDB's double→BIGINT cast ROUNDS half-even while
+    # Spark's truncates — a 89999.6 total would land digit 9 on one engine
+    # and 8 on the other (observed at sf0.01). floor() agrees everywhere.
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    cnt = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").cast("double").alias("t"))
+    obs_p = F.col("n").cast("double") / F.col("t")
+    ben_p = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs_p, 6).alias("observed_p"),
+        F.round(ben_p, 6).alias("benford_p"),
+        F.round(obs_p - ben_p, 6).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram with a DENSE bin spine — empty bins emitted as
+# zero rows (the charting/monitoring contract equi-depth deciles don't
+# give): bins from a sequence() spine, counts left-joined on.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+_HIST_ORACLE = f"""
+    WITH ext AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+      SELECT least(CAST(floor((o_totalprice - e.lo) / ((e.hi - e.lo) / {_HIST_BINS}))
+                        AS BIGINT), {_HIST_BINS - 1}) AS bin
+      FROM orders CROSS JOIN ext e
+    ),
+    cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY bin),
+    spine AS (SELECT unnest(range(0, {_HIST_BINS})) AS bin)
+    SELECT s.bin,
+           round(e.lo + s.bin * ((e.hi - e.lo) / {_HIST_BINS}), 6) AS bin_lo,
+           round(e.lo + (s.bin + 1) * ((e.hi - e.lo) / {_HIST_BINS}), 6) AS bin_hi,
+           coalesce(c.n, 0) AS n_rows
+    FROM spine s
+    LEFT JOIN cnt c ON c.bin = s.bin
+    CROSS JOIN ext e
+"""
+
+
+@register(
+    "histogram_fixed_width",
+    oracle=_HIST_ORACLE,
+    tags=("profiling", "histogram", "agg"),
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of order totals with a DENSE bin
+    spine: every bin appears even at count 0 (sequence() spine + left
+    join — the same dense-spine discipline as gap_fill_hourly), the
+    contract charting and alert thresholds need that a sparse GROUP BY
+    breaks. The max value clamps into the last bin (standard right-closed
+    final bucket).
+
+    Determinism: bin edges derive from the exact min/max row; bin
+    assignment is floor() on identical doubles; counts are exact.
+
+    Scale: one min/max reduce (1-row broadcast), map-side binning, a
+    20-key count, and a spine join on a literal 20-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binned = (
+        orders.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(_HIST_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        ext.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_HIST_BINS - 1))).alias("bin"),
+            "lo",
+            "hi",
+        )
+    )
+    return (
+        spine.join(F.broadcast(binned), "bin", "left")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round(
+                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS, 6
+            ).alias("bin_lo"),
+            F.round(
+                F.col("lo")
+                + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / _HIST_BINS,
+                6,
+            ).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )

@@ -61,6 +61,9 @@ _NESTED_LOOP_OK = {
     "psi_snapshot_drift",  # 1-row broadcast decile-cuts + totals crossJoins
     "fuzzy_blocking_recall_certified",  # vocabulary-bound a<b cert join
     # + two 1-row count frames crossJoined
+    "chi2_lang_source_cells",  # 1-row grand-total crossJoin
+    "benford_first_digit",  # 1-row digit-total crossJoin
+    "histogram_fixed_width",  # 1-row min/max extent crossJoin
 }
 
 

@@ -18,6 +18,12 @@ Conventions (hash-stability across Spark/DuckDB):
   and hash differently — one engine rounding -1e-9 where the other rounds
   +1e-9 misaligns the driver's whole row ordering (observed on
   emb_covariance_upper at sf0.01).
+- NEVER cast a float to an integer type directly: DuckDB's CAST rounds
+  half-even where Spark's truncates toward zero (observed on
+  benford_first_digit at sf0.01 — 89999.6 lands digit 9 vs 8). Apply an
+  explicit floor()/round() first so both engines agree; Levenshtein is
+  ASCII-only portable (DuckDB counts UTF-8 bytes, Spark code points —
+  tests/test_cross_engine_primitives.py pins both).
 """
 
 from __future__ import annotations

@@ -31,8 +31,11 @@ from talkinghead_datapipeline_spark.queries import register
 
 _FUZZY_MAX_LEV = 3
 
-_FUZZY_ORACLE = f"""
-    WITH names AS (
+# ONE source of truth for the blocking SQL: every fuzzy-family oracle
+# (pairs, clusters, recall certification) builds on these CTEs, so tuning
+# the blocking cannot silently desynchronize the certifications.
+_FUZZY_CAND_CTES = f"""
+    names AS (
       SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_name
     ),
     tok AS (
@@ -47,15 +50,43 @@ _FUZZY_ORACLE = f"""
       UNION
       SELECT a.p_name, b.p_name
       FROM tok a JOIN tok b ON a.w_last = b.w_last AND a.p_name < b.p_name
+    ),
+    fpairs AS (
+      SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+      FROM cand
+      WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_LEV}
     )
-    SELECT c.name_a, c.name_b,
-           CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS lev,
-           na.cnt * nb.cnt AS n_row_pairs
-    FROM cand c
-    JOIN names na ON na.p_name = c.name_a
-    JOIN names nb ON nb.p_name = c.name_b
-    WHERE levenshtein(c.name_a, c.name_b) <= {_FUZZY_MAX_LEV}
 """
+
+_FUZZY_ORACLE = f"""
+    WITH {_FUZZY_CAND_CTES}
+    SELECT f.name_a, f.name_b, f.lev,
+           na.cnt * nb.cnt AS n_row_pairs
+    FROM fpairs f
+    JOIN names na ON na.p_name = f.name_a
+    JOIN names nb ON nb.p_name = f.name_b
+"""
+
+
+def _name_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted distinct-name frame (p_name, cnt, block keys) — the
+    vocabulary-sized base every fuzzy-family query shares. persist_once
+    matches by logical plan, so pairs/clusters/recall all read ONE cache
+    instead of re-scanning part per consumer."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return persist_once(
+        names.select(
+            "p_name",
+            "cnt",
+            F.split("p_name", " ").getItem(0).alias("w_first"),
+            F.element_at(F.split("p_name", " "), -1).alias("w_last"),
+        )
+    )
 
 
 @register(
@@ -88,21 +119,7 @@ def fuzzy_part_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-ASCII. A non-ASCII entity corpus must normalize first (or verify
     with a codepoint-level UDF) before reusing this oracle pairing.
     """
-    parts = load_table(spark, sf_dir, "part")
-    names = parts.groupBy("p_name").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    # The distinct-name frame is vocabulary-sized (constant-ish in SF) —
-    # persist it once: it feeds both blocking passes and both sides of the
-    # count re-join.
-    tok = persist_once(
-        names.select(
-            "p_name",
-            "cnt",
-            F.split("p_name", " ").getItem(0).alias("w_first"),
-            F.element_at(F.split("p_name", " "), -1).alias("w_last"),
-        )
-    )
+    tok = _name_tok(spark, sf_dir)
     a = tok.select(
         F.col("p_name").alias("name_a"),
         F.col("cnt").alias("cnt_a"),
@@ -398,29 +415,6 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emitted). Same components machinery as document dedup, over string keys.
 # ---------------------------------------------------------------------------
 
-_FUZZY_CAND_CTES = f"""
-    names AS (
-      SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_name
-    ),
-    tok AS (
-      SELECT p_name, cnt,
-             string_split(p_name, ' ')[1] AS w_first,
-             string_split(p_name, ' ')[-1] AS w_last
-      FROM names
-    ),
-    cand AS (
-      SELECT a.p_name AS name_a, b.p_name AS name_b
-      FROM tok a JOIN tok b ON a.w_first = b.w_first AND a.p_name < b.p_name
-      UNION
-      SELECT a.p_name, b.p_name
-      FROM tok a JOIN tok b ON a.w_last = b.w_last AND a.p_name < b.p_name
-    ),
-    fpairs AS (
-      SELECT name_a, name_b FROM cand
-      WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_LEV}
-    )
-"""
-
 _FUZZY_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_FUZZY_CAND_CTES},
     edges AS (
@@ -467,11 +461,8 @@ def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_a").alias("key_a"), F.col("name_b").alias("key_b")
     )
     comps = connected_components(pairs).withColumnRenamed("id", "p_name")
-    names = (
-        load_table(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    # same persisted frame the pair query reads — no second part scan
+    names = _name_tok(spark, sf_dir).select("p_name", "cnt")
     return (
         names.join(comps, "p_name", "left")
         .select(
@@ -505,7 +496,8 @@ _FUZZY_RECALL_ORACLE = f"""
     nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM fpairs),
     ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
     SELECT nb.n_blocked, ne.n_exact,
-           round(CAST(nb.n_blocked AS DOUBLE) / ne.n_exact, 6) AS recall
+           round(CAST(nb.n_blocked AS DOUBLE) / nullif(ne.n_exact, 0), 6)
+             AS recall
     FROM nb CROSS JOIN ne
 """
 
@@ -528,9 +520,7 @@ def fuzzy_blocking_recall_certified(spark: SparkSession, sf_dir: str) -> DataFra
     deterministic md5 sample of names instead — the certification grade
     degrades before the pipeline does."""
     blocked = fuzzy_part_match_pairs(spark, sf_dir)
-    names = (
-        load_table(spark, sf_dir, "part").select("p_name").distinct()
-    )
+    names = _name_tok(spark, sf_dir).select("p_name")
     a = names.select(F.col("p_name").alias("name_a"))
     b = names.select(F.col("p_name").alias("name_b"))
     exact = a.join(
@@ -538,10 +528,13 @@ def fuzzy_blocking_recall_certified(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_LEV)
     nb = blocked.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocked"))
     ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    # try_divide: zero qualifying pairs is a legal corpus state; ANSI mode
+    # would otherwise abort where the oracle's nullif yields NULL
     return nb.crossJoin(F.broadcast(ne)).select(
         "n_blocked",
         "n_exact",
         F.round(
-            F.col("n_blocked").cast("double") / F.col("n_exact"), 6
+            F.try_divide(F.col("n_blocked").cast("double"), F.col("n_exact")),
+            6,
         ).alias("recall"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -154,9 +154,17 @@ def emb_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     very high d you'd switch to d chunked column-block passes; d=64 fits
     the single-pass form."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    # persist_once: both sides of the self-join consume this rows x 64
+    # expansion — unpersisted, the scan + posexplode run twice.
+    dims = persist_once(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "x")
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("x").cast("double").alias("x"),
+        )
+    )
     a = dims.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xa"))
     b = dims.select(
         F.col("vec_id").alias("_v"), F.col("i").alias("j"), F.col("x").alias("xb")
@@ -206,8 +214,8 @@ _TTC_ORACLE = """
       QUALIFY event_type = 'purchase' AND delta_us IS NOT NULL
     )
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(CAST(sum(delta_us) AS DOUBLE) / count(*) / 1000000, 6)
-             AS mean_sec,
+           round(CAST(sum(delta_us) AS DOUBLE) / nullif(count(*), 0)
+                 / 1000000, 6) AS mean_sec,
            round(quantile_cont(delta_us, 0.5) / 1000000, 6) AS median_sec,
            round(quantile_cont(delta_us, 0.9) / 1000000, 6) AS p90_sec
     FROM paired
@@ -252,8 +260,14 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paired.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        # try_divide: zero conversions is a legal corpus state (ANSI mode
+        # aborts on the 0 count where the oracle's NULL/0 yields NULL)
         F.round(
-            F.sum("delta_us").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+            F.try_divide(
+                F.sum("delta_us").cast("double"), F.count(F.lit(1))
+            )
+            / 1_000_000,
+            6,
         ).alias("mean_sec"),
         F.round(F.percentile("delta_us", F.lit(0.5)) / 1_000_000, 6).alias(
             "median_sec"

@@ -29,12 +29,12 @@ _CHI2_ORACLE = """
     rowt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
     colt AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
     tot AS (SELECT sum(o) AS t FROM obs),
+    grid AS (SELECT r.lang, c.source, r.rt, c.ct FROM rowt r CROSS JOIN colt c),
     cells AS (
-      SELECT o.lang, o.source, o.o,
-             r.rt * c.ct / t.t AS e
-      FROM obs o
-      JOIN rowt r ON r.lang = o.lang
-      JOIN colt c ON c.source = o.source
+      SELECT g.lang, g.source, coalesce(o.o, 0) AS o,
+             g.rt * g.ct / t.t AS e
+      FROM grid g
+      LEFT JOIN obs o ON o.lang = g.lang AND o.source = g.source
       CROSS JOIN tot t
     )
     SELECT lang, source,
@@ -56,12 +56,16 @@ def chi2_lang_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O−E)²/E term — Σ terms is the chi-square statistic (df =
     (rows−1)(cols−1)). Per-cell emission keeps the driver check exact AND
     shows which cells drive the dependence, the readout an analyst
-    actually wants. Zero-observed cells contribute O=0 only through the
-    row/col totals (standard contingency semantics).
+    actually wants. The grid is DENSE (rowt x colt cross join, observed
+    left-joined on): Pearson's statistic sums over ALL R x C cells — a
+    zero-observed cell contributes its full E, and omitting it (97-99 of
+    100 cells are empty on these fixtures) would understate the statistic
+    the df=(R-1)(C-1) critical value assumes.
 
-    Scale: one (lang, source)-keyed count reduction; row/col totals are
-    group-count-sized broadcasts; everything after is per-cell arithmetic
-    on exact counts — deterministic across engines."""
+    Scale: one (lang, source)-keyed count reduction; the dense grid is
+    |langs| x |sources| rows built from two group-count-sized marginal
+    frames; everything after is per-cell arithmetic on exact counts —
+    deterministic across engines."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     obs = persist_once(
         docs.groupBy("lang", "source").agg(
@@ -71,19 +75,18 @@ def chi2_lang_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowt = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
     colt = obs.groupBy("source").agg(F.sum("o").alias("ct"))
     tot = obs.agg(F.sum("o").alias("t"))
+    grid = F.broadcast(rowt).crossJoin(F.broadcast(colt))
     e = F.col("rt") * F.col("ct") / F.col("t")
+    o = F.coalesce("o", F.lit(0.0))
     return (
-        obs.join(F.broadcast(rowt), "lang")
-        .join(F.broadcast(colt), "source")
+        grid.join(F.broadcast(obs), ["lang", "source"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "lang",
             "source",
-            F.col("o").cast("bigint").alias("observed"),
+            o.cast("bigint").alias("observed"),
             F.round(e, 6).alias("expected"),
-            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
-                "chi2_term"
-            ),
+            F.round((o - e) * (o - e) / e, 6).alias("chi2_term"),
         )
     )
 
@@ -168,8 +171,10 @@ _HIST_ORACLE = f"""
       SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
     ),
     binned AS (
-      SELECT least(CAST(floor((o_totalprice - e.lo) / ((e.hi - e.lo) / {_HIST_BINS}))
-                        AS BIGINT), {_HIST_BINS - 1}) AS bin
+      SELECT CASE WHEN e.hi = e.lo THEN 0
+                  ELSE least(CAST(floor((o_totalprice - e.lo)
+                                        / ((e.hi - e.lo) / {_HIST_BINS}))
+                             AS BIGINT), {_HIST_BINS - 1}) END AS bin
       FROM orders CROSS JOIN ext e
     ),
     cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY bin),
@@ -207,15 +212,22 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    # CASE guards the hi==lo degenerate corpus (ANSI division-by-zero
+    # aborts where the oracle's inf/NaN binning would not); the branch is
+    # lazy per row, so normal corpora never evaluate the guard.
     binned = (
         orders.crossJoin(F.broadcast(ext))
         .select(
-            F.least(
-                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
-                    "bigint"
-                ),
-                F.lit(_HIST_BINS - 1),
-            ).alias("bin")
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("o_totalprice") - F.col("lo")) / width
+                    ).cast("bigint"),
+                    F.lit(_HIST_BINS - 1),
+                )
+            )
+            .alias("bin")
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -231,12 +243,18 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(F.broadcast(binned), "bin", "left")
         .select(
             F.col("bin").cast("bigint").alias("bin"),
+            # association matches the oracle EXACTLY: bin * ((hi-lo)/20),
+            # not (bin*(hi-lo))/20 — the two differ by 1 ULP on ~1/40k of
+            # (lo,hi,bin) triples, enough to flip round(,6) (fuzzed)
             F.round(
-                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS, 6
+                F.col("lo")
+                + F.col("bin") * ((F.col("hi") - F.col("lo")) / _HIST_BINS),
+                6,
             ).alias("bin_lo"),
             F.round(
                 F.col("lo")
-                + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / _HIST_BINS,
+                + (F.col("bin") + 1)
+                * ((F.col("hi") - F.col("lo")) / _HIST_BINS),
                 6,
             ).alias("bin_hi"),
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),

@@ -28,17 +28,23 @@ def test_chi2_cells_vs_python(spark, sf_dir):
     colt = Counter(docs.source)
     t = len(docs)
     got = _SPECS["chi2_lang_source_cells"].spark(spark, sf_dir).toPandas()
-    assert len(got) == len(obs)
+    # DENSE grid: every (lang, source) cell, including zero-observed ones
+    assert len(got) == len(rowt) * len(colt)
     chi2_spark = 0.0
     for _, r in got.iterrows():
-        o = obs[(r.lang, r.source)]
+        o = obs.get((r.lang, r.source), 0)
         e = rowt[r.lang] * colt[r.source] / t
         assert int(r.observed) == o
         assert abs(r.expected - e) < 1e-5
         assert abs(r.chi2_term - (o - e) ** 2 / e) < 1e-5
         chi2_spark += r.chi2_term
-    # statistic is finite and non-negative by construction
-    assert chi2_spark >= 0
+    # Pearson statistic over the FULL grid (zero cells contribute E)
+    want = sum(
+        (obs.get((l, c), 0) - rowt[l] * colt[c] / t) ** 2 / (rowt[l] * colt[c] / t)
+        for l in rowt
+        for c in colt
+    )
+    assert abs(chi2_spark - want) < 1e-3
 
 
 def test_benford_vs_python(spark, sf_dir):

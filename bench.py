@@ -155,6 +155,9 @@ HEADLINE = (
     "chi2_lang_source_cells",
     "benford_first_digit",
     "histogram_fixed_width",
+    "frequent_event_trigrams",
+    "mode_nation_per_segment",
+    "order_interarrival_by_segment",
     # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites

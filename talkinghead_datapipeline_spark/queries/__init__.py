@@ -213,6 +213,9 @@ _NEXT_ROUND_QUEUE = (
     "chi2_lang_source_cells",
     "benford_first_digit",
     "histogram_fixed_width",
+    "frequent_event_trigrams",
+    "mode_nation_per_segment",
+    "order_interarrival_by_segment",
 )
 
 

@@ -405,3 +405,74 @@ def knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent event 3-gram mining — second-order sequential patterns (the
+# market-basket/sequence-mining readout one level above the first-order
+# transition matrix).
+# ---------------------------------------------------------------------------
+
+_SEQ3_TOPK = 15
+
+_SEQ3_ORACLE = f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    cnt AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    ),
+    tot AS (SELECT sum(n) AS t FROM cnt)
+    SELECT e1, e2, e3, n,
+           round(CAST(n AS DOUBLE) / t.t, 6) AS support
+    FROM cnt CROSS JOIN tot t
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {_SEQ3_TOPK}
+"""
+
+
+@register(
+    "frequent_event_trigrams",
+    oracle=_SEQ3_ORACLE,
+    tags=("behavior", "window", "analytics", "sequence"),
+)
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most frequent per-user event-type 3-grams with corpus
+    support — second-order sequential pattern mining (what the transition
+    matrix's first-order view can't show: 'view → click → purchase' vs
+    'view → error → view' funnels).
+
+    Scale: one user-keyed window shuffle builds the trigram stream with
+    two lead()s (map-side after the shuffle), counts reduce on ≤|types|³
+    keys, and the top-k is TakeOrderedAndProject over that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    cnt = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(_SEQ3_TOPK)
+    )

@@ -1,7 +1,8 @@
 """Corpus-level reporting & mixing recipes (north-star extensions): the
 datasheet/audit queries a corpus team runs before a training run —
 temperature-scaled mixture weights, per-source data cards, a cross-source
-overlap audit, and the NB-classifier confidence-margin filter.
+overlap audit, the NB-classifier confidence-margin filter, and the
+per-source unigram KL (domain-shift) diagnostic.
 
 Cross-engine conventions follow queries/__init__.py.
 """

@@ -3,6 +3,8 @@ reference has no analogue — these are standard large-corpus curation
 passes re-expressed Spark-first).
 
 - `fuzzy_part_match_pairs`    — blocked edit-distance record linkage
+- `fuzzy_name_clusters`       — transitive entity-resolution clusters
+- `fuzzy_blocking_recall_certified` — blocking recall vs the unblocked join
 - `keyword_domain_tags`       — broadcast-taxonomy document tagging
 - `nb_lang_classifier_scores` — in-engine multinomial Naive Bayes scores
 

@@ -260,3 +260,142 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode aggregate — most-frequent value per group with a full
+# tiebreak (engine-native mode() functions break ties arbitrarily, which
+# can never hash-match across engines; count + rank is the portable form).
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+    WITH cnt AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rk
+      FROM cnt
+    )
+    SELECT c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS mode_nationkey,
+           n AS mode_count
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "mode_nation_per_segment",
+    oracle=_MODE_ORACLE,
+    tags=("stats", "agg", "window"),
+)
+def mode_nation_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most common customer nation per
+    market segment, ties broken by lowest nation key. Engine-native mode()
+    breaks ties arbitrarily — unusable under a cross-engine hash gate —
+    so the portable form is count + row_number, which also generalizes to
+    top-k modes for free.
+
+    Scale: one (group, value)-keyed count reduction, then a
+    WindowGroupLimit-prunable rank over the group-count-sized frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(F.desc("n"), "c_nationkey")
+    )
+    return (
+        cnt.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("bigint").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival profile — days between a customer's consecutive
+# orders, rolled up per market segment: the purchase-cadence SLA/CRM
+# readout (the continuous companion of retention_cohorts).
+# ---------------------------------------------------------------------------
+
+_IAT_ORACLE = """
+    WITH gaps AS (
+      SELECT c.c_mktsegment,
+             CAST(date_diff('day',
+                  lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                           ORDER BY o.o_orderdate,
+                                                    o.o_orderkey),
+                  o.o_orderdate) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_days) AS DOUBLE) / nullif(count(gap_days), 0),
+                 6) AS mean_gap_days,
+           round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+           round(quantile_cont(gap_days, 0.95), 6) AS p95_gap_days
+    FROM gaps
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "order_interarrival_by_segment",
+    oracle=_IAT_ORACLE,
+    tags=("stats", "analytics", "window"),
+)
+def order_interarrival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival profile: days between each customer's
+    consecutive orders (lag over (o_orderdate, o_orderkey) — the key
+    tiebreak makes same-day order pairs deterministic), aggregated per
+    market segment as count / exact mean / median / p95. The
+    purchase-cadence readout behind replenishment and churn models.
+
+    Determinism: gaps are exact integer date differences; the mean
+    divides an exact BIGINT sum (try_divide/nullif-guarded for a
+    single-order-per-customer corpus); percentiles interpolate over
+    integers.
+
+    Scale: one customer-keyed window shuffle + a broadcast dimension join
+    + a 5-key rollup; exact per-group percentiles hand off to the
+    certified percentile_approx at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast(
+                "bigint"
+            ),
+        )
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.try_divide(
+                F.sum("gap_days").cast("double"), F.count("gap_days")
+            ),
+            6,
+        ).alias("mean_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias(
+            "median_gap_days"
+        ),
+        F.round(F.percentile("gap_days", F.lit(0.95)), 6).alias(
+            "p95_gap_days"
+        ),
+    )

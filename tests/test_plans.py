@@ -64,6 +64,7 @@ _NESTED_LOOP_OK = {
     "chi2_lang_source_cells",  # 1-row grand-total crossJoin
     "benford_first_digit",  # 1-row digit-total crossJoin
     "histogram_fixed_width",  # 1-row min/max extent crossJoin
+    "frequent_event_trigrams",  # 1-row trigram-total crossJoin
 }
 
 

@@ -95,3 +95,84 @@ def test_histogram_vs_numpy(spark, sf_dir):
         assert abs(r.bin_lo - (lo + int(r.bin) * width)) < 1e-4
         assert abs(r.bin_hi - (lo + (int(r.bin) + 1) * width)) < 1e-4
     assert int(got.n_rows.sum()) == len(v)
+
+
+def test_frequent_trigrams_vs_python(spark, sf_dir):
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_id, user_id, event_type"
+            f" FROM '{sf_dir}/events.parquet' ORDER BY user_id, event_id"
+        )
+        .fetchdf()
+    )
+    cnt: Counter = Counter()
+    for _, grp in ev.groupby("user_id"):
+        t = grp.event_type.tolist()
+        for a, b, c in zip(t, t[1:], t[2:]):
+            cnt[(a, b, c)] += 1
+    tot = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = _SPECS["frequent_event_trigrams"].spark(spark, sf_dir).toPandas()
+    assert len(got) == len(top)
+    for row, ((a, b, c), n) in zip(got.itertuples(), top):
+        assert (row.e1, row.e2, row.e3, int(row.n)) == (a, b, c, n)
+        assert abs(row.support - n / tot) < 1e-6
+
+
+def test_mode_per_segment_vs_python(spark, sf_dir):
+    cust = (
+        duckdb.connect()
+        .execute(
+            f"SELECT c_mktsegment, c_nationkey FROM '{sf_dir}/customer.parquet'"
+        )
+        .fetchdf()
+    )
+    got = (
+        _SPECS["mode_nation_per_segment"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("c_mktsegment")
+    )
+    for seg, grp in cust.groupby("c_mktsegment"):
+        c = Counter(grp.c_nationkey)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = got.loc[seg]
+        assert (int(row.mode_nationkey), int(row.mode_count)) == (
+            int(best[0]),
+            best[1],
+        )
+
+
+def test_interarrival_vs_python(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, c.c_mktsegment"
+            f" FROM '{sf_dir}/orders.parquet' o"
+            f" JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+            " ORDER BY o.o_custkey, o.o_orderdate, o.o_orderkey"
+        )
+        .fetchdf()
+    )
+    gaps: dict[str, list] = {}
+    for _, grp in rows.groupby("o_custkey"):
+        seg = grp.c_mktsegment.iloc[0]
+        dates = grp.o_orderdate.tolist()
+        for a, b in zip(dates, dates[1:]):
+            gaps.setdefault(seg, []).append((b - a).days)
+    got = (
+        _SPECS["order_interarrival_by_segment"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("c_mktsegment")
+    )
+    for seg, g in gaps.items():
+        arr = np.asarray(sorted(g), dtype=np.float64)
+        row = got.loc[seg]
+        assert int(row.n_gaps) == len(arr)
+        assert abs(row.mean_gap_days - arr.mean()) < 1e-6
+        assert abs(row.median_gap_days - np.quantile(arr, 0.5, method="linear")) < 1e-6
+        assert abs(row.p95_gap_days - np.quantile(arr, 0.95, method="linear")) < 1e-6

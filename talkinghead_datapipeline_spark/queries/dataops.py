@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.catalog import load_table
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H, snap_hash20
 

@@ -158,6 +158,10 @@ HEADLINE = (
     "frequent_event_trigrams",
     "mode_nation_per_segment",
     "order_interarrival_by_segment",
+    "rolling_mad_anomalies",
+    "cumulative_unique_users",
+    "bayes_smoothed_part_scores",
+    "revenue_mom_growth",
     # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites

@@ -216,6 +216,10 @@ _NEXT_ROUND_QUEUE = (
     "frequent_event_trigrams",
     "mode_nation_per_segment",
     "order_interarrival_by_segment",
+    "rolling_mad_anomalies",
+    "cumulative_unique_users",
+    "bayes_smoothed_part_scores",
+    "revenue_mom_growth",
 )
 
 

@@ -476,3 +476,160 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(_SEQ3_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median/MAD robust anomalies — the breakdown-resistant counterpart
+# of trailing_zscore_anomalies: median/MAD ignore up to 50% contaminated
+# history where mean/std are dragged by the very outliers being hunted.
+# ---------------------------------------------------------------------------
+
+_MAD_WIN = 10
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+_MAD_MIN = 0.01
+
+_ROBUST_ORACLE = f"""
+    WITH framed AS (
+      SELECT event_id, user_id, value,
+             list_sort(list(value) OVER w) AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {_MAD_WIN} PRECEDING AND 1 PRECEDING)
+    ),
+    stats AS (
+      SELECT event_id, user_id, value,
+             (prev[{_MAD_WIN // 2}] + prev[{_MAD_WIN // 2 + 1}]) / 2 AS med,
+             list_sort(list_transform(prev, x -> abs(x - (prev[{_MAD_WIN // 2}]
+                       + prev[{_MAD_WIN // 2 + 1}]) / 2))) AS devs
+      FROM framed WHERE len(prev) = {_MAD_WIN}
+    ),
+    scored AS (
+      SELECT event_id, user_id, value, med,
+             (devs[{_MAD_WIN // 2}] + devs[{_MAD_WIN // 2 + 1}]) / 2 AS mad
+      FROM stats
+    )
+    SELECT event_id, user_id, round(value, 2) AS value,
+           round((value - med) / ({_MAD_K} * mad), 6) AS robust_z
+    FROM scored
+    WHERE mad > {_MAD_MIN}
+      AND abs(round((value - med) / ({_MAD_K} * mad), 6)) >= 3.0
+"""
+
+
+@register(
+    "rolling_mad_anomalies",
+    oracle=_ROBUST_ORACLE,
+    tags=("behavior", "window", "quality", "robust"),
+)
+def rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling anomalies: each event scored against the MEDIAN and
+    MAD of its user's previous 10 values (|robust z| >= 3 with z =
+    (v − med)/(1.4826·MAD)) — the breakdown-resistant companion to
+    trailing_zscore_anomalies (a level shift that drags mean/std cannot
+    mask itself here).
+
+    Determinism: the frame materializes as a sorted 10-array, median/MAD
+    are exact midpoint arithmetic on its elements (no percentile
+    interpolation variance), the anomaly cut compares ROUNDED z both
+    sides, and MAD <= 0.01 frames are skipped (degenerate history).
+
+    Scale: one user-keyed window shuffle; the frame array is a bounded
+    10-element buffer per row (rows x window bytes — the explicit cost of
+    exact order statistics; at wider windows the approx handoff is a
+    t-digest-style sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-_MAD_WIN, -1)
+    )
+    prev = F.array_sort(F.collect_list("value").over(w))
+    framed = ev.select(
+        "event_id", "user_id", "value", prev.alias("prev")
+    ).filter(F.size("prev") == _MAD_WIN)
+    mid, mid1 = _MAD_WIN // 2, _MAD_WIN // 2 + 1
+    # try_element_at: the size filter guards every surviving row, but the
+    # window stage's codegen can evaluate the projection on pre-filter
+    # rows (observed ANSI INVALID_ARRAY_INDEX on a 0-element frame);
+    # try_ returns NULL there and those rows are filtered anyway.
+    med = (
+        F.try_element_at("prev", F.lit(mid))
+        + F.try_element_at("prev", F.lit(mid1))
+    ) / 2
+    devs = F.array_sort(
+        F.transform(F.col("prev"), lambda x: F.abs(x - med))
+    )
+    stats = framed.select(
+        "event_id",
+        "user_id",
+        "value",
+        med.alias("med"),
+        (
+            (
+                F.try_element_at(devs, F.lit(mid))
+                + F.try_element_at(devs, F.lit(mid1))
+            )
+            / 2
+        ).alias("mad"),
+    )
+    rz = F.round((F.col("value") - F.col("med")) / (_MAD_K * F.col("mad")), 6)
+    return (
+        stats.filter((F.col("mad") > _MAD_MIN) & (F.abs(rz) >= 3.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            rz.alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users — the growth curve every product dashboard leads
+# with: per day, first-time users and the running distinct total.
+# ---------------------------------------------------------------------------
+
+_CUM_ORACLE = """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT strftime(first_day, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+"""
+
+
+@register(
+    "cumulative_unique_users",
+    oracle=_CUM_ORACLE,
+    tags=("behavior", "window", "analytics"),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the cumulative distinct-user curve: each
+    user attributes to their FIRST active day (one user-keyed min), the
+    running total is a window sum over the day-grain frame. The standard
+    growth readout — and the scalable form of "COUNT(DISTINCT) over an
+    expanding window", which computed naively re-scans every prefix.
+
+    Scale: one user-keyed reduction to |users| rows, one day-keyed count
+    to |days| rows, and a single-partition running sum over the DAY-grain
+    frame (driver-sized by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"), "n_new"
+    ).withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))

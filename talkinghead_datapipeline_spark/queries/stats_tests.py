@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
@@ -397,5 +398,121 @@ def order_interarrival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(F.percentile("gap_days", F.lit(0.95)), 6).alias(
             "p95_gap_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian-smoothed group means — the IMDB-weighted-rating shape: shrink
+# small-sample group means toward the global mean so a 2-row part can't
+# top the ranking on noise.
+# ---------------------------------------------------------------------------
+
+_BAYES_M = 20  # prior strength (pseudo-observations at the global mean)
+
+_BAYES_ORACLE = f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS s
+      FROM lineitem GROUP BY l_partkey
+    ),
+    gstats AS (SELECT sum(s) / sum(n) AS gm FROM per_part)
+    SELECT l_partkey, n,
+           round(s / n, 6) AS raw_mean,
+           round((s + {_BAYES_M} * g.gm) / (n + {_BAYES_M}), 6)
+             AS smoothed_mean
+    FROM per_part CROSS JOIN gstats g
+    ORDER BY smoothed_mean DESC, l_partkey
+    LIMIT 25
+"""
+
+
+@register(
+    "bayes_smoothed_part_scores",
+    oracle=_BAYES_ORACLE,
+    tags=("stats", "analytics", "agg"),
+)
+def bayes_smoothed_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by Bayesian-smoothed mean order quantity: smoothed =
+    (Σq + m·global_mean)/(n + m) with m=20 pseudo-observations — the
+    IMDB-weighted-rating estimator that stops tiny-sample groups from
+    topping rankings on noise.
+
+    Determinism: quantities are integers, so every per-part sum is exact;
+    the global mean is one exact division; ranking is on the ROUNDED
+    smoothed mean with a key tiebreak.
+
+    Scale: one part-keyed reduction, a 1-row broadcast global mean, and a
+    TakeOrderedAndProject top-25."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_quantity").cast("double").alias("s"),
+    )
+    glob = per_part.agg((F.sum("s") / F.sum("n")).alias("gm"))
+    return (
+        per_part.crossJoin(F.broadcast(glob))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("raw_mean"),
+            F.round(
+                (F.col("s") + _BAYES_M * F.col("gm"))
+                / (F.col("n") + _BAYES_M),
+                6,
+            ).alias("smoothed_mean"),
+        )
+        .orderBy(F.desc("smoothed_mean"), "l_partkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth — the BI time-series readout: period totals plus
+# the lag-based growth rate.
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / nullif(lag(revenue) OVER (ORDER BY month), 0), 6)
+             AS mom_growth
+    FROM monthly
+"""
+
+
+@register(
+    "revenue_mom_growth",
+    oracle=_MOM_ORACLE,
+    tags=("stats", "analytics", "window", "timeseries"),
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth rate (lag window over
+    the month-grain rollup; first month emits NULL growth, zero-revenue
+    months are try_divide-guarded). The dashboard query behind every
+    growth chart.
+
+    Determinism: the growth ratio divides CENT-ROUNDED monthly totals, so
+    per-month double-sum accumulation order cannot reach the ratio.
+
+    Scale: one month-keyed reduction (map-side partial), then a
+    single-partition lag over the month-grain frame (driver-sized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.try_divide(F.col("revenue") - prev, prev), 6).alias(
+            "mom_growth"
         ),
     )

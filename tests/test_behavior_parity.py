@@ -136,3 +136,42 @@ def test_knn_mutual_edges_vs_numpy(spark, sf_dir):
     got = _SPECS["knn_mutual_edges"].spark(spark, sf_dir).toPandas()
     got_pairs = {(int(r.key_a), int(r.key_b)) for _, r in got.iterrows()}
     assert got_pairs == want
+
+
+def test_rolling_mad_vs_python(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        v = grp.value.to_numpy()
+        ids = grp.event_id.to_numpy()
+        for i in range(10, len(v)):
+            prev = np.sort(v[i - 10 : i])
+            med = (prev[4] + prev[5]) / 2
+            devs = np.sort(np.abs(prev - med))
+            mad = (devs[4] + devs[5]) / 2
+            if mad > 0.01:
+                rz = round((v[i] - med) / (1.4826 * mad), 6)
+                if abs(rz) >= 3.0:
+                    want[ids[i]] = rz
+    got = _SPECS["rolling_mad_anomalies"].spark(spark, sf_dir).toPandas()
+    got_map = {int(r.event_id): r.robust_z for _, r in got.iterrows()}
+    assert set(got_map) == set(want)
+    for eid, z in want.items():
+        assert abs(got_map[eid] - z) < 1e-5, eid
+
+
+def test_cumulative_unique_users_vs_python(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = pd.to_datetime(ev.ts_us, unit="us").dt.strftime("%Y-%m-%d")
+    first = ev.groupby("user_id").day.min()
+    daily = first.value_counts().sort_index()
+    got = (
+        _SPECS["cumulative_unique_users"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+    )
+    assert got.day.tolist() == daily.index.tolist()
+    assert got.n_new.tolist() == daily.tolist()
+    assert got.cum_users.tolist() == daily.cumsum().tolist()
+    assert int(got.cum_users.iloc[-1]) == ev.user_id.nunique()

@@ -65,6 +65,7 @@ _NESTED_LOOP_OK = {
     "benford_first_digit",  # 1-row digit-total crossJoin
     "histogram_fixed_width",  # 1-row min/max extent crossJoin
     "frequent_event_trigrams",  # 1-row trigram-total crossJoin
+    "bayes_smoothed_part_scores",  # 1-row global-mean crossJoin
 }
 
 

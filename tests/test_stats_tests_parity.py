@@ -8,6 +8,7 @@ from collections import Counter
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 from talkinghead_datapipeline_spark.queries import all_queries
 
@@ -176,3 +177,52 @@ def test_interarrival_vs_python(spark, sf_dir):
         assert abs(row.mean_gap_days - arr.mean()) < 1e-6
         assert abs(row.median_gap_days - np.quantile(arr, 0.5, method="linear")) < 1e-6
         assert abs(row.p95_gap_days - np.quantile(arr, 0.95, method="linear")) < 1e-6
+
+
+def test_bayes_smoothed_vs_python(spark, sf_dir):
+    li = (
+        duckdb.connect()
+        .execute(
+            f"SELECT l_partkey, l_quantity FROM '{sf_dir}/lineitem.parquet'"
+        )
+        .fetchdf()
+    )
+    g = li.groupby("l_partkey").l_quantity.agg(["count", "sum"])
+    gm = li.l_quantity.sum() / len(li)
+    g["smoothed"] = (g["sum"] + 20 * gm) / (g["count"] + 20)
+    top = g.sort_values(
+        ["smoothed", "l_partkey"],
+        ascending=[False, True],
+        key=lambda s: s.round(6) if s.name == "smoothed" else s,
+    ).head(25)
+    got = _SPECS["bayes_smoothed_part_scores"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 25
+    for row, (pk, want) in zip(got.itertuples(), top.iterrows()):
+        assert row.l_partkey == pk
+        assert int(row.n) == want["count"]
+        assert abs(row.raw_mean - want["sum"] / want["count"]) < 1e-5
+        assert abs(row.smoothed_mean - want["smoothed"]) < 1e-5
+
+
+def test_revenue_mom_vs_python(spark, sf_dir):
+    orders = (
+        duckdb.connect()
+        .execute(
+            "SELECT strftime(o_orderdate, '%Y-%m') AS m, o_totalprice"
+            f" FROM '{sf_dir}/orders.parquet'"
+        )
+        .fetchdf()
+    )
+    monthly = orders.groupby("m").o_totalprice.sum().round(2).sort_index()
+    got = (
+        _SPECS["revenue_mom_growth"].spark(spark, sf_dir).toPandas().sort_values("month")
+    )
+    assert got.month.tolist() == monthly.index.tolist()
+    prev = None
+    for row, (_, rev) in zip(got.itertuples(), monthly.items()):
+        assert abs(row.revenue - rev) < 1e-6
+        if prev is None:
+            assert pd.isna(row.mom_growth)
+        else:
+            assert abs(row.mom_growth - (rev - prev) / prev) < 1e-5
+        prev = rev

@@ -305,8 +305,6 @@ def mode_nation_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = cust.groupBy("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    from pyspark.sql.window import Window as W
-
     rk = F.row_number().over(
         W.partitionBy("c_mktsegment").orderBy(F.desc("n"), "c_nationkey")
     )
@@ -372,8 +370,6 @@ def order_interarrival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    from pyspark.sql.window import Window as W
-
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         orders.select("o_custkey", "o_orderdate", "o_orderkey")

@@ -146,8 +146,6 @@ def test_mode_per_segment_vs_python(spark, sf_dir):
 
 
 def test_interarrival_vs_python(spark, sf_dir):
-    import numpy as np
-
     rows = (
         duckdb.connect()
         .execute(

@@ -635,7 +635,21 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs FP rounding at the boundary). Hashed grams are re-deduped
     (``array_distinct`` after the md5 transform, mirrored in the oracle)
     so the distinct-element precondition of D.jaccard survives 32-bit
-    hash collisions at corpus scale (ADVICE r5)."""
+    hash collisions at corpus scale (ADVICE r5).
+
+    Round-6 profiling (so the remaining 5s at sf0.1 isn't re-litigated):
+    candidates 148,626 pairs → 69 finals; the full-array verify dominates.
+    The PPJoin+ AGGREGATED suffix bound — overlap ≤ n_common_prefix +
+    min(sz−max_prefix_pos−1) per side, provably exact because any common
+    gram below the largest prefix-prefix match is itself prefix-resident
+    in both docs — was implemented and measured to prune ZERO candidates
+    here: shared prefix grams sit at small positions, so the positional
+    slack (~0.8·sz) always clears the 0.44·(sz_a+sz_b) floor on this
+    corpus. (An UNSOUND min-suffix-length variant pruned 99.7% but cannot
+    ship under the exactness billing.) The cost is genuine exact
+    verification on a deliberately dense fixture; measurement caveat: an
+    A/B must rebuild the DataFrame per rep — re-executing a reused DF
+    object skips completed shuffle stages and under-reports by ~2.5x."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = (
         rebalance_for_compute(docs)

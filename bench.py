@@ -162,6 +162,9 @@ HEADLINE = (
     "cumulative_unique_users",
     "bayes_smoothed_part_scores",
     "revenue_mom_growth",
+    "churn_flags_by_cohort",
+    "diurnal_activity_profile",
+    # dedup_cluster_size_histogram stays out with the components consumers
     # fuzzy_name_clusters stays out with the components consumers
     # kcenter_coreset_selection stays out with the iterative operators
     # llm_curation_pipeline stays out with the other composites

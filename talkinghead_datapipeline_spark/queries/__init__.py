@@ -220,6 +220,9 @@ _NEXT_ROUND_QUEUE = (
     "cumulative_unique_users",
     "bayes_smoothed_part_scores",
     "revenue_mom_growth",
+    "dedup_cluster_size_histogram",
+    "churn_flags_by_cohort",
+    "diurnal_activity_profile",
 )
 
 

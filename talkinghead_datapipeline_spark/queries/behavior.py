@@ -633,3 +633,123 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         F.date_format("first_day", "yyyy-MM-dd").alias("day"), "n_new"
     ).withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Churn flags — inactivity-based churn per cohort: the retention
+# complement (who STOPPED showing up), deterministic cutoff from the
+# corpus's own clock.
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = 7
+
+_CHURN_ORACLE = f"""
+    WITH clock AS (SELECT max(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS cohort, max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN last_ts < max_ts - INTERVAL {_CHURN_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           round(CAST(sum(CASE WHEN last_ts < max_ts - INTERVAL {_CHURN_DAYS} DAY
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS churn_rate
+    FROM per_user CROSS JOIN clock
+    GROUP BY cohort
+"""
+
+
+@register(
+    "churn_flags_by_cohort",
+    oracle=_CHURN_ORACLE,
+    tags=("behavior", "analytics", "agg"),
+)
+def churn_flags_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn per parity cohort: a user is churned when their
+    last event predates the corpus clock (max ts) by more than 7 days —
+    the retention complement of `retention_cohorts`, with the cutoff
+    derived from the data itself so the query is reproducible at any
+    snapshot age.
+
+    Determinism: exact timestamp comparisons against a corpus-derived
+    1-row clock; rates divide exact counts.
+
+    Scale: one user-keyed max reduction, a 1-row broadcast clock, and a
+    2-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    clock = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    churned = (
+        F.col("last_ts")
+        < F.col("max_ts") - F.expr(f"INTERVAL {_CHURN_DAYS} DAYS")
+    ).cast("int")
+    return (
+        per_user.crossJoin(F.broadcast(clock))
+        .groupBy((F.col("user_id") % 2).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(churned).cast("bigint").alias("n_churned"),
+            F.round(
+                F.sum(churned).cast("double") / F.count(F.lit(1)), 6
+            ).alias("churn_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diurnal activity profile — events by hour of day: the seasonality
+# readout capacity planning and anomaly baselines start from.
+# ---------------------------------------------------------------------------
+
+_DIURNAL_ORACLE = """
+    WITH hourly AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY hour_of_day
+    ),
+    tot AS (SELECT sum(n_events) AS t FROM hourly)
+    SELECT hour_of_day, n_events, total_value,
+           round(CAST(n_events AS DOUBLE) / t.t, 6) AS share,
+           CAST(row_number() OVER (ORDER BY n_events DESC, hour_of_day)
+                AS BIGINT) AS busy_rank
+    FROM hourly CROSS JOIN tot t
+"""
+
+
+@register(
+    "diurnal_activity_profile",
+    oracle=_DIURNAL_ORACLE,
+    tags=("behavior", "timeseries", "analytics"),
+)
+def diurnal_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile: per hour, event count, summed value,
+    corpus share, and busy-rank (count tiebroken by hour) — the diurnal
+    baseline capacity planning and time-aware anomaly thresholds start
+    from.
+
+    Scale: one 24-key reduction (map-side partial), a 1-row broadcast
+    total, and a rank over the 24-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    tot = hourly.agg(F.sum("n_events").cast("double").alias("t"))
+    rk = F.row_number().over(W.orderBy(F.desc("n_events"), "hour_of_day"))
+    return (
+        hourly.crossJoin(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n_events",
+            "total_value",
+            F.round(F.col("n_events").cast("double") / F.col("t"), 6).alias(
+                "share"
+            ),
+            rk.cast("bigint").alias("busy_rank"),
+        )
+    )

@@ -1484,3 +1484,97 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.round("_best", 6).alias("best_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size histogram — the dedup DIAGNOSTIC: how duplicate mass is
+# distributed (many tiny clusters vs one boilerplate blob decides whether
+# keep-one dedup recovers 2% or 40% of the corpus).
+# ---------------------------------------------------------------------------
+
+_CSIZE_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh WHERE len(grams) >= 1),
+    banded AS ({_BANDED_SQL}),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.key_a, p.key_b,
+             round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.grams, sb.grams))), 6)
+               AS jaccard
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.key_a
+      JOIN sh sb ON sb.doc_id = p.key_b
+    ),
+    fpairs AS (SELECT key_a, key_b FROM scored WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fpairs
+      UNION
+      SELECT key_b AS s, key_a AS d FROM fpairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON re.r = e.s
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, coalesce(cm.c, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp cm ON cm.id = d.doc_id
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz
+      FROM labeled GROUP BY component
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY sz
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_CSIZE_ORACLE,
+    tags=("dedup", "components", "iterative", "profiling"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: per size, how many clusters, how
+    many docs they hold, and how many a keep-one policy removes
+    ((size−1)·count) — the diagnostic that decides whether dedup is worth
+    a corpus pass and whether one boilerplate blob dominates (mega-cluster
+    detection is also the LSH-health check: a single giant component
+    usually means the band threshold is too loose).
+
+    Scale: the scale-safe edge graph + pointer-jumping components (shared
+    machinery), then TWO tiny aggregations — component-keyed sizes, then
+    size-keyed histogram (≤ distinct-size rows, driver-sized)."""
+    from talkinghead_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.dedup_edge_graph(docs, "doc_id", "text", jaccard_min=0.2)
+    comps = connected_components(edges).withColumnRenamed("id", "doc_id")
+    labeled = docs.select("doc_id").join(comps, "doc_id", "left").select(
+        F.coalesce("comp", "doc_id").alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    ).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        ((F.col("sz") - 1) * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

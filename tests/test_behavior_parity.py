@@ -175,3 +175,41 @@ def test_cumulative_unique_users_vs_python(spark, sf_dir):
     assert got.n_new.tolist() == daily.tolist()
     assert got.cum_users.tolist() == daily.cumsum().tolist()
     assert int(got.cum_users.iloc[-1]) == ev.user_id.nunique()
+
+
+def test_churn_flags_vs_python(spark, sf_dir):
+    ev = _events(sf_dir)
+    max_us = ev.ts_us.max()
+    cutoff = max_us - 7 * 24 * 3600 * 1_000_000
+    last = ev.groupby("user_id").ts_us.max()
+    got = (
+        _SPECS["churn_flags_by_cohort"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("cohort")
+    )
+    for cohort in (0, 1):
+        sel = last[last.index % 2 == cohort]
+        churned = int((sel < cutoff).sum())
+        row = got.loc[cohort]
+        assert int(row.n_users) == len(sel)
+        assert int(row.n_churned) == churned
+        assert abs(row.churn_rate - churned / len(sel)) < 1e-6
+
+
+def test_diurnal_profile_vs_python(spark, sf_dir):
+    ev = _events(sf_dir)
+    hours = pd.to_datetime(ev.ts_us, unit="us").dt.hour
+    counts = hours.value_counts().sort_index()
+    got = (
+        _SPECS["diurnal_activity_profile"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("hour_of_day")
+        .sort_index()
+    )
+    assert got.index.tolist() == counts.index.tolist()
+    assert got.n_events.tolist() == counts.tolist()
+    assert abs(got.share.sum() - 1.0) < 1e-4
+    # busy_rank is a permutation of 1..n_hours
+    assert sorted(got.busy_rank) == list(range(1, len(got) + 1))

@@ -220,3 +220,33 @@ def test_fuzzy_recall_certified_is_total(spark, sf_dir):
     )
     assert got.n_blocked == got.n_exact
     assert got.recall == 1.0
+
+
+def test_cluster_size_histogram_vs_python(spark, sf_dir):
+    """Histogram recomputed from the Spark edge list via union-find; the
+    mass identities must hold: Σ n_docs = corpus size, Σ n_removable =
+    corpus − n_clusters_total."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.operators import dedup as D
+
+    sdocs = load_table(spark, sf_dir, "documents")
+    doc_ids = [r.doc_id for r in sdocs.select("doc_id").collect()]
+    edges = D.dedup_edge_graph(sdocs, "doc_id", "text", jaccard_min=0.2).toPandas()
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, e in edges.iterrows():
+        ra, rb = find(int(e.key_a)), find(int(e.key_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = Counter(Counter(find(d) for d in doc_ids).values())
+    got = _SPECS["dedup_cluster_size_histogram"].spark(spark, sf_dir).toPandas()
+    gmap = {int(r.cluster_size): int(r.n_clusters) for _, r in got.iterrows()}
+    assert gmap == dict(sizes)
+    assert int(got.n_docs.sum()) == len(doc_ids)
+    assert int(got.n_removable.sum()) == len(doc_ids) - int(got.n_clusters.sum())

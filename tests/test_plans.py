@@ -66,6 +66,8 @@ _NESTED_LOOP_OK = {
     "histogram_fixed_width",  # 1-row min/max extent crossJoin
     "frequent_event_trigrams",  # 1-row trigram-total crossJoin
     "bayes_smoothed_part_scores",  # 1-row global-mean crossJoin
+    "churn_flags_by_cohort",  # 1-row corpus-clock crossJoin
+    "diurnal_activity_profile",  # 1-row hourly-total crossJoin
 }
 
 

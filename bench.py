@@ -245,14 +245,20 @@ def main() -> None:
             # comparable regardless of its position in HEADLINE.
             spark.catalog.clearCache()
 
-    result = {
+    # Truncation-proof serialization (VERDICT r6 #1): the driver keeps only
+    # the LAST ~2000 chars of stdout, and the per-query map now outgrows
+    # that, so BENCH_r06's headline total (serialized before "queries") was
+    # unrecoverable. Two defenses: (a) key order puts the big "queries" map
+    # FIRST and every summary scalar LAST, so tail capture always retains
+    # the totals; (b) a second, compact summary-only JSON line is printed
+    # after the full one — whatever the capture window, the last line parses.
+    summary = {
         "metric": "headline_queries_total_sec",
         # A total over a PARTIAL query set is not comparable across rounds
         # (a missing query reads as a speed-up): null it when anything
         # failed — per-query rows still carry the usable signal.
         "value": round(sum(timings.values()), 4) if not errors else None,
         "unit": "sec",
-        "queries": timings,
         # Fixed-key subtotal comparable across rounds (see R1_KEYS); null
         # if any of its 29 queries failed, same partial-total rule.
         "subtotal_r1_29": (
@@ -262,11 +268,14 @@ def main() -> None:
         ),
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
+        "n_queries": len(timings),
     }
     if errors:
-        result["errors"] = errors
-        result["n_failed"] = len(errors)
+        summary["errors"] = errors
+        summary["n_failed"] = len(errors)
+    result = {"queries": timings, **summary}
     print(json.dumps(result))
+    print(json.dumps(summary))
     spark.stop()
 
 

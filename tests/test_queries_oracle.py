@@ -101,6 +101,17 @@ def test_driver_priority_rotation_policy():
             if v.get("err") is None and v.get("rows_match") is not False
         }
     never = set(names) - certified
+    # REGISTRY-GROWTH GOVERNOR (VERDICT r6 #2): a registration batch that
+    # would leave more never-certified queries than one 50-seat driver
+    # window can absorb fails CI — round 6 registered 96 against 50 seats
+    # and dropped cumulative certification 100%→76%. Growth must wait for
+    # the backlog to drain: register at most (50 - len(never)) new queries
+    # per round.
+    assert len(never) <= 50, (
+        f"{len(never)} never-driver-certified queries exceed one 50-seat "
+        f"window; freeze registrations until the backlog drains. "
+        f"Backlog: {sorted(never)}"
+    )
     # The window holds 50 seats; once more than 50 never-certified queries
     # exist, the overflow is tracked explicitly in _NEXT_ROUND_QUEUE (it
     # leads the next rotation) rather than silently dropped from coverage.
@@ -134,18 +145,16 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-6 canaries: every query whose implementation changed this round
-    # holds a seat, either directly or through a seated query that drives
-    # the same changed builder (ngram_jaccard_near_dups' gram re-dedup →
-    # ngram_jaccard_exact_pairs' seat; gopher_repetition_signals' shared
-    # gram builder → the two seated gopher_dup_* variants;
-    # streaming_purchase_view_join's interval-join builder → the seated
-    # _full/_left variants). The window is exactly 48 never-certified +
-    # these 2; emb_label_centroids sits in the never-certified block after
-    # its r5 error row.
-    canaries = {"ngram_jaccard_exact_pairs",
-                "sim_ivf_trained_topk",
-                "emb_label_centroids"}
+    # round-7 canaries: every query whose implementation changed this round
+    # holds a seat. Both r7 perf rewrites (rolling_mad_anomalies' hoisted
+    # median, emb_covariance_upper's join-free partial outer products) are
+    # themselves never-certified r6-overflow keys, so their canary seats
+    # coincide with their backlog seats — the window is exactly the 49-key
+    # overflow queue + 1 stale-drain seat (e2_name_derivation, oldest
+    # r1-only key, starting VERDICT r6 #6 early).
+    canaries = {"rolling_mad_anomalies",
+                "emb_covariance_upper",
+                "e2_name_derivation"}
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
 
 

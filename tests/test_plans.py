@@ -121,6 +121,17 @@ def test_n10_kernel_chain_is_map_only(spark, sf_dir):
 def test_grouping_sets_single_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "grouping_sets_order_stats")
     assert plan.count("Expand") >= 1
+
+
+def test_emb_covariance_is_join_free(spark, sf_dir):
+    """VERDICT r6 #7 done-criterion: X^T X comes from per-partition partial
+    outer products (mapInPandas), NOT a vec-keyed self-join — the only
+    exchange is 2080 partial rows onto the (i, j) agg keys."""
+    plan = _plan(spark, sf_dir, "emb_covariance_upper")
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin at all
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1  # the (i, j) partial-combine only
+    assert "vec_id" not in plan  # nothing keys or shuffles on the vector id
     assert plan.count("Scan parquet") == 1  # one pass, not one per grain
 
 

@@ -178,3 +178,34 @@ def persist_once(df: "DataFrame") -> "DataFrame":
     if df.storageLevel == StorageLevel.NONE:
         return df.persist()
     return df
+
+
+_BARRIER_SEQ = iter(range(1, 1 << 30))
+
+
+def pushdown_barrier(df: "DataFrame", tag: str = "bar") -> "DataFrame":
+    """Stop predicate pushdown from re-evaluating an expensive projection.
+
+    Filtering on a column built from heavy expressions (shingle HOF
+    chains, array sorts, vector norms) triggers a Catalyst pathology:
+    PushDownPredicates alias-substitutes the column's WHOLE defining
+    expression into the predicate and sinks it below the projection, so
+    the chain is evaluated once for the filter and AGAIN for the
+    projection above — measured 2.9x on rolling_mad_anomalies and 1.9x on
+    minhash_signatures at sf0.1. Spark 4 pushes deterministic conjuncts
+    even past nondeterministic-field projects (a rand() column does NOT
+    protect), but ``CollectMetrics`` (``df.observe``) is not among the
+    nodes PushPredicateThroughNonJoin passes, and costs one accumulator
+    row per batch — no shuffle, no materialization, semantics unchanged.
+
+    Usage: build the expensive column, apply the barrier, THEN filter:
+    ``barrier(df.select(k, heavy.alias("g"))).filter(F.size("g") >= 1)``.
+    Select only needed columns first — column pruning also stops at the
+    barrier, so an over-wide frame would over-read the scan. Each call
+    takes a fresh observation name (Spark requires them unique per
+    query), so a builder invoked N times in one query composes fine."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        f"_pdbar_{tag}_{next(_BARRIER_SEQ)}", F.count(F.lit(1)).alias("rows")
+    )

@@ -298,10 +298,19 @@ def minhash_candidate_pairs(
     clusters collapse to one representative before banding (see
     queries.dedup.dedup_cluster_assignments).
     """
-    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
+    from talkinghead_datapipeline_spark.catalog import (
+        pushdown_barrier,
+        rebalance_for_compute,
+    )
 
-    sh = rebalance_for_compute(df).select(
-        F.col(key), hashed_shingles(F.col(text)).alias("_g")
+    # pushdown_barrier: without it the size-filter's predicate is alias-
+    # substituted below this projection and the whole md5-shingle chain
+    # runs twice per document (catalog.pushdown_barrier docstring).
+    sh = pushdown_barrier(
+        rebalance_for_compute(df).select(
+            F.col(key), hashed_shingles(F.col(text)).alias("_g")
+        ),
+        "mhcand",
     ).filter(F.size("_g") >= 1)
     sigs = sh.select(key, "_g", minhash_sig_from_hashes(F.col("_g")).alias("_sig"))
     n_bands = N_PERM // BAND_WIDTH

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window as W
 from talkinghead_datapipeline_spark.catalog import (
     load_table,
     persist_once,
+    pushdown_barrier,
     rebalance_for_compute,
 )
 from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
@@ -102,8 +103,14 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same fold it always was, so the division reproduces cosine()
     # bit-for-bit and the oracle (which inlines the norms per pair)
     # stays hash-identical.
-    normed = emb.select(
-        "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    # pushdown_barrier: the cosine threshold's inferred isnotnull(nrm)
+    # constraints push below this projection on BOTH join sides and re-run
+    # the 64-dim norm fold per row (catalog.pushdown_barrier docstring).
+    normed = pushdown_barrier(
+        emb.select(
+            "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        "semdedup",
     )
     a = normed.select(
         F.col("label"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from talkinghead_datapipeline_spark.catalog import (
     load_table,
     persist_once,
+    pushdown_barrier,
     rebalance_for_compute,
 )
 from talkinghead_datapipeline_spark.operators import dedup as D
@@ -70,8 +71,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document K=8 MinHash signature over 3-word shingles — single scan,
     no shuffle; the building block of LSH dedup at 100 TB."""
     docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", D.hashed_shingles(F.col("text")).alias("_g")
+    # pushdown_barrier: keeps the size-filter from re-running the shingle
+    # chain below this projection (1.9x at sf0.1 — catalog docstring).
+    sh = pushdown_barrier(
+        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("_g")),
+        "mhsig",
     ).filter(F.size("_g") >= 1)
     sig = D.minhash_sig_from_hashes(F.col("_g"))
     return sh.select(
@@ -190,8 +194,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     while this plan's cost is linear in K — the certification query is how
     a K upgrade is validated before rollout."""
     docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", D.hashed_shingles(F.col("text")).alias("grams")
+    # pushdown_barrier: the persisted sigs frame is only built once, but
+    # the pushed size-filter would still double-run the shingle chain
+    # within that one materialization (catalog.pushdown_barrier).
+    sh = pushdown_barrier(
+        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("grams")),
+        "mhest",
     ).filter(F.size("grams") >= 1)
     sigs = persist_once(
         sh.select("doc_id", "grams", D.minhash_sig_from_hashes(F.col("grams")).alias("sig"))
@@ -651,17 +659,21 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B must rebuild the DataFrame per rep — re-executing a reused DF
     object skips completed shuffle stages and under-reports by ~2.5x."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # pushdown_barrier before the size-filter: one materialization, but the
+    # pushed predicate still re-ran the gram chain (catalog docstring).
     g = (
-        rebalance_for_compute(docs)
-        .select(
-            "doc_id",
-            "lang",
-            F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
-                )
-            ).alias("grams"),
+        pushdown_barrier(
+            rebalance_for_compute(docs).select(
+                "doc_id",
+                "lang",
+                F.floor(F.col("n_chars") / 25).cast("bigint").alias("blk"),
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
+                    )
+                ).alias("grams"),
+            ),
+            "exactpairs",
         )
         .filter(F.size("grams") >= 1)
         .withColumn(
@@ -961,19 +973,26 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     is tiny (eval suites are), so it BROADCASTS; training docs explode to
     (doc, gram-hash) rows map-side and a broadcast LEFT SEMI join + one
     distinct produces the flag — the big side never shuffles its text,
-    and the only wide exchange is the final distinct on doc_id."""
+    and the only wide exchange is the final distinct on doc_id.
+
+    Plan note (round 7): each side filters on doc_id BEFORE building
+    shingles — written the other way (one shingle frame, doc_id filters
+    above it) predicate pushdown re-ran the shingle chain inside a pushed
+    ``size(_g) >= 1`` filter on both sides (the audit's worst offender: a
+    2.7k-char Filter with 12 HOF hits). The size filter itself is dropped
+    as redundant: ``explode`` of the empty-array short-text case emits no
+    rows, which is exactly what the filter enforced."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", D.hashed_shingles(F.col("text"), n=_DECON_N).alias("_g")
-    ).filter(F.size("_g") >= 1)
-    bench = (
-        grams.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("_g").alias("h"))
-        .distinct()
-    )
+
+    def side_grams(pred):
+        return docs.filter(pred).select(
+            "doc_id",
+            F.explode(D.hashed_shingles(F.col("text"), n=_DECON_N)).alias("h"),
+        )
+
+    bench = side_grams(F.col("doc_id") % 97 == 0).select("h").distinct()
     train_hits = (
-        grams.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.explode("_g").alias("h"))
+        side_grams(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(bench), "h", "left_semi")
         .select("doc_id")
         .distinct()
@@ -1185,8 +1204,11 @@ def incremental_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFra
     State grows with corpus bands, not corpus text; the band index for
     10^10 docs is 2·10^10 short rows, a routine bucketed table."""
     docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", D.hashed_shingles(F.col("text")).alias("_g")
+    # pushdown_barrier: both consumer sides (index + batch) would otherwise
+    # re-run the shingle chain below the size-filter (catalog docstring).
+    sh = pushdown_barrier(
+        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("_g")),
+        "incdedup",
     ).filter(F.size("_g") >= 1)
     sig = D.minhash_sig_from_hashes(F.col("_g"))
     sigs = sh.select(
@@ -1293,13 +1315,18 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (shingle df is flat); a production corpus would order
     rarest-first so prefix entries hit short posting lists."""
     docs = load_table(spark, sf_dir, "documents")
+    # pushdown_barrier: even inside the one persisted materialization the
+    # pushed size-filter would re-run the shingle chain (catalog docstring).
     g = persist_once(
-        rebalance_for_compute(docs)
-        .select(
-            "doc_id",
-            F.array_sort(D.hashed_shingles(F.col("text"), n=_CONT_N)).alias("sh"),
-        )
-        .filter(F.size("sh") >= 1)
+        pushdown_barrier(
+            rebalance_for_compute(docs).select(
+                "doc_id",
+                F.array_sort(D.hashed_shingles(F.col("text"), n=_CONT_N)).alias(
+                    "sh"
+                ),
+            ),
+            "contain",
+        ).filter(F.size("sh") >= 1)
     )
     sized = g.select(
         "doc_id", "sh", F.size("sh").alias("sz")

@@ -86,6 +86,48 @@ def test_no_accidental_nested_loop_or_cartesian(spark, sf_dir, name):
         ), f"{name} degenerated to a nested-loop join"
 
 
+# Queries whose optimized plan INTENTIONALLY carries heavy expressions
+# inside a Filter: the condition is a rule gate evaluated directly on the
+# scan output and nothing above re-computes the same expressions, so
+# there is no duplication to prevent.
+_HEAVY_FILTER_OK = {
+    "llm_curation_pipeline",  # Gopher gate fused into the scan by design
+}
+
+_HEAVY_FILTER_RE = __import__("re").compile(
+    r"array_sort\(|transform\(|aggregate\(|zip_with\(|sort_array\("
+)
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_no_pushed_filter_reevaluates_heavy_projection(spark, sf_dir, name):
+    """Global net for the round-7 pushdown pathology: when a query filters
+    on a column built from heavy array/HOF expressions, PushDownPredicates
+    alias-substitutes the column's WHOLE defining expression into the
+    predicate and sinks it below the projection — the chain then runs once
+    for the filter and again for the projection (measured 2.9x on
+    rolling_mad_anomalies, 1.9x on minhash_signatures, 1.4-1.9x across the
+    dedup family at sf0.1). The fix is catalog.pushdown_barrier (a
+    CollectMetrics node predicates cannot cross). This test flags any
+    OPTIMIZED plan whose Filter condition carries a large substituted HOF
+    chain, so the pathology cannot silently return with a new query or a
+    Catalyst upgrade."""
+    df = _SPECS[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    offenders = [
+        line.strip()[:120]
+        for line in plan.splitlines()
+        if "Filter " in line
+        and len(line) > 400
+        and _HEAVY_FILTER_RE.search(line)
+    ]
+    if name not in _HEAVY_FILTER_OK:
+        assert not offenders, (
+            f"{name}: pushed filter re-evaluates a heavy projection "
+            f"(wrap the projection in catalog.pushdown_barrier): {offenders}"
+        )
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q6_forecast_revenue")
     assert "PushedFilters: [" in plan

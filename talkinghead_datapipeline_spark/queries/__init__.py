@@ -81,12 +81,24 @@ _MODULES = (
 # pinned by the policy test asserting len(never_certified) <= 50 at import
 # time. Queue drained → cumulative driver coverage returns to 208/208.
 #
-# The remaining stale-certified keys (the 8 r1-only keys minus the one
-# seated below, and the ~45 r4-only keys enumerated in the r6 window's
-# comment, preserved in git history) lead the r8 rotation; all re-pass the
-# local replica every session. Round-7 changed-code canaries
-# (rolling_mad_anomalies — median hoisted out of the devs lambda;
-# emb_covariance_upper — join-free partial outer products) already hold
+# The remaining stale-certified keys lead the r8 rotation. Computed from
+# the CORRECTNESS artifacts (round 7): 62 keys whose latest green row is
+# r1 or r4 — 17 r1-era (cube_flag_status, date_orders_by_month,
+# e2_name_derivation [seated below], e3_key_intersection_semi,
+# e6_exists_filter, e7_memoization_anti, grouping_sets_order_stats,
+# lag_delta_per_user, n11_group_extent, n7_argmax_per_group,
+# rollup_nation_revenue, s10_quantile_per_flag, s8_savgol_exact_w7,
+# set_except_keys, set_intersect_keys, topk_per_group,
+# unpivot_part_measures) and 45 r4-era. r8 plan: the 16 unseated r1-era
+# keys first, then the round-7 changed-code canaries whose last green row
+# predates the pushdown_barrier rewrite (ngram_jaccard_exact_pairs,
+# shingle_containment_pairs, minhash_signatures, and the r4-stale
+# minhash_lsh_near_dups + decontaminate_against_benchmark which double as
+# stale re-seats), then r4-era keys oldest-first to fill 50; the ~14
+# overflow leads r9. Round-7 changed-code canaries
+# (rolling_mad_anomalies — window pushdown barrier; emb_covariance_upper —
+# join-free partial outer products; semdedup_prune_stats and
+# incremental_dedup_against_index — pushdown_barrier) already hold
 # never-certified seats in this window, so no extra canary seats needed.
 _DRIVER_PRIORITY = (
     # --- never driver-certified (49): the round-6 overflow queue, verbatim

@@ -560,10 +560,19 @@ def rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(-_MAD_WIN, -1)
     )
-    prev = F.array_sort(F.collect_list("value").over(w))
-    framed = ev.select(
-        "event_id", "user_id", "value", prev.alias("prev")
-    ).filter(F.size("prev") == _MAD_WIN)
+    # Size-filter on the RAW frame (size is sort-invariant): filtering on
+    # the sorted alias re-ran the array_sort inside the pushed predicate.
+    prev_raw = F.collect_list("value").over(w)
+    framed = (
+        ev.select("event_id", "user_id", "value", prev_raw.alias("prev_raw"))
+        .filter(F.size("prev_raw") == _MAD_WIN)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.array_sort("prev_raw").alias("prev"),
+        )
+    )
     mid, mid1 = _MAD_WIN // 2, _MAD_WIN // 2 + 1
     # try_element_at: the size filter guards every surviving row, but the
     # window stage's codegen can evaluate the projection on pre-filter

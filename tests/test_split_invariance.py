@@ -1,0 +1,63 @@
+"""Split-invariance: query results must not depend on the INPUT FILE
+LAYOUT (round 7).
+
+The driver fixtures are single-file/single-row-group; a 100 TB corpus
+arrives as thousands of splits with a different row order per task and a
+different accumulation order per partial aggregate. The engine's output
+conventions (round-to-6, BIGINT casts, deterministic tiebreaks) exist
+precisely so that layout cannot move a hashed cell — this test pins the
+claim by re-writing every sf0.001 table as 4 shuffled parquet files and
+asserting a representative query per operator family returns the
+IDENTICAL frame (values after the convention rounding, not just rows).
+
+A failure here means a query's output depends on partial-agg order —
+driver-green today on one file, red on the real cluster layout."""
+
+from __future__ import annotations
+
+import pytest
+
+from talkinghead_datapipeline_spark.catalog import TPCH_TABLES, load_table
+from talkinghead_datapipeline_spark.queries import all_queries
+
+_SPECS = all_queries()
+
+# One representative per family, leaning on the shapes most exposed to
+# accumulation order: float aggregation, window + rolling stats, dedup
+# banding (collect_list order), ANN scoring, text folds, sketches.
+_REPRESENTATIVES = (
+    "q1_pricing_summary",  # wide float agg
+    "rollup_nation_revenue",  # hierarchical float agg
+    "s9_tumbling_volume",  # event-time window agg
+    "rolling_mad_anomalies",  # order statistics over frames
+    "minhash_lsh_near_dups",  # banding + collect_list buckets
+    "simhash_hamming_near_dups",  # vote folds + buckets
+    "sim_brute_cosine_topk",  # float dot scoring + top-k tiebreak
+    "text_quality_score",  # per-doc text folds
+    "hll_distinct_users",  # register merge order
+    "emb_covariance_upper",  # per-partition partial outer products
+)
+
+
+@pytest.fixture(scope="module")
+def split_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_split")
+    for name in TPCH_TABLES:
+        df = load_table(spark, sf_dir, name)
+        # Round-robin into 4 files: different per-file row sets AND a
+        # different within-file order than the source.
+        df.repartition(4).write.parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_result_is_invariant_to_input_splits(spark, sf_dir, split_sf_dir, name):
+    base = _SPECS[name].spark(spark, sf_dir).toPandas()
+    split = _SPECS[name].spark(spark, split_sf_dir).toPandas()
+    cols = sorted(base.columns)
+    base = base[cols].sort_values(cols).reset_index(drop=True)
+    split = split[cols].sort_values(cols).reset_index(drop=True)
+    assert base.equals(split), (
+        f"{name}: output depends on input file layout\n"
+        f"single-file rows={len(base)} 4-split rows={len(split)}"
+    )

@@ -36,6 +36,16 @@ _REPRESENTATIVES = (
     "text_quality_score",  # per-doc text folds
     "hll_distinct_users",  # register merge order
     "emb_covariance_upper",  # per-partition partial outer products
+    # The highest-risk class — sketches and iterative programs whose merge
+    # order genuinely varies with splits (probed EQUAL at 4 splits before
+    # being pinned here):
+    "ngram_jaccard_exact_pairs",  # prefix-index join + exact verify
+    "approx_quantiles_certified",  # GK sketch merge
+    "cms_heavy_hitters",  # count-min register merge
+    "equi_depth_deciles",  # boundary discovery
+    "substring_dup_coverage",  # gram wordcount shuffle
+    "bpe_top_merge_pairs",  # global pair counts + top-k tiebreak
+    "pagerank_trade_network",  # 3 Pregel iterations
 )
 
 

@@ -71,3 +71,29 @@ def test_result_is_invariant_to_input_splits(spark, sf_dir, split_sf_dir, name):
         f"{name}: output depends on input file layout\n"
         f"single-file rows={len(base)} 4-split rows={len(split)}"
     )
+
+
+def test_result_is_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """The partner axis: AQE re-plans shuffle partition counts at runtime,
+    so partial-aggregate MERGE order varies run to run on a cluster even
+    with a fixed file layout. Re-running the representative set with
+    spark.sql.shuffle.partitions=7 (vs the session's core-count default)
+    must reproduce every frame exactly. Restores the conf even on failure
+    — a leaked setting would skew every later test in the shared session."""
+    def run_all():
+        out = {}
+        for name in _REPRESENTATIVES:
+            pdf = _SPECS[name].spark(spark, sf_dir).toPandas()
+            cols = sorted(pdf.columns)
+            out[name] = pdf[cols].sort_values(cols).reset_index(drop=True)
+        return out
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    base = run_all()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    diverged = [n for n in _REPRESENTATIVES if not base[n].equals(alt[n])]
+    assert not diverged, f"shuffle-count-dependent results: {diverged}"

@@ -33,3 +33,16 @@ def test_shuffle_partitions_track_core_count(spark):
     from talkinghead_datapipeline_spark.session import DEFAULT_CPUS
 
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) == DEFAULT_CPUS
+
+
+def test_bench_headline_keys_all_registered():
+    """bench.py silently skips HEADLINE names missing from the registry
+    (by design, for forward-compat) — so a typo'd key would quietly
+    shrink the benchmark. Pin that every current key resolves."""
+    import bench
+
+    from talkinghead_datapipeline_spark.queries import all_queries
+
+    missing = [n for n in bench.HEADLINE if n not in all_queries()]
+    assert not missing, f"HEADLINE keys not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate keys"

@@ -24,6 +24,19 @@ Conventions (hash-stability across Spark/DuckDB):
   explicit floor()/round() first so both engines agree; Levenshtein is
   ASCII-only portable (DuckDB counts UTF-8 bytes, Spark code points —
   tests/test_cross_engine_primitives.py pins both).
+- Money aggregates and INPUT-LAYOUT invariance (round 7): ``round(sum(
+  double), 2)`` is hash-stable across engines on a FIXED layout but can
+  flip a cent when the accumulation order changes — the split-invariance
+  sweep caught flagship_segment_leaders producing 2724461.705 on one
+  input file and ...7049999996 on four, rounding to different cents.
+  Where the operands are exact decimals by construction (prices,
+  discounts), accumulate BIGINT fixed-point units on BOTH sides and
+  divide back once at the end — exact, associative, and measured as fast
+  as the double form where DECIMAL(18,4) cost 1.5x
+  (flagship_segment_leaders is the template;
+  tests/test_split_invariance.py pins the property). Doubles remain
+  correct for genuinely-real-valued columns, where no decimal boundary
+  is privileged.
 """
 
 from __future__ import annotations

@@ -68,7 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_cust AS (
       SELECT c_mktsegment, c_custkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   / 10000.0, 2) AS revenue,
              count(DISTINCT o_orderkey) AS n_orders
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -94,19 +96,35 @@ def flagship_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins see one row per order instead of ~4 lineitems, and the distinct
     order count collapses to a plain count(*) — no expanded two-shuffle
     count-distinct. At 100 TB this is the difference between shuffling the
-    fact table and shuffling an order-grain rollup of it."""
+    fact table and shuffling an order-grain rollup of it.
+
+    Exact integer-cents revenue (round 7): the full-sweep split-invariance
+    probe caught this query flipping a cent under a 4-split layout —
+    customer 119's double-sum lands 2724461.705 on one file and
+    2724461.7049999996 on four (an ULP across the round-to-cents
+    boundary). Money values are 2-decimal by construction, so both
+    engines now accumulate BIGINT 10^-4-dollar units (price-cents x
+    (100 − discount-cents)): exact, associative, therefore layout- and
+    merge-order-invariant, and — unlike the DECIMAL(18,4) form also
+    measured (1.5-1.8s) — free: 1.0s at sf0.1, the double form's cost.
+    Per-customer sums peak ~10^11 units, far inside both int64 and the
+    2^53 double mantissa, so the final /10000.0 division is correctly
+    rounded and identical on both engines. This is the template for the
+    money-aggregate class (tracked in the registry conventions)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
     li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
     order_rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        F.sum(price_c * (100 - disc_c)).alias("_rev4")
     )
     per_cust = (
         order_rev.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
-            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.round(F.sum("_rev4") / 10000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

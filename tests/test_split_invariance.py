@@ -26,6 +26,8 @@ _SPECS = all_queries()
 # accumulation order: float aggregation, window + rolling stats, dedup
 # banding (collect_list order), ANN scoring, text folds, sketches.
 _REPRESENTATIVES = (
+    "flagship_segment_leaders",  # money agg — CAUGHT flipping a cent under
+    # a 4-split layout before its round-7 exact-decimal fix; stays pinned
     "q1_pricing_summary",  # wide float agg
     "rollup_nation_revenue",  # hierarchical float agg
     "s9_tumbling_volume",  # event-time window agg

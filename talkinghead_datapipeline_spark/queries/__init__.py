@@ -104,9 +104,10 @@ _MODULES = (
 # set_except_keys, set_intersect_keys, topk_per_group,
 # unpivot_part_measures) and 45 r4-era. r8 plan: the 16 unseated r1-era
 # keys first, then the round-7 changed-code canaries whose last green row
-# predates the pushdown_barrier rewrite (ngram_jaccard_exact_pairs,
-# shingle_containment_pairs, minhash_signatures, and the r4-stale
-# minhash_lsh_near_dups + decontaminate_against_benchmark which double as
+# predates the round-7 rewrites (ngram_jaccard_exact_pairs,
+# shingle_containment_pairs, minhash_signatures for pushdown_barrier, and
+# the r4-stale minhash_lsh_near_dups, decontaminate_against_benchmark,
+# and flagship_segment_leaders — integer-cents revenue — which double as
 # stale re-seats), then r4-era keys oldest-first to fill 50; the ~14
 # overflow leads r9. Round-7 changed-code canaries
 # (rolling_mad_anomalies — window pushdown barrier; emb_covariance_upper —

@@ -37,6 +37,13 @@ Conventions (hash-stability across Spark/DuckDB):
   tests/test_split_invariance.py pins the property). Doubles remain
   correct for genuinely-real-valued columns, where no decimal boundary
   is privileged.
+- round(x, k) portability domain (round-7 fuzz find): the two engines
+  agree only while |x|*10^k stays inside the 2^53 double mantissa —
+  DuckDB rounds by scaling IN FLOAT and loses low digits past it
+  (round(288230376152.5, 6) → ...49994) where Spark's BigDecimal round
+  is exact. Keep rounded output columns under ~1e9 for 6dp / ~1e13 for
+  2dp; every registered aggregate is orders of magnitude inside this at
+  certified SFs (pinned: tests/test_cross_engine_float_props.py).
 """
 
 from __future__ import annotations

@@ -20,8 +20,18 @@ from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
+# Portability domain for round(x, 6): |x|*1e6 must stay inside the 2^53
+# double mantissa. DuckDB rounds by scaling IN FLOAT (x*1e6 → rint →
+# /1e6), so beyond the mantissa the scaled value loses its low digits —
+# the fuzzer's own discovery, pinned in
+# test_round6_divergence_beyond_mantissa_pinned below. Spark rounds via
+# BigDecimal of the exact binary value and has no such cliff. Every
+# registered oracle's rounded columns are ratios/averages (|x| ~ 1) or
+# money sums (≤ ~1e7 at certified SFs), far inside the domain.
+_ROUND6_SAFE = 1e9
+
 _floats = st.one_of(
-    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+    st.floats(min_value=-_ROUND6_SAFE, max_value=_ROUND6_SAFE, allow_nan=False),
     # the classes that caused real driver mismatches: tiny near-zero
     # values of both signs, and values near .5 decimal boundaries
     st.floats(min_value=-1e-6, max_value=1e-6, allow_nan=False),
@@ -50,7 +60,7 @@ def _duck_series(vals, sql_expr):
         con.close()
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.lists(_floats, min_size=1, max_size=64))
 def test_round6_plus_zero_is_engine_portable(spark, vals):
     """The house output convention — round(x, 6) + 0.0 — must agree
@@ -62,7 +72,18 @@ def test_round6_plus_zero_is_engine_portable(spark, vals):
     )
 
 
-@settings(max_examples=8, deadline=None)
+def test_round6_divergence_beyond_mantissa_pinned(spark):
+    """The fuzzer's catch, pinned (like the non-ASCII Levenshtein pin):
+    at 288230376152.5, DuckDB's float-scaled round(x, 6) returns
+    ...152.49994 while Spark's BigDecimal round is the exact identity.
+    If either engine changes behavior, the _ROUND6_SAFE domain above
+    must be re-derived."""
+    x = 288230376152.5
+    assert _spark_series(spark, [x], F.round(F.col("x"), 6))[0] == x
+    assert _duck_series([x], "round(x, 6)")[0] != x
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.lists(_floats, min_size=1, max_size=64))
 def test_explicit_floor_to_bigint_is_engine_portable(spark, vals):
     """The convention fixing the CAST divergence: an explicit floor()
@@ -77,7 +98,7 @@ def test_explicit_floor_to_bigint_is_engine_portable(spark, vals):
     )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.integers(min_value=0, max_value=4102444800_000_000),  # ≤ 2100-01-01

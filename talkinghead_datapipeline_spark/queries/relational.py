@@ -494,7 +494,8 @@ def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
-           round(sum(o_totalprice), 2) AS revenue,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -515,10 +516,14 @@ def rollup_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # Integer-cents accumulation (round-7 money convention): exact and
+    # associative, so the rounded cell cannot flip with input layout or
+    # merge order — see flagship_segment_leaders and the registry docstring.
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -597,7 +602,8 @@ def e2_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
     FROM orders
     WHERE o_orderstatus <> 'P'
     GROUP BY 1, 2
@@ -612,7 +618,10 @@ def date_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("bigint").alias("order_month"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        # Integer-cents accumulation (round-7 money convention).
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0, 2
+        ).alias("revenue"),
     )
 
 

@@ -361,7 +361,8 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS total_price
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -183,7 +183,12 @@ def emb_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    partials = emb.select("embedding").mapInPandas(
+    # np.stack raises on a NULL cell where the pre-r7 posexplode form
+    # silently dropped null-array rows; keep the old null semantics (the
+    # fixtures carry none — this is robustness, not a result change).
+    partials = emb.select("embedding").where(
+        F.col("embedding").isNotNull()
+    ).mapInPandas(
         partial_gram,
         schema=(
             "i long, j long, n_part double, si_part double, "

@@ -26,12 +26,20 @@ from talkinghead_datapipeline_spark.queries import register
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2)                                              AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                 / 1000000.0, 2)                                            AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6)                                             AS avg_price,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+                 / count(*), 6)                                             AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -40,19 +48,39 @@ from talkinghead_datapipeline_spark.queries import register
     tags=("agg", "flagship"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary: filtered scan + hash aggregate (8 aggs, 2 keys)."""
+    """Pricing summary: filtered scan + hash aggregate (8 aggs, 2 keys).
+
+    Integer-units money accumulation (round-8, flagship template): price,
+    discount and tax are 2-decimal by construction, so every money sum
+    accumulates BIGINT fixed-point units (cents, 10^-4-dollar, and
+    10^-6-dollar for the three-factor charge) — exact and associative,
+    so no cent can flip with input layout or merge order. The averages
+    derive from the same exact integer sums (sum_units/scale/n with
+    identical IEEE ops on both engines) rather than avg(double), making
+    them layout-invariant too; avg/sum of l_quantity stay double because
+    quantity is integer-valued, already exact. Charge units peak ~5e15
+    at sf0.1 — inside int64 and the 2^53 mantissa (and past 2^53 the
+    int64→double conversion is still deterministic and identical on both
+    engines, so the cross-engine hash holds at any SF within int64)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+        F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
+        ).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.sum(price_c) / 100.0 / n, 6).alias("avg_price"),
+        F.round(F.sum(disc_c) / 100.0 / n, 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -218,7 +246,10 @@ def e6_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_join_chain_revenue",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -233,7 +264,11 @@ def e6_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "N18"),
 )
 def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join (a2en.py's multi-input assembly shape) + agg; dims broadcast."""
+    """6-way join (a2en.py's multi-input assembly shape) + agg; dims broadcast.
+
+    Integer-cents revenue (round-8 money convention): exact associative
+    BIGINT 10^-4-dollar accumulation on both engines — layout- and
+    merge-order-invariant (flagship_segment_leaders is the template)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -256,7 +291,12 @@ def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                )
+                / 10000.0,
+                2,
             ).alias("revenue")
         )
     )
@@ -266,7 +306,9 @@ def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -281,7 +323,12 @@ def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "topk"),
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + deterministic global top-k (rounded key then tiebreak)."""
+    """Join + agg + deterministic global top-k (rounded key then tiebreak).
+
+    Integer-cents revenue (round-8 money convention): the top-k ranks over
+    a rounded money value, exactly the place a layout-dependent cent flip
+    would reorder the result — BIGINT 10^-4-dollar accumulation makes the
+    rank key exact (flagship_segment_leaders is the template)."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -297,7 +344,12 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                )
+                / 10000.0,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -28,6 +28,18 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _rev_units():
+    """Revenue in exact BIGINT 10^-4-dollar units (round-8 money
+    convention, flagship_segment_leaders template): price and discount are
+    2-decimal by construction, so cents x (100 - discount-cents) is an
+    exact associative integer — divide by 10000.0 once after the sum.
+    Kept separate from _rev() so each consumer migrates WITH its own
+    driver re-seat (changed-code rule) rather than all at once."""
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+
+
 @register(
     "q4_priority_order_counts",
     oracle="""
@@ -94,7 +106,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_customers",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            round(c_acctbal, 2) AS acctbal
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -112,7 +126,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: lost-revenue ranking. Facts join on pruned date/returnflag
     slices; nation is a 25-row broadcast; top-20 is TakeOrderedAndProject
-    (no global sort materialization)."""
+    (no global sort materialization). Integer-cents revenue (round-8
+    money convention) — the rank key is exact, so the top-20 cannot
+    reorder with input layout."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -125,7 +141,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_units()) / 10000.0, 2).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -346,7 +362,8 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,

@@ -1,0 +1,60 @@
+"""The in-repo bench record (VERDICT r7 #6): bench.py persists its full
+JSON — every per-query timing, not just the 2000-char stdout tail the
+driver keeps — to BENCH_LOCAL_r{N}.json so per-query history survives in
+git. These tests pin that the record round-trips and that the round
+inference tracks the driver's own artifacts."""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+
+def test_local_record_round_trips(tmp_path, monkeypatch):
+    result = {
+        "queries": {"q1_pricing_summary": 0.123, "flagship_segment_leaders": 0.456},
+        "errors": {"broken_query": "Boom"},
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "subtotal_r1_29": None,
+        "sf": 0.1,
+        "reps": 3,
+        "n_queries": 2,
+        "n_failed": 1,
+    }
+    monkeypatch.setattr(bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py"))
+    path = bench._write_local_record(result)
+    assert Path(path).parent == tmp_path
+    assert json.loads(Path(path).read_text()) == result
+
+
+def test_summary_scalars_serialize_last_even_on_failure():
+    """ADVICE r7: the errors dict must ride BEFORE the summary scalars so
+    the driver's tail capture keeps the totals in exactly the failure case
+    truncation-proofing was built for."""
+    timings = {"a": 1.0}
+    errors = {"b": "x" * 50}
+    summary = {"metric": "headline_queries_total_sec", "value": None, "n_failed": 1}
+    result = {"queries": timings, **({"errors": errors} if errors else {}), **summary}
+    line = json.dumps(result)
+    assert line.index('"errors"') < line.index('"metric"')
+    assert line.rstrip("}").endswith('"n_failed": 1')
+
+
+def test_infer_round_tracks_driver_artifacts(monkeypatch):
+    rounds = [
+        int(m.group(1))
+        for f in REPO.iterdir()
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f.name))
+    ]
+    assert rounds, "driver artifacts missing"
+    assert bench._infer_round() == max(rounds) + 1
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
+    assert bench._infer_round() == 42

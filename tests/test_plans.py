@@ -163,6 +163,7 @@ def test_n10_kernel_chain_is_map_only(spark, sf_dir):
 def test_grouping_sets_single_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "grouping_sets_order_stats")
     assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1  # one pass, not one per grain
 
 
 def test_emb_covariance_is_join_free(spark, sf_dir):
@@ -174,7 +175,7 @@ def test_emb_covariance_is_join_free(spark, sf_dir):
     assert "MapInPandas" in plan
     assert plan.count("Exchange") == 1  # the (i, j) partial-combine only
     assert "vec_id" not in plan  # nothing keys or shuffles on the vector id
-    assert plan.count("Scan parquet") == 1  # one pass, not one per grain
+    assert plan.count("Scan parquet") == 1  # single data pass feeds the grams
 
 
 def test_q4_semi_join_not_inner(spark, sf_dir):

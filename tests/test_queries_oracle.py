@@ -145,17 +145,45 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-7 canaries: every query whose implementation changed this round
-    # holds a seat. Both r7 perf rewrites (rolling_mad_anomalies' hoisted
-    # median, emb_covariance_upper's join-free partial outer products) are
-    # themselves never-certified r6-overflow keys, so their canary seats
-    # coincide with their backlog seats — the window is exactly the 49-key
-    # overflow queue + 1 stale-drain seat (e2_name_derivation, oldest
-    # r1-only key, starting VERDICT r6 #6 early).
-    canaries = {"rolling_mad_anomalies",
-                "emb_covariance_upper",
-                "e2_name_derivation"}
+    # round-8 canaries: every query whose implementation (or shared
+    # machinery) changed after its last green driver row holds a seat —
+    # the 12 round-7 changed-code keys (VERDICT r7 #1, including the three
+    # the r7 rotation comment missed) plus the round-8 changes (the four
+    # integer-units money migrations, each paired with its seat per
+    # VERDICT r7 #3, and emb_covariance_upper's null guard).
+    canaries = {
+        # r7 changes
+        "flagship_segment_leaders",
+        "rollup_nation_revenue",
+        "date_orders_by_month",
+        "grouping_sets_order_stats",
+        "minhash_signatures",
+        "minhash_lsh_near_dups",
+        "ngram_jaccard_exact_pairs",
+        "shingle_containment_pairs",
+        "decontaminate_against_benchmark",
+        "incremental_dedup_against_index",
+        "dedup_cluster_assignments",
+        "corpus_clean_pipeline",
+        # r8 changes
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_join_chain_revenue",
+        "q10_returned_item_customers",
+        "emb_covariance_upper",
+    }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
+    # Staleness floor (VERDICT r7 #1 done-criterion): every r1-era key is
+    # seated, so after r8 no key's latest green row predates r4.
+    r1_era = {
+        "cube_flag_status", "date_orders_by_month", "e3_key_intersection_semi",
+        "e6_exists_filter", "e7_memoization_anti", "grouping_sets_order_stats",
+        "lag_delta_per_user", "n11_group_extent", "n7_argmax_per_group",
+        "rollup_nation_revenue", "s10_quantile_per_flag", "s8_savgol_exact_w7",
+        "set_except_keys", "set_intersect_keys", "topk_per_group",
+        "unpivot_part_measures",
+    }
+    assert r1_era <= prefix, f"unseated r1-era keys: {sorted(r1_era - prefix)}"
 
 
 def test_compare_is_numeric_type_sensitive():

@@ -28,8 +28,15 @@ _SPECS = all_queries()
 _REPRESENTATIVES = (
     "flagship_segment_leaders",  # money agg — CAUGHT flipping a cent under
     # a 4-split layout before its round-7 exact-decimal fix; stays pinned
-    "q1_pricing_summary",  # wide float agg
+    "q1_pricing_summary",  # wide money agg (r8: full integer-units form)
     "rollup_nation_revenue",  # hierarchical float agg
+    # round-8 integer-cents migrations (VERDICT r7 #3/#7): every migrated
+    # money query joins the pinned set with its migration.
+    "q3_top_revenue_orders",  # top-k ranked ON the money sum
+    "q5_join_chain_revenue",  # 6-way join revenue rollup
+    "q10_returned_item_customers",  # top-20 ranked on money sum
+    "grouping_sets_order_stats",  # multi-grain money rollup
+    "date_orders_by_month",  # calendar money rollup
     "s9_tumbling_volume",  # event-time window agg
     "rolling_mad_anomalies",  # order statistics over frames
     "minhash_lsh_near_dups",  # banding + collect_list buckets

@@ -733,7 +733,16 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, broadcast back), the clip+mean pass is map-side against the
     broadcast bounds, and both aggregations key on the same low-cardinality
     group column — two scans, one wide shuffle each, no row ever carries
-    more than its own value."""
+    more than its own value.
+
+    Exact percentile is the INTENDED certified semantics (round-8
+    adjudication, SCALING.md): Spark's percentile_approx GK sketch is not
+    reproducible in DuckDB SQL, so sketch bounds cannot be value-hash
+    certified — the at-scale variant is percentile_approx bounds with the
+    rank-error contract certified separately (approx_quantiles_certified).
+    Same-day interleaved A/B at sf0.1: exact 1.6-2.5s vs sketch 1.2-1.5s
+    (the shared clip+mean join dominates); the exact ×10-data step is
+    ~1.75×, not the 5.5× of the cross-day r6 table — machine state."""
     li = load_table(spark, sf_dir, "lineitem")
     # Both quantiles from ONE array-form percentile: a single shared sort
     # buffer per group instead of two (measured: 2.24s two-call form ->

@@ -103,26 +103,38 @@ _MODULES = (
 #     8 pushdown-barrier / minhash_candidate_pairs consumers, INCLUDING
 #     the three the r7 plan missed: incremental_dedup_against_index,
 #     dedup_cluster_assignments, corpus_clean_pipeline.
-#  2. The 5 round-8 changed-code canaries: q1/q3/q5/q10 migrated to the
+#  2. The 15 round-8 changed-code canaries: q1/q3/q5/q10 migrated to the
 #     BIGINT-units money template WITH their seats (VERDICT r7 #3 — never
 #     migrate without a re-seat; each also joined the split-invariance
-#     pinned set), and emb_covariance_upper (null-embedding guard before
-#     np.stack, ADVICE r7). q18 was audited for migration and needs none:
-#     its money column is per-row round(o_totalprice,2), and its sums are
-#     over integer-valued l_quantity — already exact.
+#     pinned set), emb_covariance_upper (null-embedding guard before
+#     np.stack, ADVICE r7), and the 10 streaming queries whose shared
+#     fixture-ingest shim (_symlink_landing_dir) changed: the round-8
+#     full-sweep invariance probe found the single-file-only symlink made
+#     every events stream silently ingest ZERO files from a
+#     directory-layout table — fixed, all 10 re-probed oracle-green at
+#     sf0.001+sf0.01 AND split-invariant on the 4-file layout. q18 was
+#     audited for money migration and needs none: its money column is
+#     per-row round(o_totalprice,2), and its sums are over integer-valued
+#     l_quantity — already exact.
 #  3. The 13 remaining r1-era keys (16 minus the 3 seated as canaries).
-#  4. 20 of the 41 remaining r4-era keys, alphabetical (no finer age
-#     exists within a round tier), leaving 21 for r9.
+#  4. 10 of the 41 remaining r4-era keys, alphabetical (no finer age
+#     exists within a round tier). The streaming canaries displaced 10
+#     fill seats, but two of them (streaming_hourly_event_counts,
+#     streaming_user_sessions) are themselves r4-era re-seats, so the
+#     r4-era residue left for r9 is 29.
 #
 # REGISTRY FREEZE continues (VERDICT r7 #2): round 8 registers ZERO new
 # queries — the stale backlog (61) plus changed-code (17) exceeds one
 # window; registration resumes in r9 only up to spare seats.
 #
-# r9 plan: the 21 r4-era overflow (s7_resample_linear, sim_brute_cosine_
-# topk, sim_cosine_topk_per_label, sim_ivf_probe_topk, sim_lsh_bucket_
-# topk, simhash_fingerprint, simhash_hamming_near_dups, skew_salted_
-# quantity_rollup, split_train_val_test, stratified_sample_by_lang,
-# streaming_hourly_event_counts, streaming_user_sessions,
+# r9 plan: the 29 r4-era overflow (lang_id_heuristic, multimodal_binary_
+# features, multimodal_frame_sample, multimodal_image_channel_means,
+# n10_bbox_transform_chain, n14_code_split, pack_token_budget,
+# profile_documents, range_interval_join, s5_blink_features,
+# s7_resample_linear, sim_brute_cosine_topk, sim_cosine_topk_per_label,
+# sim_ivf_probe_topk, sim_lsh_bucket_topk, simhash_fingerprint,
+# simhash_hamming_near_dups, skew_salted_quantity_rollup,
+# split_train_val_test, stratified_sample_by_lang,
 # string_functions_suite, table_profile_orders, text_bpe_token_count,
 # text_quality_score, text_token_stats, wav2vec_features_stub,
 # weighted_sample_by_length, wide_source_assembly, window_rank_suite),
@@ -153,6 +165,16 @@ _DRIVER_PRIORITY = (
     "q5_join_chain_revenue",  # integer-cents revenue; last green r5
     "q10_returned_item_customers",  # integer-cents rank key; r5
     "emb_covariance_upper",  # null-embedding guard (ADVICE r7); r7
+    "streaming_hourly_event_counts",  # landing-dir fix; r4 (double-duty)
+    "streaming_user_sessions",  # landing-dir fix; r4 (double-duty)
+    "streaming_purchase_view_join",  # landing-dir fix; r5
+    "streaming_purchase_view_left",  # landing-dir fix; r6
+    "streaming_purchase_view_full",  # landing-dir fix; r6
+    "streaming_stateful_user_extents",  # landing-dir fix; r6
+    "streaming_dedup_event_keys",  # landing-dir fix; r6
+    "streaming_enrich_static_dim",  # landing-dir fix; r6
+    "streaming_sliding_event_counts",  # landing-dir fix; r6
+    "streaming_foreachbatch_upsert",  # landing-dir fix; r6
     # --- 3. r1-era stale drain (13 remaining of 16) ---
     "cube_flag_status",
     "e3_key_intersection_semi",
@@ -167,7 +189,7 @@ _DRIVER_PRIORITY = (
     "set_intersect_keys",
     "topk_per_group",
     "unpivot_part_measures",
-    # --- 4. r4-era stale drain (20 of 41, alphabetical) ---
+    # --- 4. r4-era stale drain (10 of 41, alphabetical) ---
     "a2en_feature_assembly",
     "array_hof_suite",
     "asof_prior_view_value",
@@ -178,16 +200,6 @@ _DRIVER_PRIORITY = (
     "emb_norms_per_label",
     "flame_decode_landmarks",
     "json_props_extract",
-    "lang_id_heuristic",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_image_channel_means",
-    "n10_bbox_transform_chain",
-    "n14_code_split",
-    "pack_token_budget",
-    "profile_documents",
-    "range_interval_join",
-    "s5_blink_features",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

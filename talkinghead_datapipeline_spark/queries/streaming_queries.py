@@ -34,6 +34,25 @@ def _events_stream_transform_base(stream: DataFrame) -> DataFrame:
     return normalize_events_ts(stream)
 
 
+def _symlink_landing_dir(table: str, src: str) -> None:
+    """Expose a fixture table as a file-stream landing directory (zero
+    copy). Handles BOTH fixture layouts: a single parquet file (the
+    driver's testdata) and a DIRECTORY of part files (any re-written /
+    multi-split fixture — the layout every real corpus has). Round-8 fix:
+    the original single-file-only symlink made the stream silently ingest
+    ZERO files from a directory-layout table (the source lists the landing
+    dir non-recursively, and a symlinked subdirectory is not a file), so
+    the sink came back empty — the split-invariance sweep caught it."""
+    if os.path.isdir(table):
+        for i, f in enumerate(sorted(os.listdir(table))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(table, f), os.path.join(src, f"part-{i:05d}.parquet")
+                )
+    else:
+        os.symlink(table, os.path.join(src, "events.parquet"))
+
+
 def _run_events_stream(
     spark: SparkSession, sf_dir: str, transform, name: str
 ) -> DataFrame:
@@ -42,12 +61,12 @@ def _run_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     work = tempfile.mkdtemp(prefix=f"thdp_stream_{name}_")
-    # The file stream source requires a *directory* to monitor; the fixture
-    # is a single parquet file, so expose it through a symlink dir (zero
-    # copy — exactly how a growing landing directory would look in prod).
+    # The file stream source requires a *directory* to monitor; expose the
+    # fixture through a symlink dir — exactly how a growing landing
+    # directory would look in prod.
     src = os.path.join(work, "src")
     os.makedirs(src)
-    os.symlink(table_path(sf_dir, "events"), os.path.join(src, "events.parquet"))
+    _symlink_landing_dir(table_path(sf_dir, "events"), src)
     sink = os.path.join(work, "sink")
     ckpt = os.path.join(work, "ckpt")
     run_available_now(
@@ -500,7 +519,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     work = tempfile.mkdtemp(prefix="thdp_stream_upsert_")
     src = os.path.join(work, "src")
     os.makedirs(src)
-    os.symlink(table_path(sf_dir, "events"), os.path.join(src, "events.parquet"))
+    _symlink_landing_dir(table_path(sf_dir, "events"), src)
     sink = os.path.join(work, "sink")
     ckpt = os.path.join(work, "ckpt")
 

@@ -56,6 +56,32 @@ def test_covariance_vs_numpy(spark, sf_dir):
     assert np.all(np.linalg.eigvalsh((C + C.T) / 2) > -1e-9)
 
 
+def test_covariance_cells_sit_clear_of_round6_boundary(sf_dir):
+    """Boundary-distance check (ADVICE r7): emb_covariance_upper's hash
+    stability under layout-dependent double partial sums rests on every
+    cell sitting FAR from a round(,6) boundary relative to accumulation-
+    order ULP noise. Pin the margin: the fractional part of |cov|*1e6
+    must be > 1e-4 away from the 0.5 rounding boundary for every cell —
+    ~1e6x the worst observed partial-sum perturbation (~1e-10 relative),
+    so no re-partitioning can move a cell across. If a larger SF is ever
+    certified, this test re-derives the margin there automatically."""
+    pdf = (
+        duckdb.connect()
+        .execute(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id")
+        .fetchdf()
+    )
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    C = np.cov(X, rowvar=False, ddof=1)
+    cells = C[np.triu_indices(C.shape[0])]
+    frac = np.abs(cells) * 1e6 % 1.0
+    dist = np.abs(frac - 0.5)
+    assert dist.min() > 1e-4, (
+        f"a covariance cell sits {dist.min():.2e} from the round(,6) "
+        "boundary — layout ULP noise could flip it; migrate to an exact "
+        "accumulation before certifying this SF"
+    )
+
+
 def test_time_to_convert_vs_python(spark, sf_dir):
     ev = (
         duckdb.connect()

@@ -171,6 +171,17 @@ def test_driver_priority_rotation_policy():
         "q5_join_chain_revenue",
         "q10_returned_item_customers",
         "emb_covariance_upper",
+        # r8 landing-dir fix (shared _symlink_landing_dir shim)
+        "streaming_hourly_event_counts",
+        "streaming_user_sessions",
+        "streaming_purchase_view_join",
+        "streaming_purchase_view_left",
+        "streaming_purchase_view_full",
+        "streaming_stateful_user_extents",
+        "streaming_dedup_event_keys",
+        "streaming_enrich_static_dim",
+        "streaming_sliding_event_counts",
+        "streaming_foreachbatch_upsert",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
     # Staleness floor (VERDICT r7 #1 done-criterion): every r1-era key is

@@ -37,6 +37,11 @@ _REPRESENTATIVES = (
     "q10_returned_item_customers",  # top-20 ranked on money sum
     "grouping_sets_order_stats",  # multi-grain money rollup
     "date_orders_by_month",  # calendar money rollup
+    # round-8 landing-dir fix: the streaming fixture-ingest shim silently
+    # read ZERO files from a directory-layout events table (every real
+    # corpus's layout) — this representative pins the fixed path end-to-end
+    # (multi-file stream → watermark → window state → sink read-back).
+    "streaming_hourly_event_counts",
     "s9_tumbling_volume",  # event-time window agg
     "rolling_mad_anomalies",  # order statistics over frames
     "minhash_lsh_near_dups",  # banding + collect_list buckets

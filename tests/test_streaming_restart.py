@@ -127,3 +127,38 @@ def test_restart_does_not_reprocess_consumed_files(spark, tmp_path):
     _run_once(spark, src, sink, ckpt)  # restart, nothing new
     n2 = sink_count()
     assert n2 == n1, f"restart without new input emitted {n2 - n1} rows"
+
+
+def test_landing_dir_shim_handles_both_fixture_layouts(tmp_path):
+    """Round-8 regression: the streaming fixture-ingest shim must expose
+    BOTH a single-file table and a directory-of-part-files table (the
+    layout every real corpus has) as a landing dir the file-stream source
+    can actually list — the single-file-only symlink made every events
+    stream silently ingest zero files from a directory fixture."""
+    import os
+
+    from talkinghead_datapipeline_spark.queries.streaming_queries import (
+        _symlink_landing_dir,
+    )
+
+    # directory layout: two part files + a _SUCCESS marker to skip
+    table_dir = tmp_path / "events.parquet"
+    table_dir.mkdir()
+    (table_dir / "part-00000-x.parquet").write_bytes(b"p0")
+    (table_dir / "part-00001-x.parquet").write_bytes(b"p1")
+    (table_dir / "_SUCCESS").write_bytes(b"")
+    src = tmp_path / "src_dir"
+    src.mkdir()
+    _symlink_landing_dir(str(table_dir), str(src))
+    links = sorted(os.listdir(src))
+    assert len(links) == 2 and all(l.endswith(".parquet") for l in links)
+    assert all(os.path.isfile(src / l) for l in links)  # files, not dirs
+
+    # single-file layout
+    table_file = tmp_path / "solo.parquet"
+    table_file.write_bytes(b"solo")
+    src2 = tmp_path / "src_file"
+    src2.mkdir()
+    _symlink_landing_dir(str(table_file), str(src2))
+    assert os.listdir(src2) == ["events.parquet"]
+    assert (src2 / "events.parquet").read_bytes() == b"solo"

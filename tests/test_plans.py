@@ -178,6 +178,27 @@ def test_emb_covariance_is_join_free(spark, sf_dir):
     assert plan.count("Scan parquet") == 1  # single data pass feeds the grams
 
 
+def test_q1_is_two_exchange_partial_agg(spark, sf_dir):
+    """r8 money migration guard: the integer-units rewrite must stay a
+    plain partial/final hash agg — one shuffle on the 2 group keys plus
+    the result-collection exchange, no join, filter still pushed."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q3_q10_topk_avoid_global_sort(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a full Sort materialization — the difference
+    between a bounded result and sorting the joined fact table at scale.
+    Pinned through the r8 integer-cents migration: the rank key changed
+    expression but must not change the selection strategy."""
+    for name in ("q3_top_revenue_orders", "q10_returned_item_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
 def test_q4_semi_join_not_inner(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q4_priority_order_counts")
     assert "LeftSemi" in plan

@@ -111,3 +111,30 @@ def test_result_is_invariant_to_shuffle_partition_count(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", default)
     diverged = [n for n in _REPRESENTATIVES if not base[n].equals(alt[n])]
     assert not diverged, f"shuffle-count-dependent results: {diverged}"
+
+
+def test_result_is_invariant_to_aqe_toggle(spark, sf_dir):
+    """Third axis (round 8): AQE itself — runtime coalescing, skew-join
+    splitting, and broadcast demotion all change partial-merge order and
+    join physical shape, and a cluster flips between these plans run to
+    run. Toggling spark.sql.adaptive.enabled must reproduce every
+    representative frame exactly (probed clean over the full pinned set
+    before pinning). Restores the conf even on failure."""
+    def run_all():
+        out = {}
+        for name in _REPRESENTATIVES:
+            pdf = _SPECS[name].spark(spark, sf_dir).toPandas()
+            cols = sorted(pdf.columns)
+            out[name] = pdf[cols].sort_values(cols).reset_index(drop=True)
+        return out
+
+    default = spark.conf.get("spark.sql.adaptive.enabled")
+    flipped = "false" if default == "true" else "true"
+    base = run_all()
+    spark.conf.set("spark.sql.adaptive.enabled", flipped)
+    try:
+        alt = run_all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", default)
+    diverged = [n for n in _REPRESENTATIVES if not base[n].equals(alt[n])]
+    assert not diverged, f"AQE-dependent results: {diverged}"

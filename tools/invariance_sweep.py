@@ -4,9 +4,10 @@ tooling; the discovery side of tests/test_split_invariance.py's pinned
 representatives).
 
 For each query, compares the base-fixture result against (a) a 4-file
-shuffled parquet re-write of every table and (b) a different
-spark.sql.shuffle.partitions — exact frame equality after canonical
-sort, the same definition the pinned test uses. A flip here means the
+shuffled parquet re-write of every table, (b) a different
+spark.sql.shuffle.partitions, and (c) spark.sql.adaptive.enabled
+toggled — exact frame equality after canonical sort, the same
+definition the pinned test uses. A flip here means the
 query's output depends on input layout or partial-aggregate merge order:
 driver-green today on the single-file fixture, red on a real cluster
 layout. Round-8 run: 198/198 batch queries invariant on both axes; the
@@ -70,9 +71,19 @@ def main() -> None:
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", base_partitions)
             ok_part = base.equals(alt)
+            aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "false" if aqe == "true" else "true",
+            )
+            try:
+                alt2 = canon(spec.spark(spark, sf_dir).toPandas())
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            ok_aqe = base.equals(alt2)
             status = (
-                "OK" if ok_split and ok_part
-                else f"FLIP split={ok_split} partitions={ok_part}"
+                "OK" if ok_split and ok_part and ok_aqe
+                else f"FLIP split={ok_split} partitions={ok_part} aqe={ok_aqe}"
             )
         except Exception as exc:  # noqa: BLE001 — survey must not abort
             status = f"ERR {type(exc).__name__}: {exc}"[:160]

@@ -60,6 +60,12 @@ _REPRESENTATIVES = (
     "substring_dup_coverage",  # gram wordcount shuffle
     "bpe_top_merge_pairs",  # global pair counts + top-k tiebreak
     "pagerank_trade_network",  # 3 Pregel iterations
+    # round-8 additions — classes whose merge order genuinely varies with
+    # layout, promoted from the clean 208/208 three-axis sweep:
+    "weighted_topk_sample_es",  # seeded ES-key sampling + top-k
+    "sim_ivf_trained_topk",  # iterative k-means centroid partial sums
+    "fuzzy_name_clusters",  # iterative pointer-jumping components
+    "ols_normal_equations",  # float normal-equation folds
 )
 
 

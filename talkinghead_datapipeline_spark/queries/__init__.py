@@ -138,12 +138,15 @@ _MODULES = (
 # string_functions_suite, table_profile_orders, text_bpe_token_count,
 # text_quality_score, text_token_stats, wav2vec_features_stub,
 # weighted_sample_by_length, wide_source_assembly, window_rank_suite),
-# then the remaining money-class queries migrated WITH their r9 seats
-# (q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-# q9_product_type_profit, q14_promo_revenue_ratio, q15_top_supplier,
+# then the remaining money-class queries migrated WITH their r9 seats —
+# q15_top_supplier FIRST (the r8 boundary audit in SCALING.md found one
+# of its supplier groups 1.4e-6 cents from the rounding boundary at
+# sf0.01, four orders thinner than any other money cell), then
+# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+# q9_product_type_profit, q14_promo_revenue_ratio,
 # q19_disjunctive_revenue, q22_dormant_rich_customers, plus the
 # o_totalprice/c_acctbal sites in dataprep.py:497, stats_tests.py:475,
-# timeseries.py:369), then r5-era oldest-first; after r9 no key's latest
+# timeseries.py:369 — then r5-era oldest-first; after r9 no key's latest
 # green row predates r5 (VERDICT r7 #5).
 _DRIVER_PRIORITY = (
     # --- 1. round-7 changed-code canaries (12) ---

@@ -103,7 +103,7 @@ _MODULES = (
 #     8 pushdown-barrier / minhash_candidate_pairs consumers, INCLUDING
 #     the three the r7 plan missed: incremental_dedup_against_index,
 #     dedup_cluster_assignments, corpus_clean_pipeline.
-#  2. The 15 round-8 changed-code canaries: q1/q3/q5/q10 migrated to the
+#  2. The 17 round-8 changed-code canaries: q1/q3/q5/q10 migrated to the
 #     BIGINT-units money template WITH their seats (VERDICT r7 #3 — never
 #     migrate without a re-seat; each also joined the split-invariance
 #     pinned set), emb_covariance_upper (null-embedding guard before
@@ -112,22 +112,28 @@ _MODULES = (
 #     full-sweep invariance probe found the single-file-only symlink made
 #     every events stream silently ingest ZERO files from a
 #     directory-layout table — fixed, all 10 re-probed oracle-green at
-#     sf0.001+sf0.01 AND split-invariant on the 4-file layout. q18 was
-#     audited for money migration and needs none: its money column is
-#     per-row round(o_totalprice,2), and its sums are over integer-valued
-#     l_quantity — already exact.
+#     sf0.001+sf0.01 AND split-invariant on the 4-file layout; plus the
+#     two sf0.01-sweep finds — ols_normal_equations (double moment sums
+#     flipped a coefficient's 6th decimal with file layout → exact BIGINT
+#     unit accumulation) and a2en_feature_assembly (avg(abs(value)) on a
+#     round(,6) boundary → integer-cents mean; its r4-fill seat doubles
+#     as the canary seat). q18 was audited for money migration and needs
+#     none: its money column is per-row round(o_totalprice,2), and its
+#     sums are over integer-valued l_quantity — already exact.
 #  3. The 13 remaining r1-era keys (16 minus the 3 seated as canaries).
-#  4. 10 of the 41 remaining r4-era keys, alphabetical (no finer age
-#     exists within a round tier). The streaming canaries displaced 10
-#     fill seats, but two of them (streaming_hourly_event_counts,
-#     streaming_user_sessions) are themselves r4-era re-seats, so the
-#     r4-era residue left for r9 is 29.
+#  4. 9 more r4-era keys, alphabetical (no finer age exists within a
+#     round tier). The streaming + ols canaries displaced 11 fill seats,
+#     but three canaries (streaming_hourly_event_counts,
+#     streaming_user_sessions, a2en_feature_assembly) are themselves
+#     r4-era re-seats, so the r4-era residue left for r9 is 30
+#     (json_props_extract joins the overflow).
 #
 # REGISTRY FREEZE continues (VERDICT r7 #2): round 8 registers ZERO new
 # queries — the stale backlog (61) plus changed-code (17) exceeds one
 # window; registration resumes in r9 only up to spare seats.
 #
-# r9 plan: the 29 r4-era overflow (lang_id_heuristic, multimodal_binary_
+# r9 plan: the 30 r4-era overflow (json_props_extract, lang_id_heuristic,
+# multimodal_binary_
 # features, multimodal_frame_sample, multimodal_image_channel_means,
 # n10_bbox_transform_chain, n14_code_split, pack_token_budget,
 # profile_documents, range_interval_join, s5_blink_features,
@@ -178,6 +184,7 @@ _DRIVER_PRIORITY = (
     "streaming_enrich_static_dim",  # landing-dir fix; r6
     "streaming_sliding_event_counts",  # landing-dir fix; r6
     "streaming_foreachbatch_upsert",  # landing-dir fix; r6
+    "ols_normal_equations",  # exact BIGINT moment sums (sweep find); r7
     # --- 3. r1-era stale drain (13 remaining of 16) ---
     "cube_flag_status",
     "e3_key_intersection_semi",
@@ -192,7 +199,8 @@ _DRIVER_PRIORITY = (
     "set_intersect_keys",
     "topk_per_group",
     "unpivot_part_measures",
-    # --- 4. r4-era stale drain (10 of 41, alphabetical) ---
+    # --- 4. r4-era stale drain (9 of 41, alphabetical; a2en doubles as an
+    # r8 changed-code canary — integer-cents volume mean, sweep find) ---
     "a2en_feature_assembly",
     "array_hof_suite",
     "asof_prior_view_value",
@@ -202,7 +210,6 @@ _DRIVER_PRIORITY = (
     "doc_fingerprint",
     "emb_norms_per_label",
     "flame_decode_landmarks",
-    "json_props_extract",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

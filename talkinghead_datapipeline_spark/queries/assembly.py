@@ -41,7 +41,8 @@ _D_SQL_EYE = (
     ),
     audio_feats AS (
       SELECT user_id,
-             round(avg(abs(value)), 6) AS volume_mean,
+             round(sum(CAST(round(abs(value) * 100) AS BIGINT)) / 100.0
+                   / count(*), 6) AS volume_mean,
              count(*) AS n_events
       FROM events GROUP BY user_id
     )
@@ -78,11 +79,22 @@ def a2en_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eye_span"
         ),
     )
+    # Integer-cents mean (round 8): the sf0.01 invariance sweep caught one
+    # user's avg(abs(value)) landing ON a round(,6) boundary, flipping the
+    # 6th decimal with input file layout. events.value is 2-decimal by
+    # construction (verified at all SFs), so the mean derives from an exact
+    # BIGINT cents sum — layout- and merge-order-invariant (the flagship
+    # money template applied to a real-valued-LOOKING column that is
+    # actually exact decimal).
     audio = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.avg(F.abs("value")), 6).alias("volume_mean"),
+            F.round(
+                F.sum(F.round(F.abs("value") * 100).cast("bigint")) / 100.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("volume_mean"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -24,16 +24,31 @@ from talkinghead_datapipeline_spark.queries import register
 # y = l_extendedprice, x1 = l_quantity, x2 = l_discount.
 # ---------------------------------------------------------------------------
 
+# Exact integer-unit moment sums (round 8): the sf0.01 invariance sweep
+# caught a coefficient's 6th decimal flipping with input file layout —
+# double moment sums are merge-order-dependent and beta sits near a
+# round(,6) boundary at that data. l_quantity is integer-valued and
+# l_discount / l_extendedprice are 2-decimal by construction, so every
+# moment accumulates an exact associative BIGINT (quantity units, discount
+# cents, price cents; products scale by the product of the factors'
+# scales) and converts to double ONCE via a correctly-rounded power-of-ten
+# division — identical on both engines and any layout. Largest sum
+# (sx2y = Σ d_c·y_c) peaks ~6e13 at sf0.1: inside int64 and 2^53.
 _OLS_SUMS_SQL = """
       SELECT CAST(count(*) AS DOUBLE) AS n,
-             sum(CAST(l_quantity AS DOUBLE)) AS sx1,
-             sum(l_discount) AS sx2,
-             sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sx11,
-             sum(CAST(l_quantity AS DOUBLE) * l_discount) AS sx12,
-             sum(l_discount * l_discount) AS sx22,
-             sum(l_extendedprice) AS sy,
-             sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sx1y,
-             sum(l_discount * l_extendedprice) AS sx2y
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx1,
+             sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 AS sx2,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx11,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 100.0 AS sx12,
+             sum(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS sx22,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sx1y,
+             sum(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) / 10000.0 AS sx2y
       FROM lineitem
 """
 
@@ -79,26 +94,28 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-inside-the-engine regression primitive: at 100 TB "training" is
     one scan + one 9-number reduce, and the model is a row.
 
-    Determinism: both engines compute the same moment sums to within
-    accumulation-order ULPs (~1e-15 relative); the determinants are
-    well-conditioned at this design matrix (quantity 1..50, discount
-    0..0.1), so round(,6) on the coefficients sits far above the noise —
-    the same argument lineitem_measure_correlations' driver row already
-    certifies for one-pass Pearson."""
+    Determinism (round 8): the moment sums accumulate EXACT BIGINT units
+    (quantity integer, discount cents, price cents — all exact decimals
+    by construction) and convert to double once via a correctly-rounded
+    power-of-ten division, so the sums — and therefore the Cramer scalar
+    arithmetic — are identical across engines, input layouts, and merge
+    orders. The earlier all-double accumulation was caught by the sf0.01
+    split-invariance sweep flipping a coefficient's 6th decimal with the
+    input file layout (see _OLS_SUMS_SQL comment)."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("double")
-    d = F.col("l_discount")
-    y = F.col("l_extendedprice")
+    q_i = F.round(F.col("l_quantity")).cast("bigint")
+    d_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    y_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     sums = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(q).alias("sx1"),
-        F.sum(d).alias("sx2"),
-        F.sum(q * q).alias("sx11"),
-        F.sum(q * d).alias("sx12"),
-        F.sum(d * d).alias("sx22"),
-        F.sum(y).alias("sy"),
-        F.sum(q * y).alias("sx1y"),
-        F.sum(d * y).alias("sx2y"),
+        F.sum(q_i).cast("double").alias("sx1"),
+        (F.sum(d_c) / 100.0).alias("sx2"),
+        F.sum(q_i * q_i).cast("double").alias("sx11"),
+        (F.sum(q_i * d_c) / 100.0).alias("sx12"),
+        (F.sum(d_c * d_c) / 10000.0).alias("sx22"),
+        (F.sum(y_c) / 100.0).alias("sy"),
+        (F.sum(q_i * y_c) / 100.0).alias("sx1y"),
+        (F.sum(d_c * y_c) / 10000.0).alias("sx2y"),
     )
     det = F.expr(_DET)
     return sums.select(

@@ -182,6 +182,9 @@ def test_driver_priority_rotation_policy():
         "streaming_enrich_static_dim",
         "streaming_sliding_event_counts",
         "streaming_foreachbatch_upsert",
+        # r8 sf0.01-sweep finds: exact integer-unit accumulations
+        "ols_normal_equations",
+        "a2en_feature_assembly",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
     # Staleness floor (VERDICT r7 #1 done-criterion): every r1-era key is

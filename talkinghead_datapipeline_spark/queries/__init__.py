@@ -120,6 +120,11 @@ _MODULES = (
 #     as the canary seat). q18 was audited for money migration and needs
 #     none: its money column is per-row round(o_totalprice,2), and its
 #     sums are over integer-valued l_quantity — already exact.
+#     LATE r8 ADD: q15_top_supplier migrated WITH a seat (displacing the
+#     flame_decode_landmarks fill seat) — the boundary audit put one of
+#     its money cells 1.4e-6 cents from the rounding boundary at the
+#     certification SF, four orders thinner than any other cell; waiting
+#     a round on the single known-thin cell was the wrong risk trade.
 #  3. The 13 remaining r1-era keys (16 minus the 3 seated as canaries).
 #  4. 9 more r4-era keys, alphabetical (no finer age exists within a
 #     round tier). The streaming + ols canaries displaced 11 fill seats,
@@ -132,7 +137,8 @@ _MODULES = (
 # queries — the stale backlog (61) plus changed-code (17) exceeds one
 # window; registration resumes in r9 only up to spare seats.
 #
-# r9 plan: the 30 r4-era overflow (json_props_extract, lang_id_heuristic,
+# r9 plan: the 31 r4-era overflow (flame_decode_landmarks,
+# json_props_extract, lang_id_heuristic,
 # multimodal_binary_
 # features, multimodal_frame_sample, multimodal_image_channel_means,
 # n10_bbox_transform_chain, n14_code_split, pack_token_budget,
@@ -145,9 +151,8 @@ _MODULES = (
 # text_quality_score, text_token_stats, wav2vec_features_stub,
 # weighted_sample_by_length, wide_source_assembly, window_rank_suite),
 # then the remaining money-class queries migrated WITH their r9 seats —
-# q15_top_supplier FIRST (the r8 boundary audit in SCALING.md found one
-# of its supplier groups 1.4e-6 cents from the rounding boundary at
-# sf0.01, four orders thinner than any other money cell), then
+# (q15_top_supplier, originally first here for its 1.4e-6-cent boundary
+# margin, was instead migrated+seated late in r8) —
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
 # q9_product_type_profit, q14_promo_revenue_ratio,
 # q19_disjunctive_revenue, q22_dormant_rich_customers, plus the
@@ -185,6 +190,7 @@ _DRIVER_PRIORITY = (
     "streaming_sliding_event_counts",  # landing-dir fix; r6
     "streaming_foreachbatch_upsert",  # landing-dir fix; r6
     "ols_normal_equations",  # exact BIGINT moment sums (sweep find); r7
+    "q15_top_supplier",  # integer-units money, thinnest boundary cell; r5
     # --- 3. r1-era stale drain (13 remaining of 16) ---
     "cube_flag_status",
     "e3_key_intersection_semi",
@@ -199,8 +205,9 @@ _DRIVER_PRIORITY = (
     "set_intersect_keys",
     "topk_per_group",
     "unpivot_part_measures",
-    # --- 4. r4-era stale drain (9 of 41, alphabetical; a2en doubles as an
-    # r8 changed-code canary — integer-cents volume mean, sweep find) ---
+    # --- 4. r4-era stale drain (8 of 41, alphabetical; a2en doubles as an
+    # r8 changed-code canary — integer-cents volume mean, sweep find;
+    # flame_decode_landmarks displaced by the late q15 canary → r9) ---
     "a2en_feature_assembly",
     "array_hof_suite",
     "asof_prior_view_value",
@@ -209,7 +216,6 @@ _DRIVER_PRIORITY = (
     "dedup_exact_keep_first",
     "doc_fingerprint",
     "emb_norms_per_label",
-    "flame_decode_landmarks",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

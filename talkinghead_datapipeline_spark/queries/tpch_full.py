@@ -387,15 +387,17 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS s_suppkey,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY 1
     )
-    SELECT supplier.s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT supplier.s_suppkey, s_name,
+           round(rev4 / 10000.0, 2) AS total_revenue
     FROM supplier JOIN revenue ON supplier.s_suppkey = revenue.s_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev4 = (SELECT max(rev4) FROM revenue)
     ORDER BY supplier.s_suppkey ASC
     """,
     tags=("agg", "subquery", "argmax"),
@@ -404,25 +406,38 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the revenue view is computed ONCE (persisted) and reused for
     both the max scalar subquery and the equality probe — the reference
     pattern of re-evaluating a view twice is the known Q15 trap. The max
-    reduces to one broadcast row; equality is within-engine so float
-    accumulation order cannot flip membership."""
+    reduces to one broadcast row.
+
+    Integer-units revenue (round-8 money convention, flagship template):
+    the r8 boundary audit measured one supplier group 1.4e-6 cents from
+    its round-to-cent boundary at sf0.01 — four orders thinner than any
+    other money cell and within ~10-100x of a few accumulation-order ULPs,
+    the exact class that flipped flagship's cent under a 4-split layout.
+    Both engines now sum BIGINT 10^-4-dollar units (price-cents x
+    (100 - discount-cents)): exact, associative, layout-invariant. The
+    max-membership equality also rides the integer units, so argmax ties
+    are exact set equality rather than double coincidence."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
     revenue = persist_once(
         li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-            F.sum(_rev()).alias("total_revenue")
+            F.sum(price_c * (100 - disc_c)).alias("_rev4")
         )
     )
-    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.agg(F.max("_rev4").alias("_max_rev4"))
     return (
         supp.join(revenue, "s_suppkey")
         .crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .filter(F.col("_rev4") == F.col("_max_rev4"))
         .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev4") / 10000.0, 2).alias("total_revenue"),
         )
         .orderBy(F.asc("s_suppkey"))
     )

@@ -185,6 +185,9 @@ def test_driver_priority_rotation_policy():
         # r8 sf0.01-sweep finds: exact integer-unit accumulations
         "ols_normal_equations",
         "a2en_feature_assembly",
+        # late-r8 migration: the thinnest boundary cell (1.4e-6 cents at
+        # sf0.01) moved to integer units ahead of the r9 schedule
+        "q15_top_supplier",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
     # Staleness floor (VERDICT r7 #1 done-criterion): every r1-era key is

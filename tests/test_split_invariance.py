@@ -37,6 +37,7 @@ _REPRESENTATIVES = (
     "q10_returned_item_customers",  # top-20 ranked on money sum
     "grouping_sets_order_stats",  # multi-grain money rollup
     "date_orders_by_month",  # calendar money rollup
+    "q15_top_supplier",  # argmax ON the money sum (thinnest boundary cell)
     # round-8 landing-dir fix: the streaming fixture-ingest shim silently
     # read ZERO files from a directory-layout events table (every real
     # corpus's layout) — this representative pins the fixed path end-to-end

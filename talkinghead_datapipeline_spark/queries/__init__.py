@@ -159,6 +159,17 @@ _MODULES = (
 # o_totalprice/c_acctbal sites in dataprep.py:497, stats_tests.py:475,
 # timeseries.py:369 — then r5-era oldest-first; after r9 no key's latest
 # green row predates r5 (VERDICT r7 #5).
+#
+# r9 NEW REGISTRATIONS (up to spare seats only, per the freeze policy),
+# both implemented + oracle-verified at sf0.001/0.01/0.1 in r8; each
+# registration is moving the @register decorator onto the staged function:
+#   streaming_late_data_metrics — queries/streaming_queries.py STAGED
+#     block + STREAMING_LATE_METRICS_ORACLE
+#     (tests/test_streaming_late_metrics.py pins the engine's two-
+#     watermark lag, window-not-row drop counting, and ms-floor);
+#   logreg_newton_lang — queries/mlstats.py STAGED block +
+#     LOGREG_NEWTON_ORACLE (tests/test_logreg_staged.py: closed-form
+#     optimum pin + round(,6) boundary-margin audit).
 _DRIVER_PRIORITY = (
     # --- 1. round-7 changed-code canaries (12) ---
     "flagship_segment_leaders",  # integer-cents template; last green r4

@@ -623,3 +623,157 @@ def streaming_purchase_view_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _run_events_stream(spark, sf_dir, transform, "ssfull")
 
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
+# Implemented + oracle-verified now (tests/test_streaming_late_metrics.py);
+# r9 flips it to @register("streaming_late_data_metrics", oracle=
+# STREAMING_LATE_METRICS_ORACLE, tags=...) when rotation seats free up.
+# ---------------------------------------------------------------------------
+
+# Late-drop determinism contract (empirically pinned, 2026-08-15, by the
+# boundary tests): with maxFilesPerTrigger=1 and strictly increasing landing
+# -file mtimes the file source forms one micro-batch per file in mtime
+# order, and Spark's watermark propagation gives each batch TWO watermarks
+# (SPARK-42376 shape): eviction/emission uses the CURRENT one
+# (max event time over batches <= k-1, minus delay), while the LATE-DATA
+# FILTER uses the PREVIOUS one — max over batches <= k-2, minus delay.
+# The filter sits at the STATE OPERATOR, downstream of the partial/merge
+# aggregation, so its input is ONE merged row per window per micro-batch:
+# numRowsDroppedByWatermark counts DISTINCT LATE WINDOWS (window end <=
+# the lagged watermark, non-strict), NOT raw late rows — verified
+# layout-invariant under forced 16 KB file splits (many map-side partials
+# per window still merge to one row before the filter). Spark tracks the
+# watermark in whole milliseconds; with whole-millisecond window ends and
+# delays a floor-to-ms never changes the comparison (floor_ms(x) >= E
+# iff x >= E for whole-ms E), so the oracle can compare exact epoch micros.
+STREAMING_LATE_METRICS_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id FROM events
+),
+bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+b AS (
+  SELECT us,
+         least(2, least(2, ((us - t0) * 3) // (t1 - t0))
+                  + CASE WHEN user_id % 10 = 7 THEN 2 ELSE 0 END) AS batch,
+         (us // 3600000000) * 3600000000 + 3600000000 AS win_end_us
+  FROM e, bounds
+),
+mx AS (SELECT batch, max(us) AS mx_us FROM b GROUP BY 1),
+pw AS (
+  SELECT batch + 2 AS tgt,
+         max(mx_us) OVER (ORDER BY batch
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1800000000 AS wm_us
+  FROM mx
+)
+SELECT b.batch AS batch_seq,
+       CAST(count(*) AS BIGINT) AS n_input,
+       CAST(count(DISTINCT CASE WHEN b.win_end_us <= pw.wm_us
+                                THEN b.win_end_us END)
+            AS BIGINT) AS n_late_dropped
+FROM b LEFT JOIN pw ON b.batch = pw.tgt
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data observability: per-micro-batch input and
+    dropped-by-watermark counts from the STREAMING ENGINE's own state
+    metrics, certified against a SQL replay of the watermark algebra.
+
+    The events table is staged as a 3-file landing directory that
+    reproduces a real out-of-order arrival: files cover the time range in
+    thirds (mtime-ordered), except rows of straggler users
+    (user_id % 10 == 7) deliver two files LATE — the canonical pattern of
+    a delayed upstream partition (two, not one, because Spark's late
+    filter lags eviction by a batch: a one-batch delay never drops). A
+    30-minute watermark + 1h tumbling count then drops exactly the
+    straggler WINDOWS that already closed (the late filter runs
+    post-merge, one row per window — see the pinned contract), and
+    the query returns (batch_seq, n_input, n_late_dropped) per micro-batch
+    from numRowsDroppedByWatermark — the metric an operator alarms on.
+
+    Determinism: batch membership is integer arithmetic on epoch micros
+    (terciles of the [min, max] span) + the straggler shift, so the oracle
+    recomputes the same file assignment, replays the two-watermark
+    propagation (late filter lags eviction by one batch — see the pinned
+    contract above STREAMING_LATE_METRICS_ORACLE), and reproduces the
+    engine's drop counts exactly.
+
+    Scale shape: the metrics ride the state operator the aggregation
+    already runs — no extra shuffle, no second pass; the landing-dir
+    staging is fixture plumbing (a real corpus's files arrive from
+    upstream). State is bounded by the watermark horizon exactly as in
+    streaming_hourly_event_counts; the returned frame is
+    O(micro-batches), not O(rows).
+    """
+    import shutil
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.streaming.incremental import (
+        run_available_now_with_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id", F.col("ts")
+    )
+    t0, t1 = ev.agg(F.min("us"), F.max("us")).first()
+    span = t1 - t0
+    # Exact BIGINT division (`div`), NOT `/`: double division's correct
+    # rounding can land an exact-integer quotient one ULP above the true
+    # value and flip the tercile vs DuckDB's integer `//` — the same
+    # float-at-boundary class as the money-cent flips.
+    tercile = F.least(F.lit(2), F.expr(f"((us - {t0}) * 3) div {span}"))
+    # Stragglers are delayed TWO files, not one: the late filter lags the
+    # eviction watermark by one batch (pinned contract above), so a
+    # one-batch delay is always masked — tercile-0 stragglers must arrive
+    # in batch 2, where the filter watermark is max(batch 0) - 30min, for
+    # the query to exercise real drops.
+    batch_col = F.least(
+        F.lit(2), tercile + 2 * (F.col("user_id") % 10 == 7).cast("bigint")
+    )
+    staged = ev.select(F.col("ts"), batch_col.alias("batch"))
+
+    work = tempfile.mkdtemp(prefix="thdp_stream_late_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # One landing file per batch, mtime-ordered so the file source forms
+    # the deterministic 3-batch sequence the oracle replays.
+    for k in range(3):
+        part_dir = os.path.join(work, f"b{k}")
+        staged.filter(F.col("batch") == k).select("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in sorted(os.listdir(part_dir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch-{k:05d}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("window_start"), "n_events")
+        )
+
+    metrics = run_available_now_with_metrics(
+        spark,
+        source_dir=src,
+        schema="ts timestamp",
+        transform=transform,
+        sink_path=os.path.join(work, "sink"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    # Batches 0..2 are the three landing files (one per trigger); the
+    # trailing no-data batch (state eviction pass) is engine bookkeeping,
+    # not an arrival, so it is excluded from the arrival metrics.
+    rows = [(b, n, d) for b, n, d in metrics if b <= 2]
+    return spark.createDataFrame(
+        rows, "batch_seq bigint, n_input bigint, n_late_dropped bigint"
+    )

@@ -17,6 +17,7 @@ forms:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +96,119 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def run_available_now_with_metrics(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+) -> list[tuple[int, int, int]]:
+    """``run_available_now`` + per-micro-batch engine metrics.
+
+    Returns ``[(batch_id, num_input_rows, num_rows_dropped_by_watermark)]``
+    for every micro-batch of THIS query (filtered by query id — other
+    streaming queries on the session are invisible), captured through a
+    ``StreamingQueryListener``: ``query.recentProgress`` alone is NOT a
+    reliable record (observed dropping a batch's entry under AvailableNow
+    multi-batch runs), while the listener receives one ``QueryProgressEvent``
+    per committed batch. Progress events are asynchronous, so the read
+    waits for this query's ``onQueryTerminated`` before returning.
+
+    ``max_files_per_trigger`` bounds each micro-batch's file intake —
+    with distinct landing-file mtimes this makes the batch sequence (and
+    therefore every watermark advance) deterministic, which is what lets
+    a SQL oracle reproduce late-drop counts exactly.
+    """
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress_rows: list[tuple[str, int, int, int]] = []
+    terminated: dict[str, threading.Event] = {}
+    lock = threading.Lock()
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            dropped = (
+                p.stateOperators[0].numRowsDroppedByWatermark
+                if p.stateOperators
+                else 0
+            )
+            with lock:
+                progress_rows.append(
+                    (str(p.id), p.batchId, p.numInputRows, dropped)
+                )
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            with lock:
+                terminated.setdefault(str(event.id), threading.Event()).set()
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(source_dir)
+        query = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = str(query.id)
+        query.awaitTermination()
+        # Progress events arrive on the Python listener bus asynchronously
+        # and NOT reliably before the termination event (observed: a data
+        # batch's progress delivered after onQueryTerminated — or seemingly
+        # never ordered ahead of the read). The checkpoint's commits/ dir
+        # is the authoritative batch record, so poll until every committed
+        # batch id has a captured progress row; a missing-metrics return
+        # would silently corrupt a correctness-gated result, so time out
+        # LOUDLY instead.
+        import glob
+        import time as _time
+
+        with lock:
+            ev = terminated.setdefault(qid, threading.Event())
+        ev.wait(timeout=60)
+        committed = {
+            int(os.path.basename(p))
+            for p in glob.glob(os.path.join(checkpoint_dir, "commits", "*"))
+            if os.path.basename(p).isdigit()
+        }
+        deadline = _time.monotonic() + 60
+        while True:
+            with lock:
+                have = {b for i, b, _n, _d in progress_rows if i == qid}
+            if committed <= have:
+                break
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"progress events missing for batches {sorted(committed - have)}"
+                )
+            _time.sleep(0.2)
+        with lock:
+            return sorted(
+                (b, n, d) for i, b, n, d in progress_rows if i == qid
+            )
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def tumbling_stream_agg(

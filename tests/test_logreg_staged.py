@@ -79,6 +79,22 @@ def test_boundary_margins_comfortable(spark, sf_dir):
         assert margin * 1e-6 >= 1e-9, f"{v} is {margin * 1e-6} from a boundary"
 
 
+def test_split_invariance(spark, sf_dir, tmp_path):
+    """Same convention as tests/test_split_invariance.py, applied to the
+    staged query before it reaches the registry: a 4-file shuffled
+    re-write of documents must reproduce the rounded coefficients exactly
+    (the per-iteration sums ARE accumulation-order-dependent; the
+    audited round(,6) margins absorb it)."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    base = logreg_newton_lang(spark, sf_dir).toPandas()
+    split = logreg_newton_lang(spark, str(tmp_path)).toPandas()
+    assert base.equals(split)
+
+
 if __name__ == "__main__":
     import sys
 

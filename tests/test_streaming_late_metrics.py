@@ -171,6 +171,24 @@ def test_drops_are_nontrivial_and_bounded(spark, sf_dir):
         assert 0 <= r.n_late_dropped < r.n_input
 
 
+def test_split_invariance(spark, sf_dir, tmp_path):
+    """A 4-file shuffled re-write of events must reproduce the metrics
+    exactly: batch membership is data-derived (tercile + straggler
+    arithmetic), the landing files are re-built per run, and the drop
+    count is per-window post-merge — nothing may depend on the source
+    table's physical layout. Also exercises the staged query's catalog
+    read against a DIRECTORY-layout table (the round-8 landing-dir bug
+    class)."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    base = streaming_late_data_metrics(spark, sf_dir).toPandas()
+    split = streaming_late_data_metrics(spark, str(tmp_path)).toPandas()
+    assert base.equals(split)
+
+
 if __name__ == "__main__":
     import sys
 

@@ -167,6 +167,9 @@ _MODULES = (
 #     block + STREAMING_LATE_METRICS_ORACLE
 #     (tests/test_streaming_late_metrics.py pins the engine's two-
 #     watermark lag, window-not-row drop counting, and ms-floor);
+#   streaming_late_sink_counts — same staged block +
+#     STREAMING_LATE_SINK_ORACLE: the sink side of the same run —
+#     multi-batch exactly-once window emission with drops in flight;
 #   logreg_newton_lang — queries/mlstats.py STAGED block +
 #     LOGREG_NEWTON_ORACLE (tests/test_logreg_staged.py: closed-form
 #     optimum pin + round(,6) boundary-margin audit).

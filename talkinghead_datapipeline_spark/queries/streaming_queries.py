@@ -709,6 +709,21 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_hourly_event_counts; the returned frame is
     O(micro-batches), not O(rows).
     """
+    metrics, _sink = _staged_late_run(spark, sf_dir)
+    # Batches 0..2 are the three landing files (one per trigger); the
+    # trailing no-data batch (state eviction pass) is engine bookkeeping,
+    # not an arrival, so it is excluded from the arrival metrics.
+    rows = [(b, n, d) for b, n, d in metrics if b <= 2]
+    return spark.createDataFrame(
+        rows, "batch_seq bigint, n_input bigint, n_late_dropped bigint"
+    )
+
+
+def _staged_late_run(spark: SparkSession, sf_dir: str):
+    """Shared machinery for the two staged late-data queries: stage events
+    as the deterministic 3-file straggler landing dir, run the watermarked
+    1h tumbling count through the streaming engine, and return
+    (per-batch metrics, sink path)."""
     import shutil
 
     from talkinghead_datapipeline_spark.catalog import load_table
@@ -761,19 +776,88 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("win.start").alias("window_start"), "n_events")
         )
 
+    sink = os.path.join(work, "sink")
     metrics = run_available_now_with_metrics(
         spark,
         source_dir=src,
         schema="ts timestamp",
         transform=transform,
-        sink_path=os.path.join(work, "sink"),
+        sink_path=sink,
         checkpoint_dir=os.path.join(work, "ckpt"),
         max_files_per_trigger=1,
     )
-    # Batches 0..2 are the three landing files (one per trigger); the
-    # trailing no-data batch (state eviction pass) is engine bookkeeping,
-    # not an arrival, so it is excluded from the arrival metrics.
-    rows = [(b, n, d) for b, n, d in metrics if b <= 2]
-    return spark.createDataFrame(
-        rows, "batch_seq bigint, n_input bigint, n_late_dropped bigint"
+    return metrics, sink
+
+
+# Sink-side oracle for the same 3-batch straggler run: which windows the
+# append-mode aggregation EMITS, and with which counts, when late merged
+# rows were dropped along the way.
+#
+# Two consequences of the pinned two-watermark contract make this exact:
+# (1) a row accepted in batch k has window end > lagged_wm(k) =
+#     current_wm(k-1), and eviction through the end of batch k-1 removed
+#     only windows with end <= current_wm(k-1) — so an accepted row can
+#     never target an already-evicted window, and append mode emits every
+#     window AT MOST ONCE (no duplicate keys in the sink) even with late
+#     data in flight;
+# (2) a window's emitted count is therefore the rows whose OWN batch kept
+#     them: row contributes iff win_end > lagged_wm(batch(row)).
+# The final no-data batch advances the watermark to max(all) - delay and
+# emits every window with end <= it.
+STREAMING_LATE_SINK_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id FROM events
+),
+bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+b AS (
+  SELECT us,
+         least(2, least(2, ((us - t0) * 3) // (t1 - t0))
+                  + CASE WHEN user_id % 10 = 7 THEN 2 ELSE 0 END) AS batch,
+         (us // 3600000000) * 3600000000 AS win_start_us
+  FROM e, bounds
+),
+mx AS (SELECT batch, max(us) AS mx_us FROM b GROUP BY 1),
+pw AS (
+  SELECT batch + 2 AS tgt,
+         max(mx_us) OVER (ORDER BY batch
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1800000000 AS wm_us
+  FROM mx
+),
+final_wm AS (SELECT max(us) - 1800000000 AS w FROM e),
+kept AS (
+  SELECT b.win_start_us
+  FROM b LEFT JOIN pw ON b.batch = pw.tgt
+  WHERE pw.wm_us IS NULL OR b.win_start_us + 3600000000 > pw.wm_us
+)
+SELECT make_timestamp(win_start_us) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM kept, final_wm
+WHERE win_start_us + 3600000000 <= final_wm.w
+GROUP BY 1
+"""
+
+
+def streaming_late_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINK side of the staged late-data run: the windows the
+    append-mode aggregation emitted across the 3-batch straggler arrival,
+    certified against a SQL replay of acceptance + eviction.
+
+    What this certifies beyond streaming_hourly_event_counts (single
+    conceptual batch, no drops): multi-micro-batch EXACTLY-ONCE window
+    emission while late data is being dropped mid-stream — each window
+    appears at most once in the sink (consequence (1) above: the filter's
+    one-batch lag makes resurrecting an evicted window impossible), and
+    its count excludes exactly the rows whose merged partials were
+    dropped. A duplicated window key, a double-counted late row, or an
+    early/late emission all break the value hash.
+
+    Scale shape: identical to the hourly rollup — watermark-bounded state,
+    one shuffle onto the window key; the sink is what a downstream
+    consumer actually reads, so this is the end-to-end artifact of the
+    late-data story.
+    """
+    _metrics, sink = _staged_late_run(spark, sf_dir)
+    return spark.read.parquet(sink).select(
+        "window_start", F.col("n_events").cast("bigint").alias("n_events")
     )

@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 from talkinghead_datapipeline_spark.queries.streaming_queries import (
     STREAMING_LATE_METRICS_ORACLE,
+    STREAMING_LATE_SINK_ORACLE,
     streaming_late_data_metrics,
+    streaming_late_sink_counts,
 )
 from talkinghead_datapipeline_spark.streaming.incremental import (
     run_available_now_with_metrics,
@@ -154,6 +156,29 @@ def test_staged_oracle_matches(spark, sf_dir):
         STREAMING_LATE_METRICS_ORACLE,
     )
     assert res.ok, res.mismatches
+
+
+def test_staged_sink_oracle_matches(spark, sf_dir):
+    """Exactly-once window emission with drops in flight: the sink frame
+    (every emitted window + its post-drop count) must equal the SQL
+    replay of acceptance + eviction. Duplicate window keys, resurrection
+    of an evicted window, or a miscounted late row all fail here."""
+    res = run_compare(
+        spark,
+        sf_dir,
+        "streaming_late_sink_counts",
+        streaming_late_sink_counts,
+        STREAMING_LATE_SINK_ORACLE,
+    )
+    assert res.ok, res.mismatches
+
+
+def test_sink_window_keys_unique(spark, sf_dir):
+    """The no-duplicate-emission consequence, asserted directly on the
+    engine output (belt to the oracle's braces)."""
+    pdf = streaming_late_sink_counts(spark, sf_dir).toPandas()
+    assert pdf["window_start"].is_unique
+    assert len(pdf) > 0
 
 
 def test_drops_are_nontrivial_and_bounded(spark, sf_dir):

@@ -172,7 +172,10 @@ _MODULES = (
 #     multi-batch exactly-once window emission with drops in flight;
 #   logreg_newton_lang — queries/mlstats.py STAGED block +
 #     LOGREG_NEWTON_ORACLE (tests/test_logreg_staged.py: closed-form
-#     optimum pin + round(,6) boundary-margin audit).
+#     optimum pin + round(,6) boundary-margin audit);
+#   doc_chunk_overlap — queries/textops.py STAGED block +
+#     DOC_CHUNK_ORACLE (tests/test_chunking_staged.py: reassembly,
+#     grid algebra, map-only plan pin, split invariance).
 _DRIVER_PRIORITY = (
     # --- 1. round-7 changed-code canaries (12) ---
     "flagship_segment_leaders",  # integer-cents template; last green r4

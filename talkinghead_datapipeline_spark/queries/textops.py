@@ -1726,3 +1726,74 @@ def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_sub"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
+# Implemented + oracle-verified now (tests/test_chunking_staged.py); r9
+# flips it to @register("doc_chunk_overlap", oracle=DOC_CHUNK_ORACLE, ...)
+# when rotation seats free up.
+# ---------------------------------------------------------------------------
+
+# Chunk grid: 200-char windows, stride 150 (50-char overlap) — the standard
+# RAG / context-packing shape. A document emits chunks at starts
+# 1, 151, 301, ... while start <= n_chars, i.e. ceil(n_chars/150) chunks,
+# the last one short. Both engines' substr()/substring() are 1-based and
+# CODE-POINT counted (verified on multilingual fixtures: DuckDB
+# substr('héllo 世界…') == Spark), and n_chars == length(text) holds across
+# every fixture lang, so the grid and the emitted text are exact equals.
+DOC_CHUNK_ORACLE = """
+SELECT d.doc_id,
+       k.k AS chunk_id,
+       CAST(1 + 150 * k.k AS BIGINT) AS chunk_start,
+       CAST(length(substr(d.text, CAST(1 + 150 * k.k AS INTEGER), 200))
+            AS BIGINT) AS chunk_len,
+       substr(d.text, CAST(1 + 150 * k.k AS INTEGER), 200) AS chunk_text
+FROM documents d
+JOIN LATERAL (
+  SELECT unnest(generate_series(0, CAST((d.n_chars - 1) // 150 AS BIGINT)))
+         AS k
+) k ON TRUE
+WHERE d.n_chars > 0
+"""
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (200-char windows, stride 150) — the
+    retrieval/context-packing preprocessing pass, emitted WITH the chunk
+    text so the certification covers the substring extraction itself, not
+    just the grid arithmetic.
+
+    Scale shape: map-only — sequence + explode + substring inside one
+    whole-stage-codegen projection, ZERO shuffles; output size is
+    input/150 × overlap factor, produced streaming per input split. At
+    100 TB this is the canonical "cheap pass": no state, no exchange,
+    partition-parallel, and column pruning reaches the scan (doc_id,
+    text, n_chars only).
+
+    Determinism: the chunk grid is integer arithmetic on n_chars
+    (== length(text) on every fixture, both engines code-point counted);
+    see DOC_CHUNK_ORACLE's contract note.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    k = F.col("k")
+    start = (F.lit(1) + F.lit(150) * k).cast("int")
+    chunk = F.expr("substring(text, 1 + 150 * k, 200)")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            # exact BIGINT `div`, never `/`: double division's correct
+            # rounding can bump a near-integer quotient across the floor
+            F.explode(
+                F.sequence(F.lit(0), F.expr("(n_chars - 1) div 150"))
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            k.alias("chunk_id"),
+            start.cast("bigint").alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            chunk.alias("chunk_text"),
+        )
+    )

@@ -158,10 +158,12 @@ _MODULES = (
 # q19_disjunctive_revenue, q22_dormant_rich_customers, plus the
 # o_totalprice/c_acctbal sites in dataprep.py:497, stats_tests.py:475,
 # timeseries.py:369 — then r5-era oldest-first; after r9 no key's latest
-# green row predates r5 (VERDICT r7 #5).
+# green row predates r5 (VERDICT r7 #5). All 38 planned r9 keys (31
+# r4-era + 7 money q-class, pre-migration) preflighted green at sf0.01
+# on 2026-08-15 (tools/preflight_window.py --only ..., 38/38).
 #
 # r9 NEW REGISTRATIONS (up to spare seats only, per the freeze policy),
-# both implemented + oracle-verified at sf0.001/0.01/0.1 in r8; each
+# all four implemented + oracle-verified at sf0.001/0.01/0.1 in r8; each
 # registration is moving the @register decorator onto the staged function:
 #   streaming_late_data_metrics — queries/streaming_queries.py STAGED
 #     block + STREAMING_LATE_METRICS_ORACLE

@@ -177,7 +177,12 @@ _MODULES = (
 #     optimum pin + round(,6) boundary-margin audit);
 #   doc_chunk_overlap — queries/textops.py STAGED block +
 #     DOC_CHUNK_ORACLE (tests/test_chunking_staged.py: reassembly,
-#     grid algebra, map-only plan pin, split invariance).
+#     grid algebra, map-only plan pin, split invariance);
+#   winsorized_bounds_sketch_certified — queries/dataprep.py STAGED
+#     block + WINSORIZED_SKETCH_ORACLE: per-group GK-sketch rank
+#     contract, the at-scale half of the winsorized adjudication
+#     (tests/test_winsorized_sketch_staged.py includes a falsifiability
+#     check — a deliberately broken bound flags 0).
 _DRIVER_PRIORITY = (
     # --- 1. round-7 changed-code canaries (12) ---
     "flagship_segment_leaders",  # integer-cents template; last green r4

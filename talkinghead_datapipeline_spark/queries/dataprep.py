@@ -949,3 +949,87 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_leaked").cast("bigint").alias("n_leaked_sources"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
+# Implemented + oracle-verified now (tests/test_winsorized_sketch_staged.py);
+# r9 flips it to @register("winsorized_bounds_sketch_certified",
+# oracle=WINSORIZED_SKETCH_ORACLE, ...) when rotation seats free up.
+# ---------------------------------------------------------------------------
+
+WINSORIZED_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.01), 2) AS p01_exact,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+       CAST(1 AS BIGINT) AS lo_within_bounds,
+       CAST(1 AS BIGINT) AS hi_within_bounds
+FROM lineitem GROUP BY 1
+"""
+
+_WS_ACCURACY = 10_000
+
+
+def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP certified sketch bounds — the at-scale half of the
+    winsorization adjudication, closed.
+
+    winsorized_price_stats (above) keeps EXACT per-group p01/p99 as its
+    certified demo semantics; its docstring names percentile_approx as the
+    at-scale variant because a total per-group sort is not an option at
+    100 TB. This query makes that variant trustworthy: per l_returnflag it
+    computes the GK-sketch bounds (accuracy=10000) AND their exact
+    counterparts in one grouped aggregate, then a second broadcast-joined
+    pass counts each sketch value's true rank window [#(x < v)+1, #(x <= v)]
+    and checks it intersects [(p-eps)·n, (p+eps)·n], eps = 1/accuracy —
+    percentile_approx's documented contract, now checked per group. The
+    oracle pins the exact quantiles and asserts the flags are literal 1,
+    so a contract violation in ANY group hash-mismatches at the driver
+    (the same certified-sketch scheme as approx_quantiles_certified,
+    grouped).
+
+    Scale shape: pass 1 is one grouped agg (the exact percentile exists
+    only to certify — the production winsorize path computes the sketch
+    alone); pass 2 is map-side against the broadcast group-count-sized
+    bounds with a same-key grouped count. Nothing exceeds one shuffle on
+    the 3-value group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    qs = F.array(F.lit(0.01), F.lit(0.99))
+    stats = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, F.lit(_WS_ACCURACY)).alias("ap"),
+        F.percentile("l_extendedprice", qs).alias("ex"),
+        F.count("l_extendedprice").cast("double").alias("n"),
+    )
+    eps = 1.0 / _WS_ACCURACY
+    lo, hi = F.element_at("ap", 1), F.element_at("ap", 2)
+    ranked = (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("ex").alias("ex"),
+            F.sum((F.col("l_extendedprice") < lo).cast("double")).alias("lt_lo"),
+            F.sum((F.col("l_extendedprice") <= lo).cast("double")).alias("le_lo"),
+            F.sum((F.col("l_extendedprice") < hi).cast("double")).alias("lt_hi"),
+            F.sum((F.col("l_extendedprice") <= hi).cast("double")).alias("le_hi"),
+        )
+    )
+
+    def within(lt: str, le: str, p: float):
+        return (
+            (F.col(lt) < (F.lit(p) + F.lit(eps)) * F.col("n"))
+            & (F.col(le) >= (F.lit(p) - F.lit(eps)) * F.col("n"))
+        ).cast("bigint")
+
+    return ranked.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.element_at("ex", 1), 2).alias("p01_exact"),
+        F.round(F.element_at("ex", 2), 2).alias("p99_exact"),
+        within("lt_lo", "le_lo", 0.01).alias("lo_within_bounds"),
+        within("lt_hi", "le_hi", 0.99).alias("hi_within_bounds"),
+    )

@@ -182,7 +182,12 @@ _MODULES = (
 #     block + WINSORIZED_SKETCH_ORACLE: per-group GK-sketch rank
 #     contract, the at-scale half of the winsorized adjudication
 #     (tests/test_winsorized_sketch_staged.py includes a falsifiability
-#     check — a deliberately broken bound flags 0).
+#     check — a deliberately broken bound flags 0);
+#   bootstrap_ci_order_value — queries/mlstats.py STAGED block +
+#     BOOTSTRAP_CI_ORACLE: Poisson-bootstrap CI, hash-driven integer
+#     weights + BIGINT cent sums so the resampling is EXACT (bit-equal
+#     under any layout), x32 map-side fan-out, one (group, replicate)
+#     agg (tests/test_bootstrap_staged.py).
 _DRIVER_PRIORITY = (
     # --- 1. round-7 changed-code canaries (12) ---
     "flagship_segment_leaders",  # integer-cents template; last green r4

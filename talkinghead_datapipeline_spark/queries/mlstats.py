@@ -432,3 +432,140 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("beta1", 6).alias("beta1"),
         "n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
+# Implemented + oracle-verified now (tests/test_bootstrap_staged.py); r9
+# flips it to @register("bootstrap_ci_order_value",
+# oracle=BOOTSTRAP_CI_ORACLE, ...) when rotation seats free up.
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), written as exact
+# 17-digit double literals so both engines parse the SAME constants — they
+# DEFINE the deterministic weight function, they are not approximations of
+# anything the engines must agree on independently.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_BOOT_B = 32
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    + " ELSE 6 END"
+)
+
+BOOTSTRAP_CI_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rep AS (
+  SELECT o.*, b.b
+  FROM o, (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+),
+w AS (
+  SELECT o_orderpriority, b, cents, {_POIS_CASE_SQL} AS wgt
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5('boot|' || CAST(b AS VARCHAR) || '|'
+                               || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM rep
+  )
+),
+means AS (
+  SELECT o_orderpriority, b,
+         CAST(sum(wgt * cents) AS DOUBLE) / (100.0 * sum(wgt)) AS m
+  FROM w GROUP BY 1, 2
+),
+base AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6)
+           AS mean_price
+  FROM o GROUP BY 1
+)
+SELECT base.o_orderpriority, n_orders, mean_price,
+       round(q.q_lo, 6) AS ci_lo,
+       round(q.q_hi, 6) AS ci_hi
+FROM base JOIN (
+  SELECT o_orderpriority,
+         quantile_cont(m, 0.025) AS q_lo, quantile_cont(m, 0.975) AS q_hi
+  FROM means GROUP BY 1
+) q ON base.o_orderpriority = q.o_orderpriority
+"""
+
+
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval of mean order value per
+    priority — the standard one-pass distributed resampling estimator
+    (classical bootstrap resamples n-of-n WITH replacement, impossible to
+    coordinate across partitions; Poissonized weights w ~ Poisson(1) per
+    (row, replicate) approximate it embarrassingly parallel).
+
+    Determinism (fully EXACT, no margin argument needed): replicate
+    weights come from the portable md5-prefix hash of (replicate, order
+    key) through fixed Poisson(1) CDF literals; weighted sums accumulate
+    BIGINT integer cents (o_totalprice is 2-decimal money), so every
+    replicate mean is a single correctly-rounded division of exact
+    integers — bit-identical on both engines under any layout — and the
+    CI percentiles interpolate over that identical 32-value multiset.
+
+    Scale shape: a x32 map-side fan-out (sequence + explode, no shuffle)
+    into ONE grouped aggregation on (priority, replicate) — 5x32 = 160
+    partial rows — then a 5-row percentile. The fan-out multiplies rows
+    read, not shuffled bytes (the agg is map-side combinable down to 160
+    rows per partition); B tunes cost vs CI resolution.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+
+    u = portable_hash32(
+        F.concat(
+            F.lit("boot|"),
+            F.col("b").cast("string"),
+            F.lit("|"),
+            F.col("o_orderkey").cast("string"),
+        )
+    ) / F.lit(4294967296.0)
+    wgt = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wgt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
+    means = (
+        rep.withColumn("wgt", wgt.cast("bigint"))
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            (
+                F.sum(F.col("wgt") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("wgt").cast("double"))
+            ).alias("m")
+        )
+    )
+    ci = means.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("cents").cast("double") / (F.lit(100.0) * F.count(F.lit(1))), 6
+        ).alias("mean_price"),
+    )
+    return base.join(F.broadcast(ci), "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "mean_price", "ci_lo", "ci_hi"
+    )

@@ -23,12 +23,27 @@ import os
 from pyspark.sql import DataFrame
 
 
+#: Columnar formats this runtime serves natively (no extra packages):
+#: parquet is the default sink everywhere; ORC is the interchange format
+#: for Hive/Trino-centric consumers — same pruning, pushdown, and
+#: partitioned-layout behavior through the identical DataSource API.
+COLUMNAR_FORMATS = ("parquet", "orc")
+
+
 def write_partitioned(
-    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    """Partitioned parquet sink — partition values become directory keys,
-    so downstream filters on them are pruned at file-listing time."""
-    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    """Partitioned columnar sink — partition values become directory keys,
+    so downstream filters on them are pruned at file-listing time. ``fmt``
+    selects the container (parquet default, orc for Hive/Trino-side
+    consumers); layout and pruning semantics are identical."""
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(f"fmt must be one of {COLUMNAR_FORMATS}, got {fmt!r}")
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
 
 
 def write_bucketed(

@@ -24,6 +24,32 @@ def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan or "o_orderstatus" in plan
 
 
+def test_write_partitioned_orc_roundtrip_and_prunes(spark, sf_dir, tmp_path):
+    """ORC through the same partitioned sink: exact frame round-trip (the
+    interchange format for Hive/Trino consumers) with the same
+    directory-key pruning and predicate pushdown as parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    sinks.write_partitioned(orders, path, ["o_orderstatus"], fmt="orc")
+    back = spark.read.orc(path)
+    cols = sorted(orders.columns)
+    a = orders.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    b = back.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)  # exact round-trip, types included
+    pruned = back.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_write_partitioned_rejects_unknown_format(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="fmt must be one of"):
+        sinks.write_partitioned(orders, str(tmp_path / "x"), ["o_orderstatus"], fmt="avro")
+
+
 def test_write_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     # Managed tables land in the session's default warehouse (static conf);
     # DROP TABLE in the finally removes the files.

@@ -196,6 +196,52 @@ def test_drops_are_nontrivial_and_bounded(spark, sf_dir):
         assert 0 <= r.n_late_dropped < r.n_input
 
 
+def test_lag_model_is_observable_not_vacuous(spark, sf_dir):
+    """The one-batch-lag contract must be DISCRIMINATED by the fixture,
+    not merely consistent with it: a zero-lag model (filter uses the
+    current watermark, max over batches <= k-1) predicts strictly more
+    batch-2 drops on the real events data (59 vs 33 at sf0.001, 362 vs
+    178 at sf0.01). If this assertion ever fails, the fixture stopped
+    exercising the lag and the oracle's main pin is no longer evidenced
+    end-to-end."""
+    import duckdb
+
+    from talkinghead_datapipeline_spark.catalog import table_path
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % table_path(sf_dir, "events")
+    )
+    lag1, lag0 = con.execute(
+        """
+        WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+        b AS (
+          SELECT us,
+                 least(2, least(2, ((us - t0) * 3) // (t1 - t0))
+                          + CASE WHEN user_id % 10 = 7 THEN 2 ELSE 0 END)
+                   AS batch,
+                 (us // 3600000000) * 3600000000 + 3600000000 AS win_end_us
+          FROM e, bounds
+        )
+        SELECT
+          (SELECT count(DISTINCT win_end_us) FROM b
+            WHERE batch = 2 AND win_end_us <=
+              (SELECT max(us) FROM b WHERE batch <= 0) - 1800000000),
+          (SELECT count(DISTINCT win_end_us) FROM b
+            WHERE batch = 2 AND win_end_us <=
+              (SELECT max(us) FROM b WHERE batch <= 1) - 1800000000)
+        """
+    ).fetchone()
+    assert lag0 > lag1 > 0
+    engine = {
+        r.batch_seq: r.n_late_dropped
+        for r in streaming_late_data_metrics(spark, sf_dir).collect()
+    }
+    assert engine[2] == lag1  # the engine matches the LAGGED model only
+
+
 def test_split_invariance(spark, sf_dir, tmp_path):
     """A 4-file shuffled re-write of events must reproduce the metrics
     exactly: batch membership is data-derived (tercile + straggler

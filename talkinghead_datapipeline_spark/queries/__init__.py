@@ -162,6 +162,16 @@ _MODULES = (
 # r4-era + 7 money q-class, pre-migration) preflighted green at sf0.01
 # on 2026-08-15 (tools/preflight_window.py --only ..., 38/38).
 #
+# r9 ALSO (new subclass found by the r8 staged-query margin audits):
+# winsorized_price_stats' round(p01/p99, 2) rounds a percentile whose
+# scaled double sits exactly ON a half-cent tie at sf0.01 (N-group p99 =
+# 104004.635) — green today only because this value's binary expansion
+# is above the tie so both engines' different .5 rules agree; migrate
+# its p01/p99 to floor-BIGINT-cents (the staged
+# winsorized_bounds_sketch_certified already uses that convention) WITH
+# an r9 seat. Audit any other percentile-of-money round(,2) output the
+# same way before certifying at a new SF.
+#
 # r9 NEW REGISTRATIONS (up to spare seats only, per the freeze policy),
 # all four implemented + oracle-verified at sf0.001/0.01/0.1 in r8; each
 # registration is moving the @register decorator onto the staged function:

@@ -961,8 +961,10 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINSORIZED_SKETCH_ORACLE = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(quantile_cont(l_extendedprice, 0.01), 2) AS p01_exact,
-       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+       CAST(floor(quantile_cont(l_extendedprice, 0.01) * 100.0) AS BIGINT)
+         AS p01_exact_cents,
+       CAST(floor(quantile_cont(l_extendedprice, 0.99) * 100.0) AS BIGINT)
+         AS p99_exact_cents,
        CAST(1 AS BIGINT) AS lo_within_bounds,
        CAST(1 AS BIGINT) AS hi_within_bounds
 FROM lineitem GROUP BY 1
@@ -1028,8 +1030,17 @@ def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> Data
     return ranked.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.round(F.element_at("ex", 1), 2).alias("p01_exact"),
-        F.round(F.element_at("ex", 2), 2).alias("p99_exact"),
+        # floor-to-BIGINT-cents, NOT round(,2): the r8 margin audit found
+        # the N-group p99 at sf0.01 sitting exactly ON a half-cent tie
+        # (104004.635) — Spark F.round and DuckDB round are different
+        # functions at .5 ties, so rounding bit-identical doubles is not
+        # enough; floor is the same function everywhere.
+        F.floor(F.element_at("ex", 1) * F.lit(100.0))
+        .cast("bigint")
+        .alias("p01_exact_cents"),
+        F.floor(F.element_at("ex", 2) * F.lit(100.0))
+        .cast("bigint")
+        .alias("p99_exact_cents"),
         within("lt_lo", "le_lo", 0.01).alias("lo_within_bounds"),
         within("lt_hi", "le_hi", 0.99).alias("hi_within_bounds"),
     )

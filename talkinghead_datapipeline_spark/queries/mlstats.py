@@ -398,7 +398,12 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the measured divergence-vs-margin budget.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        (F.col("lang") == "en").cast("double").alias("y"),
+        # when/otherwise, NOT (lang == 'en').cast: a NULL lang must map to
+        # y = 0.0 exactly like the oracle's CASE ELSE — a NULL y would be
+        # silently skipped by the gradient sums but not the x-only Hessian
+        # sums, computing the two over different row sets (latent: fixtures
+        # carry no NULL langs today, code-review r8 finding)
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         (F.col("n_chars") / 1000.0).alias("x"),
     )
     docs = docs.persist()
@@ -455,6 +460,27 @@ _POIS_CDF = (
 )
 _BOOT_B = 32
 
+def poisson_bootstrap_weight(b_col, key_col):
+    """Deterministic Poisson(1) weight for one (replicate, key) draw —
+    portable md5-prefix hash through the fixed CDF literals. Module-level
+    so the sanity test exercises the PRODUCTION expression rather than a
+    private re-implementation (code-review r8 finding)."""
+    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+
+    u = portable_hash32(
+        F.concat(
+            F.lit("boot|"),
+            b_col.cast("string"),
+            F.lit("|"),
+            key_col.cast("string"),
+        )
+    ) / F.lit(4294967296.0)
+    wgt = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wgt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
+    return wgt.cast("bigint")
+
+
 _POIS_CASE_SQL = (
     "CASE "
     + " ".join(
@@ -491,13 +517,13 @@ means AS (
 base AS (
   SELECT o_orderpriority,
          CAST(count(*) AS BIGINT) AS n_orders,
-         round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6)
-           AS mean_price
+         CAST(floor(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) * 1000000.0)
+              AS BIGINT) AS mean_price_micro
   FROM o GROUP BY 1
 )
-SELECT base.o_orderpriority, n_orders, mean_price,
-       round(q.q_lo, 6) AS ci_lo,
-       round(q.q_hi, 6) AS ci_hi
+SELECT base.o_orderpriority, n_orders, mean_price_micro,
+       CAST(floor(q.q_lo * 1000000.0) AS BIGINT) AS ci_lo_micro,
+       CAST(floor(q.q_hi * 1000000.0) AS BIGINT) AS ci_hi_micro
 FROM base JOIN (
   SELECT o_orderpriority,
          quantile_cont(m, 0.025) AS q_lo, quantile_cont(m, 0.975) AS q_hi
@@ -520,6 +546,9 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate mean is a single correctly-rounded division of exact
     integers — bit-identical on both engines under any layout — and the
     CI percentiles interpolate over that identical 32-value multiset.
+    Outputs are BIGINT micro-dollars via floor, not round(,6): identical
+    bits through the same function — see the inline note for the exact
+    .5-tie the margin audit caught.
 
     Scale shape: a x32 map-side fan-out (sequence + explode, no shuffle)
     into ONE grouped aggregation on (priority, replicate) — 5x32 = 160
@@ -533,21 +562,10 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
-    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
-
-    u = portable_hash32(
-        F.concat(
-            F.lit("boot|"),
-            F.col("b").cast("string"),
-            F.lit("|"),
-            F.col("o_orderkey").cast("string"),
-        )
-    ) / F.lit(4294967296.0)
-    wgt = F.lit(6)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wgt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
     means = (
-        rep.withColumn("wgt", wgt.cast("bigint"))
+        rep.withColumn(
+            "wgt", poisson_bootstrap_weight(F.col("b"), F.col("o_orderkey"))
+        )
         .groupBy("o_orderpriority", "b")
         .agg(
             (
@@ -556,16 +574,25 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
+    # BIGINT micro-dollars via floor(x * 1e6), NOT round(x, 6): the doubles
+    # are bit-identical on both engines, but Spark F.round and DuckDB round
+    # are DIFFERENT FUNCTIONS at exact .5 ties — and the r8 margin audit
+    # found a CI cell landing exactly ON a 1e-6 half boundary
+    # (263222.4119375 at sf0.001). floor is the same function everywhere,
+    # so identical input bits give identical integers, no margin argument.
+    def micro(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1000000.0)).cast("bigint")
+
     ci = means.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
-        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+        micro(F.percentile("m", F.lit(0.025))).alias("ci_lo_micro"),
+        micro(F.percentile("m", F.lit(0.975))).alias("ci_hi_micro"),
     )
     base = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(
-            F.sum("cents").cast("double") / (F.lit(100.0) * F.count(F.lit(1))), 6
-        ).alias("mean_price"),
+        micro(
+            F.sum("cents").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("mean_price_micro"),
     )
     return base.join(F.broadcast(ci), "o_orderpriority").select(
-        "o_orderpriority", "n_orders", "mean_price", "ci_lo", "ci_hi"
+        "o_orderpriority", "n_orders", "mean_price_micro", "ci_lo_micro", "ci_hi_micro"
     )

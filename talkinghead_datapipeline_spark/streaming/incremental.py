@@ -74,6 +74,34 @@ def incremental_append(
     return n
 
 
+def _start_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    checkpoint_dir: str,
+    output_mode: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Single point of stream assembly for the AvailableNow parquet→parquet
+    runners (plain + metrics variant) — a sink-option or trigger fix lands
+    in both. Returns the started query."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    return (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     source_dir: str,
@@ -85,17 +113,9 @@ def run_available_now(
 ) -> None:
     """Process all currently-available files through ``transform`` with
     exactly-once checkpointing, then stop (Trigger.AvailableNow)."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    query = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    _start_available_now(
+        spark, source_dir, schema, transform, sink_path, checkpoint_dir, output_mode
+    ).awaitTermination()
 
 
 def run_available_now_with_metrics(
@@ -158,18 +178,15 @@ def run_available_now_with_metrics(
     listener = _Capture()
     spark.streams.addListener(listener)
     try:
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.parquet(source_dir)
-        query = (
-            transform(stream)
-            .writeStream.outputMode(output_mode)
-            .format("parquet")
-            .option("path", sink_path)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        query = _start_available_now(
+            spark,
+            source_dir,
+            schema,
+            transform,
+            sink_path,
+            checkpoint_dir,
+            output_mode,
+            max_files_per_trigger,
         )
         qid = str(query.id)
         query.awaitTermination()

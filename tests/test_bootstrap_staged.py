@@ -7,9 +7,9 @@ from pyspark.sql import functions as F
 
 from talkinghead_datapipeline_spark.queries.mlstats import (
     _BOOT_B,
-    _POIS_CDF,
     BOOTSTRAP_CI_ORACLE,
     bootstrap_ci_order_value,
+    poisson_bootstrap_weight,
 )
 from tests.oracle_harness import run_compare
 
@@ -30,34 +30,36 @@ def test_ci_brackets_mean_and_is_ordered(spark, sf_dir):
     bootstrap CI must be a proper interval around (or at least ordered
     against) the point estimate, and narrow relative to the mean."""
     for r in bootstrap_ci_order_value(spark, sf_dir).collect():
-        assert r.ci_lo < r.ci_hi
-        assert r.ci_lo < r.mean_price < r.ci_hi
-        assert (r.ci_hi - r.ci_lo) < 0.5 * r.mean_price
+        assert r.ci_lo_micro < r.ci_hi_micro
+        assert r.ci_lo_micro < r.mean_price_micro < r.ci_hi_micro
+        assert (r.ci_hi_micro - r.ci_lo_micro) < 0.5 * r.mean_price_micro
 
 
 def test_poisson_weights_mean_one(spark, sf_dir):
     """The weight generator must actually behave like Poisson(1): mean
     weight within 2% of 1 over all (row, replicate) draws — a corrupted
     CDF table or hash scaling would show up here long before it skewed a
-    CI enough to notice."""
+    CI enough to notice. Exercises the PRODUCTION expression
+    (poisson_bootstrap_weight), not a private copy."""
     from talkinghead_datapipeline_spark.catalog import load_table
-    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
-    u = portable_hash32(
-        F.concat(
-            F.lit("boot|"),
-            F.col("b").cast("string"),
-            F.lit("|"),
-            F.col("o_orderkey").cast("string"),
-        )
-    ) / F.lit(4294967296.0)
-    wgt = F.lit(6)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wgt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
-    mean_w = rep.select(wgt.alias("w")).agg(F.avg("w")).first()[0]
+    w = poisson_bootstrap_weight(F.col("b"), F.col("o_orderkey"))
+    mean_w = rep.select(w.alias("w")).agg(F.avg("w")).first()[0]
     assert abs(mean_w - 1.0) < 0.02
+
+
+def test_outputs_are_exact_integers_not_rounded_doubles(spark, sf_dir):
+    """Regression pin for the boundary tie the r8 margin audit caught: a
+    CI value landed exactly ON a 1e-6 half boundary (263222.4119375 at
+    sf0.001), where Spark F.round and DuckDB round — DIFFERENT functions
+    at .5 ties — may disagree even on bit-identical doubles. The fix is
+    floor-to-BIGINT-micros (same function everywhere); this test pins the
+    integer dtypes so a refactor back to round(,6) doubles fails loudly."""
+    schema = dict(bootstrap_ci_order_value(spark, sf_dir).dtypes)
+    for c in ("mean_price_micro", "ci_lo_micro", "ci_hi_micro", "n_orders"):
+        assert schema[c] == "bigint", (c, schema[c])
 
 
 def test_split_invariance(spark, sf_dir, tmp_path):

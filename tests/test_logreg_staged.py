@@ -72,6 +72,9 @@ def test_boundary_margins_comfortable(spark, sf_dir):
     raw_sql = LOGREG_NEWTON_ORACLE.replace(
         "round(b0, 6) AS beta0, round(b1, 6) AS beta1", "b0 AS beta0, b1 AS beta1"
     )
+    # replace() must not silently no-op (a reworded SELECT would leave the
+    # rounded query in place and this audit would pass vacuously)
+    assert raw_sql != LOGREG_NEWTON_ORACLE
     b0, b1, _ = con.execute(raw_sql).fetchone()
     for v in (b0, b1):
         scaled = abs(v) * 1e6

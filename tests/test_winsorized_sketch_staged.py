@@ -74,6 +74,22 @@ def test_plan_broadcasts_bounds(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_outputs_are_exact_integers_not_rounded_doubles(spark, sf_dir):
+    """Regression pin for the half-cent tie the r8 margin audit caught:
+    the N group's p99 at sf0.01 is 104004.635 — the scaled double lands
+    exactly ON the rounding boundary, where Spark F.round and DuckDB
+    round (different functions at .5 ties) only agree by the accident of
+    this value's binary expansion sitting above the tie. The staged query
+    therefore emits floor-to-BIGINT cents; this pins the integer dtypes
+    so a refactor back to round(,2) doubles fails loudly. (The REGISTERED
+    winsorized_price_stats still rounds these same percentiles — queued
+    for an r9 seat, see the rotation comment.)"""
+    schema = dict(winsorized_bounds_sketch_certified(spark, sf_dir).dtypes)
+    for c in ("p01_exact_cents", "p99_exact_cents", "n_rows",
+              "lo_within_bounds", "hi_within_bounds"):
+        assert schema[c] == "bigint", (c, schema[c])
+
+
 def test_split_invariance(spark, sf_dir, tmp_path):
     """The sketch itself may vary with merge order in principle, but the
     OUTPUT may not: exact quantiles are order-free and the flags must be

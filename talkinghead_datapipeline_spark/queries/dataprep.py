@@ -494,7 +494,8 @@ def table_integrity_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_rows,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
     FROM ranked GROUP BY decile
     """,
     tags=("profiling", "window", "histogram"),
@@ -506,7 +507,12 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Scale note: a global ntile implies a total sort; the
     production form samples boundaries (Spark's RangePartitioner does
     exactly this) and bins map-side — this query certifies the exact
-    boundary semantics the sampled form approximates."""
+    boundary semantics the sampled form approximates.
+
+    Integer-cents total (round-9 money migration): the per-decile sum
+    accumulates exact BIGINT cents (layout-invariant); lo/hi stay
+    round(min/max, 2) — order-insensitive single values of 2-decimal
+    money, which cannot sit on a 3rd-decimal .5 tie."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -516,7 +522,11 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("total"),
         )
     )
 
@@ -717,8 +727,8 @@ def source_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clipped_lo,
            CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_hi,
-           round(min(b.lo), 2) AS p01,
-           round(min(b.hi), 2) AS p99,
+           CAST(floor(min(b.lo) * 100.0) AS BIGINT) AS p01_cents,
+           CAST(floor(min(b.hi) * 100.0) AS BIGINT) AS p99_cents,
            round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
              AS winsorized_mean
     FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
@@ -770,8 +780,19 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") > F.col("hi")).cast("bigint")).alias(
                 "n_clipped_hi"
             ),
-            F.round(F.min("lo"), 2).alias("p01"),
-            F.round(F.min("hi"), 2).alias("p99"),
+            # floor-to-BIGINT-cents, NOT round(,2) (round-9 migration): the
+            # r8 margin audit found this query's N-group p99 at sf0.01
+            # sitting exactly ON a half-cent tie (104004.635) — green only
+            # because that double's binary expansion falls above the tie.
+            # The percentile doubles are bit-identical cross-engine, and
+            # floor is the same function everywhere (the convention the
+            # staged winsorized_bounds_sketch_certified already uses).
+            F.floor(F.min("lo") * F.lit(100.0)).cast("bigint").alias(
+                "p01_cents"
+            ),
+            F.floor(F.min("hi") * F.lit(100.0)).cast("bigint").alias(
+                "p99_cents"
+            ),
             F.round(F.avg(clipped), 4).alias("winsorized_mean"),
         )
     )

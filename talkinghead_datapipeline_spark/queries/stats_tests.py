@@ -472,13 +472,15 @@ def bayes_smoothed_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOM_ORACLE = """
     WITH monthly AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             round(sum(o_totalprice), 2) AS revenue
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY month
     )
-    SELECT month, revenue,
-           round((revenue - lag(revenue) OVER (ORDER BY month))
-                 / nullif(lag(revenue) OVER (ORDER BY month), 0), 6)
-             AS mom_growth
+    SELECT month,
+           round(cents / 100.0, 2) AS revenue,
+           CAST(floor(1000000.0
+                      * (cents - lag(cents) OVER (ORDER BY month))
+                      / nullif(lag(cents) OVER (ORDER BY month), 0))
+                AS BIGINT) AS mom_growth_ppm
     FROM monthly
 """
 
@@ -494,21 +496,33 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     months are try_divide-guarded). The dashboard query behind every
     growth chart.
 
-    Determinism: the growth ratio divides CENT-ROUNDED monthly totals, so
-    per-month double-sum accumulation order cannot reach the ratio.
+    Integer-cents migration (round-9): monthly totals accumulate exact
+    BIGINT cents (the old round(sum(double), 2) was layout-dependent at
+    the cent boundary), and the growth rate is floor-to-BIGINT ppm of one
+    double division of exact integer cents — bit-identical cross-engine,
+    where round(,6) of that bit-identical double is the .5-tie class
+    (SCALING.md round-8 late find).
 
     Scale: one month-keyed reduction (map-side partial), then a
     single-partition lag over the month-grain frame (driver-sized)."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
     w = W.orderBy("month")
-    prev = F.lag("revenue").over(w)
+    prev = F.lag("cents").over(w)
     return monthly.select(
         "month",
-        "revenue",
-        F.round(F.try_divide(F.col("revenue") - prev, prev), 6).alias(
-            "mom_growth"
-        ),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        F.floor(
+            F.try_divide(
+                F.lit(1000000.0) * (F.col("cents") - prev), prev
+            )
+        )
+        .cast("bigint")
+        .alias("mom_growth_ppm"),
     )

@@ -366,7 +366,8 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_below_avg_quantity",
     oracle="""
     SELECT p_brand,
-           round(sum(l_extendedprice), 2) AS small_lot_revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS small_lot_revenue,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -381,7 +382,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-lot revenue per brand: self-agg threshold join (Q17 shape).
     The per-part avg is an exact integer-sum average, so the `<` comparison
-    is order-independent across engines."""
+    is order-independent across engines. Integer-cents revenue (round-9
+    money migration): the per-brand sum accumulates exact BIGINT cents —
+    the /100.0-then-round(,2) display is tie-free because the true value
+    has exactly 2 decimals."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     thresholds = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
@@ -393,7 +397,11 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("small_lot_revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

@@ -72,7 +72,9 @@ def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) // 100) / 100.0
+             AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -84,8 +86,18 @@ def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: the canonical pushdown probe — every predicate reaches the
     parquet scan (min/max row-group pruning on l_shipdate), and the agg is
-    a partial-final sum with no grouping shuffle (single row out)."""
+    a partial-final sum with no grouping shuffle (single row out).
+
+    Integer-units revenue (round-9 money migration): price-cents x
+    discount-cents accumulate as exact BIGINT 1e-4-dollar units; the
+    display value is floor-to-cents dollars — `div 100` (truncation =
+    floor on this non-negative sum, identical in both engines) then one
+    exact /100.0 — because round(sum4/10000.0, 2) re-enters the
+    cross-engine .5-tie class whenever sum4 % 2500 == 1250 (ADVICE r8)."""
     li = load_table(spark, sf_dir, "lineitem")
+    units4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        F.col("l_discount") * 100
+    ).cast("bigint")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -94,10 +106,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(units4).alias("_sum4"))
+        .select(
+            (F.expr("_sum4 div 100") / F.lit(100.0)).alias("revenue")
         )
     )
 
@@ -191,31 +202,49 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_ratio",
     oracle="""
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    SELECT CAST(floor(
+             100000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN units4
+                               ELSE 0 END)
+                         / sum(units4)) AS BIGINT) AS promo_pct_ppm
+    FROM (
+      SELECT p_type,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units4
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    )
     """,
     tags=("join", "agg", "broadcast"),
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: ratio-of-sums over a broadcast dim join — part stays on the map
     side, so the month slice of lineitem is scanned exactly once with no
-    shuffle before the single-row agg."""
+    shuffle before the single-row agg.
+
+    Integer-units migration (round-9): both sums accumulate exact BIGINT
+    1e-4-dollar units, so the promo share is ONE double division of two
+    exact integers — bit-identical cross-engine under any layout — and the
+    output is floor-to-BIGINT micro-percent (ppm of the 0-100 scale)
+    rather than round(,6), which is a different function per engine at
+    exact .5 ties (SCALING.md round-8 late find)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     )
-    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    units4 = _rev_units()
+    promo4 = F.when(F.col("p_type") == "PROMO", units4).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 6).alias("promo_pct")
+            F.sum(promo4).alias("_promo4"),
+            F.sum(units4).alias("_tot4"),
+        )
+        .select(
+            F.floor(F.lit(100000000.0) * F.col("_promo4") / F.col("_tot4"))
+            .cast("bigint")
+            .alias("promo_pct_ppm")
         )
     )
 
@@ -271,7 +300,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100)
+           / 100.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -285,7 +316,11 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: OR-of-ANDs across both join sides. Catalyst factors the
     single-side conjuncts out of the disjunction (brand/size prune part
-    before the broadcast; quantity bounds prune the scan)."""
+    before the broadcast; quantity bounds prune the scan).
+
+    Integer-units revenue (round-9 money migration): exact BIGINT
+    1e-4-dollar accumulation, floor-to-cents display (`div 100` on a
+    non-negative sum) — not round(sum4/10000.0, 2), the .5-tie class."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
@@ -307,7 +342,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.sum(_rev_units()).alias("_rev4"))
+        .select((F.expr("_rev4 div 100") / F.lit(100.0)).alias("revenue"))
     )
 
 
@@ -315,13 +351,16 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
     )
     SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
     FROM customer, avg_bal
-    WHERE c_acctbal > ab
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -331,23 +370,32 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: scalar-subquery threshold (1-row broadcast cross join) +
-    NOT EXISTS → left-anti join against the recent-orders key set."""
+    NOT EXISTS → left-anti join against the recent-orders key set.
+
+    Integer-units migration (round-9): the `c_acctbal > avg(...)` boundary
+    was a double-sum average — accumulation-order-dependent, so a customer
+    sitting AT the threshold could flip membership with file layout. The
+    comparison is now exact integer algebra: cents * n > sum_cents
+    (equivalent for n > 0, no division at all), and the group total sums
+    BIGINT cents (the /100.0-then-round(,2) display is tie-free because
+    the true value has exactly 2 decimals)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("ab"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("_s"), F.count(F.lit(1)).alias("_n")
     )
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        cust.withColumn("_cents", cents)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("_cents") * F.col("_n") > F.col("_s"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("_cents") / F.lit(100.0), 2).alias("totacctbal"),
         )
         .select(
             F.col("c_nationkey").cast("bigint").alias("nationkey"),

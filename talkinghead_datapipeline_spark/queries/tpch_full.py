@@ -37,6 +37,18 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _rev_units():
+    """Revenue in exact BIGINT 1e-4-dollar units (money convention,
+    flagship template): price and discount are 2-decimal by construction,
+    so cents x (100 - discount-cents) is an exact associative integer —
+    convert to display dollars once after the sum (floor-to-cents, never
+    round(sum4/10000.0, 2): sum4 % 2500 == 1250 is an exactly-
+    representable cross-engine .5 tie — ADVICE r8)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+
+
 @register(
     "q2_min_cost_supplier",
     oracle="""
@@ -126,11 +138,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           (sum(volume4) // 100) / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume4
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -152,7 +166,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair filter cannot be pushed to either single join — it lands on
     the joined stream, which is why the two-nation pre-filter on each
     broadcast copy matters (only rows touching either nation survive the
-    dim joins at all)."""
+    dim joins at all).
+
+    Integer-units revenue (round-9 money migration): exact BIGINT
+    1e-4-dollar accumulation per (nation-pair, year) group, floor-to-cents
+    display — see _rev_units."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -180,7 +198,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.sum(_rev_units()).alias("_rev4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("_rev4 div 100") / F.lit(100.0)).alias("revenue"),
+        )
     )
 
 
@@ -188,11 +212,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(floor(1000000.0
+                      * sum(CASE WHEN nation = 'NATION_5' THEN volume4
+                            ELSE 0 END)
+                      / sum(volume4)) AS BIGINT) AS mkt_share_ppm
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume4,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -214,7 +241,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: one nation's share of regional revenue per year — a 7-relation
     join (the engine's widest relational query) where every dim broadcasts
     and the two fact tables meet in a single shuffle; the share is a
-    conditional ratio-of-sums computed in the same aggregation pass."""
+    conditional ratio-of-sums computed in the same aggregation pass.
+
+    Integer-units migration (round-9): both sums are exact BIGINT
+    1e-4-dollar units, the share is ONE double division of exact integers
+    (bit-identical cross-engine), and the output is floor-to-BIGINT ppm —
+    round(,6) on a bit-identical-by-construction double is the
+    cross-engine .5-tie class (SCALING.md round-8 late find)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -229,7 +262,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("nation")
     )
-    vol = _rev()
+    vol4 = _rev_units()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -240,11 +273,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), supp.s_nationkey == F.col("_n2_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("nation") == "NATION_5", vol4).otherwise(F.lit(0))
+            ).alias("_n5_4"),
+            F.sum(vol4).alias("_tot4"),
+        )
+        .select(
+            "o_year",
+            F.floor(F.lit(1000000.0) * F.col("_n5_4") / F.col("_tot4"))
+            .cast("bigint")
+            .alias("mkt_share_ppm"),
         )
     )
 
@@ -252,12 +290,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT nation, o_year, sum(amount4) / 10000.0 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(p_retailprice * 100) AS BIGINT) * 10
+                 * CAST(round(l_quantity) AS BIGINT) AS amount4
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -274,13 +314,24 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply cost is absent, so cost is proxied as 10% of retail price per
     unit — the plan shape is unchanged: the part name filter prunes the
     broadcast dim, which then prunes the fact scan through the join; orders
-    joins on the already-reduced stream."""
+    joins on the already-reduced stream.
+
+    Integer-units migration (round-9): every term of the profit expression
+    is exact in BIGINT 1e-4-dollar units — revenue4 = cents x
+    (100 - disc_cents), cost4 = retail_cents x 10 x qty (0.1 dollars =
+    retail_cents x 10 units exactly; l_quantity is integral) — so the
+    per-group sum is exact and possibly NEGATIVE: display is one unrounded
+    /10000.0 (bit-identical cross-engine; `div`/floor differ on negatives
+    between engines, round(,4) is the .5-tie class — neither enters the
+    path)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    amount4 = _rev_units() - F.round(F.col("p_retailprice") * 100).cast(
+        "bigint"
+    ) * 10 * F.round(F.col("l_quantity")).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -290,7 +341,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg((F.sum(amount4) / F.lit(10000.0)).alias("sum_profit"))
     )
 
 
@@ -395,7 +446,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
       GROUP BY 1
     )
     SELECT supplier.s_suppkey, s_name,
-           round(rev4 / 10000.0, 2) AS total_revenue
+           (rev4 // 100) / 100.0 AS total_revenue
     FROM supplier JOIN revenue ON supplier.s_suppkey = revenue.s_suppkey
     WHERE rev4 = (SELECT max(rev4) FROM revenue)
     ORDER BY supplier.s_suppkey ASC
@@ -416,7 +467,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines now sum BIGINT 10^-4-dollar units (price-cents x
     (100 - discount-cents)): exact, associative, layout-invariant. The
     max-membership equality also rides the integer units, so argmax ties
-    are exact set equality rather than double coincidence."""
+    are exact set equality rather than double coincidence. Display is
+    floor-to-cents (`div 100` on the non-negative BIGINT, identical in
+    both engines), NOT round(rev4/10000.0, 2): rev4 % 2500 == 1250 is an
+    exactly-representable 2-decimal .5 tie where the engines' round
+    functions disagree (ADVICE r8) — the same tie class the staged r9
+    queries already avoid."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -437,7 +493,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("_rev4") / 10000.0, 2).alias("total_revenue"),
+            (F.expr("_rev4 div 100") / F.lit(100.0)).alias("total_revenue"),
         )
         .orderBy(F.asc("s_suppkey"))
     )

@@ -220,7 +220,8 @@ def test_revenue_mom_vs_python(spark, sf_dir):
     for row, (_, rev) in zip(got.itertuples(), monthly.items()):
         assert abs(row.revenue - rev) < 1e-6
         if prev is None:
-            assert pd.isna(row.mom_growth)
+            assert pd.isna(row.mom_growth_ppm)
         else:
-            assert abs(row.mom_growth - (rev - prev) / prev) < 1e-5
+            # floor-to-ppm of the cent-exact ratio (round-9 migration)
+            assert abs(row.mom_growth_ppm / 1e6 - (rev - prev) / prev) < 1e-5
         prev = rev

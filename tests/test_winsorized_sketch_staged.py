@@ -82,8 +82,8 @@ def test_outputs_are_exact_integers_not_rounded_doubles(spark, sf_dir):
     this value's binary expansion sitting above the tie. The staged query
     therefore emits floor-to-BIGINT cents; this pins the integer dtypes
     so a refactor back to round(,2) doubles fails loudly. (The REGISTERED
-    winsorized_price_stats still rounds these same percentiles — queued
-    for an r9 seat, see the rotation comment.)"""
+    winsorized_price_stats migrated to the same floor-cents convention in
+    round 9, with its re-seat.)"""
     schema = dict(winsorized_bounds_sketch_certified(spark, sf_dir).dtypes)
     for c in ("p01_exact_cents", "p99_exact_cents", "n_rows",
               "lo_within_bounds", "hi_within_bounds"):

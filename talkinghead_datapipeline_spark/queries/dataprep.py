@@ -973,10 +973,9 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
-# Implemented + oracle-verified now (tests/test_winsorized_sketch_staged.py);
-# r9 flips it to @register("winsorized_bounds_sketch_certified",
-# oracle=WINSORIZED_SKETCH_ORACLE, ...) when rotation seats free up.
+# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
+# freeze; tests/test_winsorized_sketch_staged.py includes the
+# falsifiability check — a deliberately broken bound flags 0).
 # ---------------------------------------------------------------------------
 
 WINSORIZED_SKETCH_ORACLE = """
@@ -994,6 +993,11 @@ FROM lineitem GROUP BY 1
 _WS_ACCURACY = 10_000
 
 
+@register(
+    "winsorized_bounds_sketch_certified",
+    oracle=WINSORIZED_SKETCH_ORACLE,
+    tags=("profiling", "percentile", "sketch", "certified"),
+)
 def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP certified sketch bounds — the at-scale half of the
     winsorization adjudication, closed.

@@ -318,10 +318,9 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
-# Implemented + oracle-verified now (tests/test_logreg_staged.py); r9 flips
-# it to @register("logreg_newton_lang", oracle=LOGREG_NEWTON_ORACLE, ...)
-# when rotation seats free up.
+# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
+# freeze; tests/test_logreg_staged.py pins the closed-form optimum and the
+# round(,6) boundary margins).
 # ---------------------------------------------------------------------------
 
 # Cross-engine float contract: every Newton update is the SAME IEEE-double
@@ -377,6 +376,11 @@ FROM i3
 """
 
 
+@register(
+    "logreg_newton_lang",
+    oracle=LOGREG_NEWTON_ORACLE,
+    tags=("mlstats", "iterative", "logreg", "agg"),
+)
 def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression trained IN the engine by 3 Newton-Raphson (IRLS)
     steps: P(lang = 'en' | n_chars), the distributed iterative-optimization
@@ -440,10 +444,9 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
-# Implemented + oracle-verified now (tests/test_bootstrap_staged.py); r9
-# flips it to @register("bootstrap_ci_order_value",
-# oracle=BOOTSTRAP_CI_ORACLE, ...) when rotation seats free up.
+# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
+# freeze; tests/test_bootstrap_staged.py pins weights, dtypes, split
+# invariance, and cross-engine quantile interpolation bits).
 # ---------------------------------------------------------------------------
 
 # Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), written as exact
@@ -532,6 +535,11 @@ FROM base JOIN (
 """
 
 
+@register(
+    "bootstrap_ci_order_value",
+    oracle=BOOTSTRAP_CI_ORACLE,
+    tags=("mlstats", "bootstrap", "sampling", "agg"),
+)
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval of mean order value per
     priority — the standard one-pass distributed resampling estimator

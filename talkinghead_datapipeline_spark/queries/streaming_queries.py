@@ -626,10 +626,9 @@ def streaming_purchase_view_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
-# Implemented + oracle-verified now (tests/test_streaming_late_metrics.py);
-# r9 flips it to @register("streaming_late_data_metrics", oracle=
-# STREAMING_LATE_METRICS_ORACLE, tags=...) when rotation seats free up.
+# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
+# freeze; tests/test_streaming_late_metrics.py pins the two-watermark lag,
+# window-not-row drop counting, and ms-floor semantics).
 # ---------------------------------------------------------------------------
 
 # Late-drop determinism contract (empirically pinned, 2026-08-15, by the
@@ -678,6 +677,11 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+@register(
+    "streaming_late_data_metrics",
+    oracle=STREAMING_LATE_METRICS_ORACLE,
+    tags=("streaming", "watermark", "late-data", "metrics"),
+)
 def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data observability: per-micro-batch input and
     dropped-by-watermark counts from the STREAMING ENGINE's own state
@@ -708,6 +712,11 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream). State is bounded by the watermark horizon exactly as in
     streaming_hourly_event_counts; the returned frame is
     O(micro-batches), not O(rows).
+
+    Engine-version coupling: the oracle replays the two-watermark lag
+    (late filter one batch behind eviction) pinned EMPIRICALLY against
+    Spark 3.x/4.x behavior in tests/test_streaming_late_metrics.py — a
+    Spark upgrade that changes the lag model fails those pins first.
     """
     metrics, _sink = _staged_late_run(spark, sf_dir)
     # Batches 0..2 are the three landing files (one per trigger); the
@@ -719,11 +728,36 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One streaming run serves BOTH late-data queries (ADVICE r8): the metrics
+# query discards the sink and the sink query discards the metrics, so
+# without memoization each correctness pass runs the full 3-batch job twice
+# and leaks two work dirs. Keyed on (session, sf_dir, shuffle-partitions,
+# AQE) so the invariance axes still trigger a genuine re-run; work dirs are
+# removed at interpreter exit.
+_LATE_RUN_CACHE: dict = {}
+
+
 def _staged_late_run(spark: SparkSession, sf_dir: str):
+    # Typed confs validate their default against the conf's type, so pass
+    # type-correct defaults (the values themselves only need to be stable
+    # within a session for the cache key to be sound).
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        spark.conf.get("spark.sql.adaptive.enabled", "true"),
+    )
+    if key not in _LATE_RUN_CACHE:
+        _LATE_RUN_CACHE[key] = _staged_late_run_uncached(spark, sf_dir)
+    return _LATE_RUN_CACHE[key]
+
+
+def _staged_late_run_uncached(spark: SparkSession, sf_dir: str):
     """Shared machinery for the two staged late-data queries: stage events
     as the deterministic 3-file straggler landing dir, run the watermarked
     1h tumbling count through the streaming engine, and return
     (per-batch metrics, sink path)."""
+    import atexit
     import shutil
 
     from talkinghead_datapipeline_spark.catalog import load_table
@@ -752,6 +786,7 @@ def _staged_late_run(spark: SparkSession, sf_dir: str):
     staged = ev.select(F.col("ts"), batch_col.alias("batch"))
 
     work = tempfile.mkdtemp(prefix="thdp_stream_late_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "src")
     os.makedirs(src)
     # One landing file per batch, mtime-ordered so the file source forms
@@ -838,6 +873,11 @@ GROUP BY 1
 """
 
 
+@register(
+    "streaming_late_sink_counts",
+    oracle=STREAMING_LATE_SINK_ORACLE,
+    tags=("streaming", "watermark", "late-data", "exactly-once"),
+)
 def streaming_late_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SINK side of the staged late-data run: the windows the
     append-mode aggregation emitted across the 3-batch straggler arrival,
@@ -856,6 +896,11 @@ def streaming_late_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle onto the window key; the sink is what a downstream
     consumer actually reads, so this is the end-to-end artifact of the
     late-data story.
+
+    Engine-version coupling: consequences (1)-(2) above derive from the
+    empirically-pinned two-watermark lag (tests/test_streaming_late_
+    metrics.py, Spark 3.x/4.x) — a Spark upgrade that changes the lag
+    model fails those pins first.
     """
     _metrics, sink = _staged_late_run(spark, sf_dir)
     return spark.read.parquet(sink).select(

@@ -1729,10 +1729,9 @@ def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r9 REGISTRATION (registry frozen through r8 per VERDICT r7 #2).
-# Implemented + oracle-verified now (tests/test_chunking_staged.py); r9
-# flips it to @register("doc_chunk_overlap", oracle=DOC_CHUNK_ORACLE, ...)
-# when rotation seats free up.
+# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
+# freeze; tests/test_chunking_staged.py pins reassembly, grid algebra, the
+# map-only plan, and split invariance).
 # ---------------------------------------------------------------------------
 
 # Chunk grid: 200-char windows, stride 150 (50-char overlap) — the standard
@@ -1758,6 +1757,11 @@ WHERE d.n_chars > 0
 """
 
 
+@register(
+    "doc_chunk_overlap",
+    oracle=DOC_CHUNK_ORACLE,
+    tags=("text", "chunking", "map-only"),
+)
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (200-char windows, stride 150) — the
     retrieval/context-packing preprocessing pass, emitted WITH the chunk

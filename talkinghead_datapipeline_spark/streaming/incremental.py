@@ -158,10 +158,12 @@ def run_available_now_with_metrics(
 
         def onQueryProgress(self, event):  # noqa: N802
             p = event.progress
-            dropped = (
-                p.stateOperators[0].numRowsDroppedByWatermark
-                if p.stateOperators
-                else 0
+            # Sum across ALL state operators (ADVICE r8): a transform with
+            # more than one stateful stage (e.g. dedup + windowed agg)
+            # drops rows at each of them; reading only operator 0 would
+            # silently under-report.
+            dropped = sum(
+                op.numRowsDroppedByWatermark for op in p.stateOperators
             )
             with lock:
                 progress_rows.append(
@@ -203,7 +205,17 @@ def run_available_now_with_metrics(
 
         with lock:
             ev = terminated.setdefault(qid, threading.Event())
-        ev.wait(timeout=60)
+        # awaitTermination() already returned, so the engine IS done; a
+        # missing termination event within 60 s means the Python listener
+        # bus is wedged — fail here with the real cause instead of
+        # surfacing as a confusing 'progress events missing' error after
+        # another 60 s of polling (ADVICE r8).
+        if not ev.wait(timeout=60):
+            raise RuntimeError(
+                "streaming listener bus did not deliver onQueryTerminated "
+                f"within 60s for query {qid} (engine already terminated) — "
+                "listener events are being dropped or delayed"
+            )
         committed = {
             int(os.path.basename(p))
             for p in glob.glob(os.path.join(checkpoint_dir, "commits", "*"))

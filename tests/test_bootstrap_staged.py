@@ -81,6 +81,50 @@ def test_split_invariance(spark, sf_dir, tmp_path):
     assert base.equals(split)
 
 
+def test_percentile_interpolation_bit_equal_cross_engine(spark):
+    """Pin that Spark's percentile and DuckDB's quantile_cont compute the
+    IDENTICAL IEEE interpolation over a replicate-mean-shaped multiset
+    (ADVICE r8): the CI path's bit-identity claim rests on this, and a
+    1-ulp interpolation difference could flip floor(m * 1e6) when a CI
+    value sits within ~1e-4 micro-dollars of an integer boundary.
+
+    The multiset is crafted hostile: B=32 non-dyadic doubles (thirds,
+    sevenths, and cent-quotient values like the production means), so the
+    p*(n-1) interpolation weights (0.025*31 = 0.775, itself non-dyadic)
+    multiply values whose products are NOT exactly representable — any
+    difference in the engines' interpolation expression shows up in the
+    last ulp and fails the exact-bits compare."""
+    import struct
+
+    import duckdb
+
+    vals = sorted(
+        [100000.0 + k / 3.0 for k in range(11)]
+        + [250000.0 + k / 7.0 for k in range(11)]
+        + [(36703 * (k + 1) % 9999991) / 100.0 for k in range(10)]
+    )
+    assert len(vals) == _BOOT_B
+    sdf = spark.createDataFrame([(v,) for v in vals], "m double")
+    s_lo, s_hi = sdf.agg(
+        F.percentile("m", F.lit(0.025)), F.percentile("m", F.lit(0.975))
+    ).first()
+    d_lo, d_hi = (
+        duckdb.connect()
+        .execute(
+            "SELECT quantile_cont(m, 0.025), quantile_cont(m, 0.975) "
+            "FROM (SELECT unnest(?) AS m)",
+            [vals],
+        )
+        .fetchone()
+    )
+
+    def bits(x: float) -> str:
+        return struct.pack("<d", x).hex()
+
+    assert bits(s_lo) == bits(d_lo), (s_lo, d_lo)
+    assert bits(s_hi) == bits(d_hi), (s_hi, d_hi)
+
+
 if __name__ == "__main__":
     import sys
 

@@ -145,62 +145,55 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-8 canaries: every query whose implementation (or shared
-    # machinery) changed after its last green driver row holds a seat —
-    # the 12 round-7 changed-code keys (VERDICT r7 #1, including the three
-    # the r7 rotation comment missed) plus the round-8 changes (the four
-    # integer-units money migrations, each paired with its seat per
-    # VERDICT r7 #3, and emb_covariance_upper's null guard).
+    # round-9 canaries: every query whose implementation (or output
+    # contract) changed after its last green driver row holds a seat —
+    # the 12 money/round-tie migrations (VERDICT r8 #1/#2, ADVICE r8
+    # medium) plus the six r9 registrations (never certified yet, so they
+    # lead their section of the window per the governor above).
     canaries = {
-        # r7 changes
-        "flagship_segment_leaders",
-        "rollup_nation_revenue",
-        "date_orders_by_month",
-        "grouping_sets_order_stats",
-        "minhash_signatures",
-        "minhash_lsh_near_dups",
-        "ngram_jaccard_exact_pairs",
-        "shingle_containment_pairs",
-        "decontaminate_against_benchmark",
-        "incremental_dedup_against_index",
-        "dedup_cluster_assignments",
-        "corpus_clean_pipeline",
-        # r8 changes
-        "q1_pricing_summary",
-        "q3_top_revenue_orders",
-        "q5_join_chain_revenue",
-        "q10_returned_item_customers",
-        "emb_covariance_upper",
-        # r8 landing-dir fix (shared _symlink_landing_dir shim)
-        "streaming_hourly_event_counts",
-        "streaming_user_sessions",
-        "streaming_purchase_view_join",
-        "streaming_purchase_view_left",
-        "streaming_purchase_view_full",
-        "streaming_stateful_user_extents",
-        "streaming_dedup_event_keys",
-        "streaming_enrich_static_dim",
-        "streaming_sliding_event_counts",
-        "streaming_foreachbatch_upsert",
-        # r8 sf0.01-sweep finds: exact integer-unit accumulations
-        "ols_normal_equations",
-        "a2en_feature_assembly",
-        # late-r8 migration: the thinnest boundary cell (1.4e-6 cents at
-        # sf0.01) moved to integer units ahead of the r9 schedule
+        # money q-class -> exact integer units
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q14_promo_revenue_ratio",
+        "q19_disjunctive_revenue",
+        "q22_dormant_rich_customers",
+        # money column sites
+        "equi_depth_deciles",
+        "revenue_mom_growth",
+        "q17_below_avg_quantity",
+        # round-tie migrations
+        "winsorized_price_stats",
         "q15_top_supplier",
+        # r9 registrations (staged r8)
+        "streaming_late_data_metrics",
+        "streaming_late_sink_counts",
+        "logreg_newton_lang",
+        "bootstrap_ci_order_value",
+        "doc_chunk_overlap",
+        "winsorized_bounds_sketch_certified",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor (VERDICT r7 #1 done-criterion): every r1-era key is
-    # seated, so after r8 no key's latest green row predates r4.
-    r1_era = {
-        "cube_flag_status", "date_orders_by_month", "e3_key_intersection_semi",
-        "e6_exists_filter", "e7_memoization_anti", "grouping_sets_order_stats",
-        "lag_delta_per_user", "n11_group_extent", "n7_argmax_per_group",
-        "rollup_nation_revenue", "s10_quantile_per_flag", "s8_savgol_exact_w7",
-        "set_except_keys", "set_intersect_keys", "topk_per_group",
-        "unpivot_part_measures",
+    # Staleness floor (VERDICT r8 #1 done-criterion): the full r4-era tier
+    # is seated, so after r9 no key's latest green row predates r5.
+    r4_era = {
+        "flame_decode_landmarks", "json_props_extract", "lang_id_heuristic",
+        "multimodal_binary_features", "multimodal_frame_sample",
+        "multimodal_image_channel_means", "n10_bbox_transform_chain",
+        "n14_code_split", "pack_token_budget", "profile_documents",
+        "range_interval_join", "s5_blink_features", "s7_resample_linear",
+        "sim_brute_cosine_topk", "sim_cosine_topk_per_label",
+        "sim_ivf_probe_topk", "sim_lsh_bucket_topk", "simhash_fingerprint",
+        "simhash_hamming_near_dups", "skew_salted_quantity_rollup",
+        "split_train_val_test", "stratified_sample_by_lang",
+        "string_functions_suite", "table_profile_orders",
+        "text_bpe_token_count", "text_quality_score", "text_token_stats",
+        "wav2vec_features_stub", "weighted_sample_by_length",
+        "wide_source_assembly", "window_rank_suite",
     }
-    assert r1_era <= prefix, f"unseated r1-era keys: {sorted(r1_era - prefix)}"
+    assert r4_era <= prefix, f"unseated r4-era keys: {sorted(r4_era - prefix)}"
+
 
 
 def test_compare_is_numeric_type_sensitive():

@@ -92,8 +92,8 @@ _MODULES = (
 #
 # ROUND-9 WINDOW. Cumulative certification entering r9 is 208/208 with
 # staleness tiers r4=31, r5=39, r6=40, r7=48, r8=50 (recomputed from the
-# raw CORRECTNESS artifacts 2026-08-15); r9 additionally registers the six
-# queries staged in r8, bringing the registry to 214. Seat order
+# raw CORRECTNESS artifacts 2026-08-15); r9 additionally registers two of
+# the six queries staged in r8, bringing the registry to 210. Seat order
 # (changed-code beats stale, per the house rule):
 #  1. The 12 round-9 changed-code canaries — every query whose output
 #     changed this round ships WITH its seat (never migrate without a
@@ -113,27 +113,56 @@ _MODULES = (
 #     d. q15_top_supplier (ADVICE r8 medium): display round(rev4/10000.0,
 #        2) -> floor-to-cents; rev4 % 2500 == 1250 is an exactly-
 #        representable 2-decimal .5 tie.
-#  2. The 6 new registrations (staged + fully verified in r8; VERDICT r8
-#     #3) — the two streaming-late queries first (they certify an
-#     operator class nothing else covers): streaming_late_data_metrics,
-#     streaming_late_sink_counts, logreg_newton_lang,
-#     bootstrap_ci_order_value, doc_chunk_overlap,
-#     winsorized_bounds_sketch_certified.
-#  3. The 31 r4-era stale keys (the full r4 tier, preflighted 38/38 green
-#     at sf0.01 on 2026-08-15 together with the pre-migration money
-#     q-class) — drains the oldest tier entirely: after r9 no key's
-#     latest green row predates r5 (VERDICT r7 #5 / r8 #1). Eight of the
-#     money canaries in (1) are themselves r5-era, so they double-duty
-#     as the start of the r5 drain.
-#  4. 1 spare seat: r5-era oldest-first, alphabetical within the tier ->
-#     class_balanced_scale_path.
+#  2. The 6 round-tie-audit migrations (VERDICT r8 #4 executed: the new
+#     tools/round_tie_audit.py swept every registered round(x, k) output
+#     — unrounded oracle re-run + exact Fraction distance from the
+#     nearest half-boundary, in value units AND in ulps of the scaled
+#     double). It found 3 EXACT cross-engine ties (dyadic-rational ratio
+#     outputs: gopher_repetition_signals 7/128, bpe_apply_merges 137/128,
+#     source_overlap_matrix 3/128 — every one green today only by the
+#     engines agreeing on that particular boundary double) and 3 sub-ulp
+#     near-ties (text_quality_score 0.12 ulps, dedup_keep_best_quality
+#     0.08, a2en_feature_assembly 0.15 — the scaled double IS the tie
+#     representation), against a >= 1311-ulp floor for everything else.
+#     All six migrated to floor-to-BIGINT ppm/micro units WITH seats
+#     (text_quality_score's seat doubles inside the r4 drain below).
+#  3. 2 new registrations (staged + fully verified in r8; VERDICT r8 #3
+#     prioritized these two — they certify an operator class nothing
+#     else covers): streaming_late_data_metrics,
+#     streaming_late_sink_counts. The other four staged queries
+#     (logreg_newton_lang, bootstrap_ci_order_value, doc_chunk_overlap,
+#     winsorized_bounds_sketch_certified) stay STAGED: their planned
+#     seats went to the tie-audit migrations (changed-code beats
+#     registration under the freeze policy's spare-seats-only rule);
+#     they lead the r10 registrations.
+#  4. The 31 r4-era stale keys (the full r4 tier, preflighted 38/38
+#     green at sf0.01 on 2026-08-15 together with the pre-migration
+#     money q-class) — drains the oldest tier entirely: after r9 no
+#     key's latest green row predates r5 (VERDICT r7 #5 / r8 #1). Eight
+#     of the money canaries in (1) are themselves r5-era, so they
+#     double-duty as the start of the r5 drain.
 #
 # r10 rotation (write the final comment the same day the r9 artifacts
-# land, per VERDICT r8 #7): expected staleness entering r10 is r5=30
-# (39 - 8 money double-duty - 1 spare), r6=40, r7=48, r8~=50, r9=50 —
-# the r10 window drains the 30 r5-era keys plus the oldest r6-era keys,
-# alphabetical within tier, minus whatever changed-code canaries r9's
-# work creates.
+# land, per VERDICT r8 #7):
+#  1. The r10 changed-code canaries: migrate the remaining
+#     round(sum_units/10^u, 2) displays to floor-to-cents WITH seats —
+#     flagship_segment_leaders (its revenue cell measured 0.125 ulps
+#     from a half-cent tie at sf0.001 — the q15/ADVICE-r8 class),
+#     q1_pricing_summary (sum_disc_price 0.34 ulps at sf0.1; migrate
+#     its sum_charge 1e-6-unit display with it), q3/q5/q10 (same idiom,
+#     comfortable margins today, migrate with the family), and
+#     time_to_convert_stats' median_sec (0.27 ulps at sf0.001, 0.40 at
+#     sf0.1) to floor-micros. All are near-ties at NON-certification SFs
+#     — comfortable at the sf0.01 driver SF — documented with
+#     measurements in SCALING.md's round-9 tie-audit table; code
+#     deliberately UNCHANGED in r9 because no seat remained (changing
+#     registered code without a next-window seat is the worse debt).
+#  2. The 4 deferred registrations: logreg_newton_lang,
+#     bootstrap_ci_order_value, doc_chunk_overlap,
+#     winsorized_bounds_sketch_certified.
+#  3. The r5-era drain (expected r5=31 after the 8 money double-duty
+#     seats land: 39 - 8), oldest-first alphabetical within tier, minus
+#     whatever further changed-code canaries r9's work creates.
 _DRIVER_PRIORITY = (
     # --- 1a. money q-class migrations (round-9 changed-code canaries) ---
     "q6_forecast_revenue",  # floor-to-cents; r5-era (double-duty seat)
@@ -150,14 +179,18 @@ _DRIVER_PRIORITY = (
     # --- 1c/1d. round-tie migrations ---
     "winsorized_price_stats",  # floor-cents percentiles; last green r6
     "q15_top_supplier",  # floor-to-cents display (ADVICE r8); r8 re-seat
-    # --- 2. new registrations (staged r8, registered r9) ---
+    # --- 2. round-tie-audit migrations (floor-ppm/micro outputs) ---
+    "gopher_repetition_signals",  # exact tie 0.0546875; r5-era double-duty
+    "bpe_apply_merges",  # exact tie 1.0703125 = 137/128
+    "source_overlap_matrix",  # exact tie 0.0234375 = 3/128
+    "dedup_keep_best_quality",  # 0.08-ulp near-tie on best_quality
+    "a2en_feature_assembly",  # 0.15-ulp near-tie on volume_mean
+    # (text_quality_score: 0.12-ulp near-tie, migrated too — its seat is
+    # in the r4-era drain below)
+    # --- 3. new registrations (staged r8, registered r9) ---
     "streaming_late_data_metrics",  # two-watermark late-drop metrics
     "streaming_late_sink_counts",  # exactly-once emission with drops
-    "logreg_newton_lang",  # 3-step Newton IRLS, 1e-12 divergence budget
-    "bootstrap_ci_order_value",  # exact Poisson-bootstrap CI, floor-micros
-    "doc_chunk_overlap",  # overlapping chunk explode, map-only
-    "winsorized_bounds_sketch_certified",  # per-group GK rank contract
-    # --- 3. r4-era stale drain (the full remaining tier, alphabetical) ---
+    # --- 4. r4-era stale drain (the full remaining tier, alphabetical) ---
     "flame_decode_landmarks",  # displaced from r8 by the late q15 seat
     "json_props_extract",
     "lang_id_heuristic",
@@ -189,8 +222,6 @@ _DRIVER_PRIORITY = (
     "weighted_sample_by_length",
     "wide_source_assembly",
     "window_rank_suite",
-    # --- 4. spare seat: r5-era oldest-first drain begins ---
-    "class_balanced_scale_path",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

@@ -41,14 +41,14 @@ _D_SQL_EYE = (
     ),
     audio_feats AS (
       SELECT user_id,
-             round(sum(CAST(round(abs(value) * 100) AS BIGINT)) / 100.0
-                   / count(*), 6) AS volume_mean,
+             CAST(floor(10000.0 * sum(CAST(round(abs(value) * 100) AS BIGINT))
+                        / count(*)) AS BIGINT) AS volume_mean_micro,
              count(*) AS n_events
       FROM events GROUP BY user_id
     )
     SELECT d.doc_id AS clip_id, d.n_tokens, d.n_chars,
            e.jaw, e.eye_span,
-           a.volume_mean, a.n_events
+           a.volume_mean_micro, a.n_events
     FROM doc_feats d
     JOIN emb_feats e ON e.vec_id = d.doc_id
     JOIN audio_feats a ON a.user_id = d.doc_id
@@ -79,22 +79,27 @@ def a2en_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eye_span"
         ),
     )
-    # Integer-cents mean (round 8): the sf0.01 invariance sweep caught one
-    # user's avg(abs(value)) landing ON a round(,6) boundary, flipping the
-    # 6th decimal with input file layout. events.value is 2-decimal by
-    # construction (verified at all SFs), so the mean derives from an exact
-    # BIGINT cents sum — layout- and merge-order-invariant (the flagship
-    # money template applied to a real-valued-LOOKING column that is
-    # actually exact decimal).
+    # Integer-cents mean (round 8) -> floor micro-units (round 9): the
+    # sf0.01 invariance sweep caught one user's avg(abs(value)) landing ON
+    # a round(,6) boundary; events.value is 2-decimal by construction, so
+    # the mean derives from an exact BIGINT cents sum. The round-9 tie
+    # audit then measured the cent-exact mean sitting 0.15 ulps from a
+    # round(,6) half-boundary — inside the window where DuckDB's float-
+    # scaling round can land on the other side of the tie from Spark's
+    # exact BigDecimal round — so the display is now floor-to-BIGINT
+    # micro-units (the same function in both engines; mean micro-dollars
+    # = 1e6 * cents/(100 n) = 10000 * cents / n).
     audio = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.round(F.abs("value") * 100).cast("bigint")) / 100.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("volume_mean"),
+            F.floor(
+                F.lit(10000.0)
+                * F.sum(F.round(F.abs("value") * 100).cast("bigint"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("volume_mean_micro"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -103,7 +108,7 @@ def a2en_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(audio), F.col("clip_id") == F.col("user_id"))
         .select(
             "clip_id", "n_tokens", "n_chars", "jaw", "eye_span",
-            "volume_mean", "n_events",
+            "volume_mean_micro", "n_events",
         )
     )
 

@@ -176,8 +176,9 @@ _OVERLAP_ORACLE = """
       GROUP BY a.source, b.source
     )
     SELECT o.source_a, o.source_b, o.n_shared,
-           round(CAST(o.n_shared AS DOUBLE)
-                 / (pa.n_grams + pb.n_grams - o.n_shared), 6) AS jaccard
+           CAST(floor(1000000.0 * o.n_shared
+                      / (pa.n_grams + pb.n_grams - o.n_shared))
+                AS BIGINT) AS jaccard_ppm
     FROM ov o
     JOIN per_src pa ON pa.source = o.source_a
     JOIN per_src pb ON pb.source = o.source_b
@@ -241,11 +242,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "n_shared",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("ga") + F.col("gb") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
+            # floor-to-BIGINT ppm (round-9 tie audit): the Jaccard is one
+            # double division of exact integers — bit-identical cross-
+            # engine — and 0.0234375 = 3/128 at sf0.01 sits EXACTLY on a
+            # round(,6) half-boundary (dyadic rationals do whenever the
+            # denominator exceeds 2^6); floor is the same function in
+            # both engines.
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_shared")
+                / (F.col("ga") + F.col("gb") - F.col("n_shared"))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
         )
     )
 

@@ -973,9 +973,11 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
-# freeze; tests/test_winsorized_sketch_staged.py includes the
-# falsifiability check — a deliberately broken bound flags 0).
+# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
+# migrations; tests/test_winsorized_sketch_staged.py includes the
+# falsifiability check — a deliberately broken bound flags 0). r10 flips
+# it to @register("winsorized_bounds_sketch_certified",
+# oracle=WINSORIZED_SKETCH_ORACLE, ...).
 # ---------------------------------------------------------------------------
 
 WINSORIZED_SKETCH_ORACLE = """
@@ -993,11 +995,6 @@ FROM lineitem GROUP BY 1
 _WS_ACCURACY = 10_000
 
 
-@register(
-    "winsorized_bounds_sketch_certified",
-    oracle=WINSORIZED_SKETCH_ORACLE,
-    tags=("profiling", "percentile", "sketch", "certified"),
-)
 def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP certified sketch bounds — the at-scale half of the
     winsorization adjudication, closed.

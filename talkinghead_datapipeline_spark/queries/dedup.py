@@ -1447,7 +1447,7 @@ _KEEP_BEST_ORACLE = f"""
     )
     SELECT component, doc_id AS rep_doc_id,
            CAST(n_members AS BIGINT) AS n_members,
-           round(best_q, 6) AS best_quality
+           CAST(floor(1000000.0 * best_q) AS BIGINT) AS best_quality_ppm
     FROM ranked WHERE rn = 1
 """
 
@@ -1469,7 +1469,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: quality is a single-row expression (no
     accumulation), so Spark and DuckDB produce bit-identical doubles and
     the (q DESC, doc_id) tie-break can never flip between engines; the
-    output rounds q only for display.
+    output emits q as floor-to-BIGINT ppm (see the inline note).
 
     Scale: quality is map-side; the graph shuffles are bounded by the
     dedup_edge_graph design (O(cluster) edges, never O(cluster^2) pairs);
@@ -1509,7 +1509,14 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.col("doc_id").alias("rep_doc_id"),
         "n_members",
-        F.round("_best", 6).alias("best_quality"),
+        # floor-to-BIGINT ppm (round-9 tie audit): quality is a per-row
+        # expression — bit-identical cross-engine — and its sf0.01 minimum
+        # margin from a round(,6) half-boundary measured 0.08 ulps of the
+        # scaled value (the scaled double IS the tie representation, the
+        # window where the engines' round functions can disagree).
+        F.floor(F.lit(1000000.0) * F.col("_best"))
+        .cast("bigint")
+        .alias("best_quality_ppm"),
     )
 
 

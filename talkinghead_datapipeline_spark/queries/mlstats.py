@@ -318,9 +318,13 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
-# freeze; tests/test_logreg_staged.py pins the closed-form optimum and the
-# round(,6) boundary margins).
+# STAGED FOR r10 REGISTRATION: oracle-verified + invariance-tested
+# (tests/test_logreg_staged.py pins the closed-form optimum and the
+# round(,6) boundary margins); its planned r9 seat was displaced by the
+# round-tie-audit migrations (6 registered queries sat ON or within one
+# ulp of a cross-engine round() tie and took the changed-code seats).
+# r10 flips it to @register("logreg_newton_lang",
+# oracle=LOGREG_NEWTON_ORACLE, ...) first.
 # ---------------------------------------------------------------------------
 
 # Cross-engine float contract: every Newton update is the SAME IEEE-double
@@ -376,11 +380,6 @@ FROM i3
 """
 
 
-@register(
-    "logreg_newton_lang",
-    oracle=LOGREG_NEWTON_ORACLE,
-    tags=("mlstats", "iterative", "logreg", "agg"),
-)
 def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression trained IN the engine by 3 Newton-Raphson (IRLS)
     steps: P(lang = 'en' | n_chars), the distributed iterative-optimization
@@ -444,9 +443,10 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
-# freeze; tests/test_bootstrap_staged.py pins weights, dtypes, split
-# invariance, and cross-engine quantile interpolation bits).
+# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
+# migrations; tests/test_bootstrap_staged.py pins weights, dtypes, split
+# invariance, and cross-engine quantile interpolation bits). r10 flips it
+# to @register("bootstrap_ci_order_value", oracle=BOOTSTRAP_CI_ORACLE, ...).
 # ---------------------------------------------------------------------------
 
 # Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), written as exact
@@ -535,11 +535,6 @@ FROM base JOIN (
 """
 
 
-@register(
-    "bootstrap_ci_order_value",
-    oracle=BOOTSTRAP_CI_ORACLE,
-    tags=("mlstats", "bootstrap", "sampling", "agg"),
-)
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval of mean order value per
     priority — the standard one-pass distributed resampling estimator

@@ -124,10 +124,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1.0 - CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                                  w -> w IN ({_SW_SQL}))) AS DOUBLE)
                      / len(string_split_regex(text, '\\s+')), 6) AS content_ratio,
-           round(0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
-               + 0.5 * (1.0 - CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                        w -> w IN ({_SW_SQL}))) AS DOUBLE)
-                            / len(string_split_regex(text, '\\s+'))), 6) AS quality
+           CAST(floor(1000000.0
+                      * (0.5 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+                       + 0.5 * (1.0 - CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                                    / len(string_split_regex(text, '\\s+')))))
+                AS BIGINT) AS quality_ppm
     FROM documents
     WHERE length(text) > 0
     """,
@@ -136,7 +138,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: capped length score + non-stopword ratio.
     (The standard pre-training quality-filter shape: cheap, fully pushed
-    into one projection.)"""
+    into one projection.)
+
+    The composite is floor-to-BIGINT ppm (round-9 tie audit): it is a
+    per-row expression — bit-identical cross-engine — whose sf0.01
+    minimum margin from a round(,6) half-boundary measured 0.12 ulps of
+    the scaled value, i.e. the scaled double sits ON the tie where the
+    engines' round functions may disagree. length_score keeps round():
+    n/500 scaled by 1e6 is the integer 2000n, provably ~half a grid cell
+    from every tie; content_ratio's measured floor is 4.6e7 ulps."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     tokens = F.split(F.col("text"), r"\s+")
     low_tokens = F.split(F.lower(F.col("text")), r"\s+")
@@ -148,7 +158,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(length_score, 6).alias("length_score"),
         F.round(content_ratio, 6).alias("content_ratio"),
-        F.round(0.5 * length_score + 0.5 * content_ratio, 6).alias("quality"),
+        F.floor(
+            F.lit(1000000.0) * (0.5 * length_score + 0.5 * content_ratio)
+        )
+        .cast("bigint")
+        .alias("quality_ppm"),
     )
 
 
@@ -693,10 +707,12 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.doc_id,
            coalesce(t.top_bigram, '') AS top_bigram,
-           round(coalesce(CAST(t.top_cnt * length(t.top_bigram) AS DOUBLE), 0.0)
-                 / b.n_chars_actual, 6) AS top_bigram_char_frac,
-           round(coalesce(CAST(d.dup_chars AS DOUBLE), 0.0)
-                 / b.n_chars_actual, 6) AS dup_trigram_char_frac
+           CAST(floor(1000000.0
+                      * coalesce(CAST(t.top_cnt * length(t.top_bigram)
+                                      AS DOUBLE), 0.0)
+                      / b.n_chars_actual) AS BIGINT) AS top_bigram_char_ppm,
+           CAST(floor(1000000.0 * coalesce(CAST(d.dup_chars AS DOUBLE), 0.0)
+                      / b.n_chars_actual) AS BIGINT) AS dup_trigram_char_ppm
     FROM base b
     LEFT JOIN top2 t ON b.doc_id = t.doc_id
     LEFT JOIN dup3 d ON b.doc_id = d.doc_id
@@ -715,7 +731,14 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode of (n, gram) pairs, partial-aggregated
     map-side into a (doc_id, n, gram) count shuffle, then two tiny
     per-doc reductions joined back to the doc spine — gram counting is
-    the wordcount shape, uniform at any corpus size."""
+    the wordcount shape, uniform at any corpus size.
+
+    Floor-ppm outputs (round-9 tie audit): both fractions are single
+    double divisions of exact integers — bit-identical cross-engine — and
+    the sf0.01 audit found values sitting EXACTLY on round(,6) half-
+    boundaries (0.0546875 = 7/128 and friends: dyadic rationals land on
+    .5 ties whenever the denominator exceeds 2^6), so round() is replaced
+    by floor-to-BIGINT ppm, the same function in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     base = rebalance_for_compute(docs, "doc_id").select(
         "doc_id",
@@ -782,19 +805,23 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
-            F.round(
-                F.coalesce(
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce(
                     (F.col("top_cnt") * F.length("top_bigram")).cast("double"),
                     F.lit(0.0),
                 )
-                / F.col("n_chars_actual"),
-                6,
-            ).alias("top_bigram_char_frac"),
-            F.round(
-                F.coalesce(F.col("dup_chars").cast("double"), F.lit(0.0))
-                / F.col("n_chars_actual"),
-                6,
-            ).alias("dup_trigram_char_frac"),
+                / F.col("n_chars_actual")
+            )
+            .cast("bigint")
+            .alias("top_bigram_char_ppm"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce(F.col("dup_chars").cast("double"), F.lit(0.0))
+                / F.col("n_chars_actual")
+            )
+            .cast("bigint")
+            .alias("dup_trigram_char_ppm"),
         )
     )
 
@@ -1066,9 +1093,9 @@ _BPE_APPLY_ORACLE = f"""
            CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST(len(string_split({_bpe_apply_sql()}, ' ')) AS BIGINT)
              AS n_bpe_symbols,
-           round(CAST(length(text) AS DOUBLE)
-                 / len(string_split({_bpe_apply_sql()}, ' ')), 6)
-             AS chars_per_symbol
+           CAST(floor(1000000.0 * CAST(length(text) AS DOUBLE)
+                      / len(string_split({_bpe_apply_sql()}, ' ')))
+                AS BIGINT) AS chars_per_symbol_ppm
     FROM documents
     WHERE length(text) > 0
 """
@@ -1081,7 +1108,11 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply each merge in rank order as a literal replace — left-to-right
     non-overlapping replace() is identical in Spark and DuckDB, so the
     symbol stream (and hence the token count) is engine-exact. Per-doc
-    output: symbol count + compression ratio.
+    output: symbol count + compression ratio as floor-to-BIGINT ppm
+    (round-9 tie audit: chars/symbols is a division of exact integers —
+    bit-identical cross-engine — and 1.0703125 = 137/128 at sf0.01 sits
+    EXACTLY on a round(,6) half-boundary; floor is the same function in
+    both engines).
 
     Scale: one map-only scan, zero shuffles, codegen-resident — exactly
     how a broadcast merge table applies at 100 TB (a K-entry vocabulary is
@@ -1102,9 +1133,9 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_actual"),
         n_sym.alias("n_bpe_symbols"),
-        F.round(F.length("text").cast("double") / n_sym, 6).alias(
-            "chars_per_symbol"
-        ),
+        F.floor(F.lit(1000000.0) * F.length("text").cast("double") / n_sym)
+        .cast("bigint")
+        .alias("chars_per_symbol_ppm"),
     )
 
 
@@ -1729,9 +1760,10 @@ def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REGISTERED in r9 (staged + oracle-verified in r8 under the registry
-# freeze; tests/test_chunking_staged.py pins reassembly, grid algebra, the
-# map-only plan, and split invariance).
+# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
+# migrations; tests/test_chunking_staged.py pins reassembly, grid algebra,
+# the map-only plan, and split invariance). r10 flips it to
+# @register("doc_chunk_overlap", oracle=DOC_CHUNK_ORACLE, ...).
 # ---------------------------------------------------------------------------
 
 # Chunk grid: 200-char windows, stride 150 (50-char overlap) — the standard
@@ -1757,11 +1789,6 @@ WHERE d.n_chars > 0
 """
 
 
-@register(
-    "doc_chunk_overlap",
-    oracle=DOC_CHUNK_ORACLE,
-    tags=("text", "chunking", "map-only"),
-)
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (200-char windows, stride 150) — the
     retrieval/context-packing preprocessing pass, emitted WITH the chunk

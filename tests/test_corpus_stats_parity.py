@@ -84,13 +84,14 @@ def test_source_overlap_vs_python(spark, sf_dir):
                 want[(a, b)] = (sh, sh / len(grams[a] | grams[b]))
     got = _SPECS["source_overlap_matrix"].spark(spark, sf_dir).toPandas()
     gmap = {
-        (r.source_a, r.source_b): (int(r.n_shared), r.jaccard)
+        (r.source_a, r.source_b): (int(r.n_shared), int(r.jaccard_ppm))
         for _, r in got.iterrows()
     }
     assert set(gmap) == set(want)
     for k, (sh, j) in want.items():
         assert gmap[k][0] == sh
-        assert abs(gmap[k][1] - j) < 1e-6
+        # floor-ppm output (round-9 tie audit migration)
+        assert abs(gmap[k][1] / 1e6 - j) < 2e-6
 
 
 def test_nb_margin_vs_python(spark, sf_dir):

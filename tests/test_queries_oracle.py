@@ -163,16 +163,23 @@ def test_driver_priority_rotation_policy():
         "equi_depth_deciles",
         "revenue_mom_growth",
         "q17_below_avg_quantity",
-        # round-tie migrations
+        # round-tie migrations (VERDICT r8 #2 + ADVICE r8 medium)
         "winsorized_price_stats",
         "q15_top_supplier",
-        # r9 registrations (staged r8)
+        # round-tie-audit migrations (VERDICT r8 #4: 3 exact ties +
+        # 3 sub-ulp near-ties; text_quality_score's seat lives in the
+        # r4-era drain)
+        "gopher_repetition_signals",
+        "bpe_apply_merges",
+        "source_overlap_matrix",
+        "dedup_keep_best_quality",
+        "a2en_feature_assembly",
+        "text_quality_score",
+        # r9 registrations (staged r8; the other four staged queries
+        # stay unregistered until r10 — their seats went to the audit
+        # migrations)
         "streaming_late_data_metrics",
         "streaming_late_sink_counts",
-        "logreg_newton_lang",
-        "bootstrap_ci_order_value",
-        "doc_chunk_overlap",
-        "winsorized_bounds_sketch_certified",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
     # Staleness floor (VERDICT r8 #1 done-criterion): the full r4-era tier

@@ -114,8 +114,9 @@ def test_gopher_signals_on_repetitive_corpus(spark, tmp_path):
     pdf = _diff_on(spark, tmp_path, "gopher_repetition_signals", docs)
     by_id = pdf.set_index("doc_id")
     assert by_id.loc[0, "top_bigram"] == "spam spam"
-    assert by_id.loc[0, "top_bigram_char_frac"] == pytest.approx(
-        4 * len("spam spam") / len("spam spam spam spam spam eggs"), abs=1e-6
+    # floor-ppm outputs (round-9 tie audit migration)
+    assert by_id.loc[0, "top_bigram_char_ppm"] / 1e6 == pytest.approx(
+        4 * len("spam spam") / len("spam spam spam spam spam eggs"), abs=2e-6
     )
-    assert by_id.loc[1, "dup_trigram_char_frac"] == 0.0
-    assert by_id.loc[2, "dup_trigram_char_frac"] > 0.5
+    assert by_id.loc[1, "dup_trigram_char_ppm"] == 0
+    assert by_id.loc[2, "dup_trigram_char_ppm"] > 500000

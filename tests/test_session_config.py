@@ -38,11 +38,19 @@ def test_shuffle_partitions_track_core_count(spark):
 def test_bench_headline_keys_all_registered():
     """bench.py silently skips HEADLINE names missing from the registry
     (by design, for forward-compat) — so a typo'd key would quietly
-    shrink the benchmark. Pin that every current key resolves."""
+    shrink the benchmark. Pin that every current key resolves, with an
+    explicit allowlist for keys pre-listed ahead of their registration
+    (round-9: the two r10-deferred staged queries — the filter skipping
+    them is the documented intent, not a typo)."""
     import bench
 
     from talkinghead_datapipeline_spark.queries import all_queries
 
-    missing = [n for n in bench.HEADLINE if n not in all_queries()]
+    staged_for_r10 = {"doc_chunk_overlap", "logreg_newton_lang"}
+    missing = [
+        n
+        for n in bench.HEADLINE
+        if n not in all_queries() and n not in staged_for_r10
+    ]
     assert not missing, f"HEADLINE keys not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate keys"

@@ -67,6 +67,29 @@ _REPRESENTATIVES = (
     "sim_ivf_trained_topk",  # iterative k-means centroid partial sums
     "fuzzy_name_clusters",  # iterative pointer-jumping components
     "ols_normal_equations",  # float normal-equation folds
+    # round-9 integer-unit migrations (VERDICT r8 #1/#2): every migrated
+    # money/tie query joins the pinned set with its migration.
+    "q6_forecast_revenue",  # pushdown + 1e-4-unit sum, floor-cents
+    "q7_volume_shipping",  # per-group 1e-4-unit sums, floor-cents
+    "q8_market_share",  # conditional ratio of exact sums, floor-ppm
+    "q9_product_type_profit",  # signed exact 1e-4-unit profit sums
+    "q14_promo_revenue_ratio",  # ratio of exact sums, floor-ppm
+    "q19_disjunctive_revenue",  # disjunctive pushdown + floor-cents
+    "q22_dormant_rich_customers",  # exact integer threshold + cent sums
+    "q17_below_avg_quantity",  # cent-sum revenue per brand
+    "revenue_mom_growth",  # cent totals + floor-ppm lag ratio
+    "winsorized_price_stats",  # floor-cents percentile bounds
+    # round-9 tie-audit migrations (floor-ppm/micro outputs):
+    "gopher_repetition_signals",
+    "bpe_apply_merges",
+    "source_overlap_matrix",
+    "dedup_keep_best_quality",
+    "a2en_feature_assembly",
+    # round-9 addition (VERDICT r8 #6): the explicit skew-salting
+    # operators certified at the largest fixture — the salted plans must
+    # reproduce the UNsalted plans' frames bit-for-bit under every axis.
+    "skew_salted_join_revenue",
+    "skew_salted_quantity_rollup",
 )
 
 

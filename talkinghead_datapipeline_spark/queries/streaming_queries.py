@@ -906,3 +906,271 @@ def streaming_late_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "window_start", F.col("n_events").cast("bigint").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r10 REGISTRATION: session windows under late data — the
+# stateful-merge twin of the tumbling late-data pair above, over the same
+# 3-file straggler arrival. Session state is MERGED (not keyed by a fixed
+# window), so the late-data story is materially different; every contract
+# below was pinned EMPIRICALLY (tests/test_streaming_session_late.py)
+# before the oracle was written:
+#
+# 1. The late filter judges RAW ROWS, each by its OWN horizon: row dropped
+#    iff ts + gap <= lagged_wm (non-strict), where lagged_wm is the
+#    previous batch's watermark (same one-batch lag as the tumbling
+#    contract). Two late rows that would merge into one session still
+#    count 2 in numRowsDroppedByWatermark — unlike tumbling, where the
+#    filter sits post-merge and counts windows. A mixed-fate pair (one row
+#    below the horizon, one above, within a gap of each other) drops
+#    exactly the below-horizon row.
+# 2. Rows merge into one session iff their gap is <= the session gap
+#    (NON-strict: an event at exactly last_ts + gap still merges).
+# 3. Eviction/emission at the end of batch k uses the CURRENT watermark
+#    (max event time over batches <= k-1, minus delay) and is non-strict
+#    (session end == watermark emits); the final no-data batch emits with
+#    max(all) - delay.
+# 4. NO EXACTLY-ONCE-PER-SPAN: an accepted late row whose interval
+#    overlaps an ALREADY-EVICTED session starts a FRESH session — the sink
+#    can legitimately contain OVERLAPPING sessions for one user (measured:
+#    [10:00,10:30) then [10:20,10:50) after a two-batch-late arrival).
+#    Consequence (1) of the tumbling contract does NOT carry over; the
+#    oracle must replay the batch-wise evict-then-restart dynamics, not
+#    globally sessionize the accepted rows.
+#
+# The replay is exact because session identity is a pure function of the
+# row multiset (interval chaining is associative), so "state sessions +
+# new batch rows" == sessionize(all unevicted rows), and removing an
+# emitted session removes a whole connected component without disturbing
+# the rest. With 3 data batches the replay unrolls to three
+# sessionize+evict levels plus the final no-data eviction.
+# ---------------------------------------------------------------------------
+
+_SESSION_RUN_CACHE: dict = {}
+
+# gap and watermark delay are both 30 minutes (microseconds)
+_SG_US = 1_800_000_000
+
+_SESSION_BATCH_SQL = f"""
+e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+b AS (
+  SELECT us, user_id,
+         least(2, least(2, ((us - t0) * 3) // (t1 - t0))
+                  + CASE WHEN user_id % 10 = 7 THEN 2 ELSE 0 END) AS batch
+  FROM e, bounds
+)"""
+
+STREAMING_SESSION_LATE_METRICS_ORACLE = f"""
+WITH {_SESSION_BATCH_SQL},
+mx AS (SELECT batch, max(us) AS mx_us FROM b GROUP BY 1),
+pw AS (
+  SELECT batch + 2 AS tgt,
+         max(mx_us) OVER (ORDER BY batch
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - {_SG_US} AS wm_us
+  FROM mx
+)
+SELECT b.batch AS batch_seq,
+       CAST(count(*) AS BIGINT) AS n_input,
+       CAST(sum(CASE WHEN b.us + {_SG_US} <= pw.wm_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late_dropped
+FROM b LEFT JOIN pw ON b.batch = pw.tgt
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _sessionize_sql(src: str, out: str) -> str:
+    """One replay level: gap-sessionize ``src`` (user_id, us) into
+    ``{out}s`` (rows tagged with session ids) and ``{out}e`` (one row per
+    session: start/end/count). Non-strict merge — new session only when
+    the gap to the previous event EXCEEDS the session gap (contract 2).
+    Two window steps (flag, then cumulative sum): DuckDB rejects nested
+    window calls."""
+    return f"""
+{out}f AS (
+  SELECT us, user_id,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SG_US} THEN 1 ELSE 0 END AS new_s
+  FROM {src}
+),
+{out}s AS (
+  SELECT us, user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+  FROM {out}f
+),
+{out}e AS (
+  SELECT user_id, sid, min(us) AS s_us, max(us) + {_SG_US} AS e_us,
+         count(*) AS n
+  FROM {out}s GROUP BY 1, 2
+)"""
+
+
+STREAMING_SESSION_LATE_SINK_ORACLE = f"""
+WITH {_SESSION_BATCH_SQL},
+wm AS (
+  SELECT (SELECT max(us) FROM b WHERE batch <= 0) - {_SG_US} AS w1,
+         (SELECT max(us) FROM b WHERE batch <= 1) - {_SG_US} AS w2,
+         (SELECT max(us) FROM b) - {_SG_US} AS wf
+),
+acc AS (
+  SELECT us, user_id, batch FROM b, wm
+  WHERE batch < 2 OR us + {_SG_US} > wm.w1
+),
+l2 AS (SELECT us, user_id FROM acc WHERE batch <= 1),
+{_sessionize_sql("l2", "l2")},
+emit2 AS (SELECT l2e.* FROM l2e, wm WHERE e_us <= wm.w1),
+l3 AS (
+  SELECT s.us, s.user_id FROM l2s s
+  LEFT JOIN emit2 m ON m.user_id = s.user_id AND m.sid = s.sid
+  WHERE m.sid IS NULL
+  UNION ALL
+  SELECT us, user_id FROM acc WHERE batch = 2
+),
+{_sessionize_sql("l3", "l3")},
+emit3 AS (SELECT l3e.* FROM l3e, wm WHERE e_us <= wm.w2),
+l4 AS (
+  SELECT s.us, s.user_id FROM l3s s
+  LEFT JOIN emit3 m ON m.user_id = s.user_id AND m.sid = s.sid
+  WHERE m.sid IS NULL
+),
+{_sessionize_sql("l4", "l4")},
+emitf AS (SELECT l4e.* FROM l4e, wm WHERE e_us <= wm.wf)
+SELECT user_id, make_timestamp(s_us) AS session_start,
+       make_timestamp(e_us) AS session_end,
+       CAST(n AS BIGINT) AS n_events
+FROM (SELECT user_id, s_us, e_us, n FROM emit2
+      UNION ALL SELECT user_id, s_us, e_us, n FROM emit3
+      UNION ALL SELECT user_id, s_us, e_us, n FROM emitf)
+"""
+
+
+def _staged_session_late_run(spark: SparkSession, sf_dir: str):
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        spark.conf.get("spark.sql.adaptive.enabled", "true"),
+    )
+    if key not in _SESSION_RUN_CACHE:
+        _SESSION_RUN_CACHE[key] = _staged_session_late_run_uncached(
+            spark, sf_dir
+        )
+    return _SESSION_RUN_CACHE[key]
+
+
+def _staged_session_late_run_uncached(spark: SparkSession, sf_dir: str):
+    """Stage events as the same deterministic 3-file straggler landing dir
+    as _staged_late_run (keeping user_id this time), run a watermarked
+    30-minute session_window count per user, and return
+    (per-batch metrics, sink path)."""
+    import atexit
+    import shutil
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.streaming.incremental import (
+        run_available_now_with_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id", F.col("ts")
+    )
+    t0, t1 = ev.agg(F.min("us"), F.max("us")).first()
+    span = t1 - t0
+    # exact BIGINT `div` (not `/`): same boundary class as _staged_late_run
+    tercile = F.least(F.lit(2), F.expr(f"((us - {t0}) * 3) div {span}"))
+    batch_col = F.least(
+        F.lit(2), tercile + 2 * (F.col("user_id") % 10 == 7).cast("bigint")
+    )
+    staged = ev.select(F.col("ts"), F.col("user_id"), batch_col.alias("batch"))
+
+    work = tempfile.mkdtemp(prefix="thdp_stream_sess_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for k in range(3):
+        part_dir = os.path.join(work, f"b{k}")
+        staged.filter(F.col("batch") == k).select("ts", "user_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in sorted(os.listdir(part_dir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch-{k:05d}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("win"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    sink = os.path.join(work, "sink")
+    metrics = run_available_now_with_metrics(
+        spark,
+        source_dir=src,
+        schema="ts timestamp, user_id bigint",
+        transform=transform,
+        sink_path=sink,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return metrics, sink
+
+
+def streaming_session_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch input and dropped-by-watermark counts for a SESSION
+    aggregation under the 3-batch straggler arrival — certifying contract
+    (1) above: session-window late drops count raw rows, each judged by
+    its own ts + gap horizon against the one-batch-lagged watermark.
+
+    Scale shape: the metrics ride the session state operator the
+    aggregation already runs — no extra pass; the frame is
+    O(micro-batches).
+
+    Engine-version coupling: contracts (1)-(4) are empirical Spark
+    3.x/4.x behavior (tests/test_streaming_session_late.py) — an engine
+    upgrade that changes the session state operator fails those pins
+    first.
+    """
+    metrics, _sink = _staged_session_late_run(spark, sf_dir)
+    rows = [(b, n, d) for b, n, d in metrics if b <= 2]
+    return spark.createDataFrame(
+        rows, "batch_seq bigint, n_input bigint, n_late_dropped bigint"
+    )
+
+
+def streaming_session_late_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINK side of the staged session-late run: which merged sessions
+    the append-mode session aggregation emitted, batch by batch, while
+    late rows were dropped and late-but-accepted rows re-opened spans
+    whose earlier sessions had already been evicted (contract 4: the sink
+    may legitimately contain overlapping sessions — a batch sessionization
+    of the same rows CANNOT reproduce this, only the batch-wise replay
+    can). A wrong merge boundary, an early/late eviction, a mis-dropped
+    row, or a missed overlap-restart all break the value hash.
+
+    Scale shape: session state is bounded by the watermark horizon
+    (unclosed sessions only); one shuffle onto (user, session) state.
+
+    Engine-version coupling: see streaming_session_late_metrics.
+    """
+    _metrics, sink = _staged_session_late_run(spark, sf_dir)
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -187,6 +187,14 @@ HEADLINE = (
     # no scale signal — their cost record lives in SCALING.md.
     "doc_chunk_overlap",
     "logreg_newton_lang",
+    # Round-10 additions with their registrations (costs measured at
+    # sf0.1, steady-state): bootstrap_ci_order_value 7.8s — large but a
+    # genuine scale signal (cost = data x 200 Poisson replicates, the
+    # resampling workhorse); winsorized_bounds_sketch_certified 2.4s (GK
+    # sketch + rank-verify second pass). The session-late streaming pair
+    # stays out with the tumbling pair (same scheduling-floor reasoning).
+    "bootstrap_ci_order_value",
+    "winsorized_bounds_sketch_certified",
 )
 
 

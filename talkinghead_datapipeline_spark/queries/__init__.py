@@ -90,142 +90,107 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-9 WINDOW. Cumulative certification entering r9 is 208/208 with
-# staleness tiers r4=31, r5=39, r6=40, r7=48, r8=50 (recomputed from the
-# raw CORRECTNESS artifacts 2026-08-15); r9 additionally registers two of
-# the six queries staged in r8, bringing the registry to 210. Seat order
-# (changed-code beats stale, per the house rule):
-#  1. The 12 round-9 changed-code canaries — every query whose output
-#     changed this round ships WITH its seat (never migrate without a
-#     re-seat):
-#     a. The remaining money q-class, migrated to exact BIGINT integer
-#        units (VERDICT r8 #1): q6/q7/q19 floor-to-cents revenue,
-#        q8/q14 floor-to-ppm ratio-of-exact-integer-sums,
-#        q9 exact 1e-4-unit profit sums (negative-safe: one unrounded
-#        /10000.0, no div/floor on negatives), q22 exact integer
-#        threshold compare (cents*n > sum_cents) + cent-sum totals.
-#     b. The three money column sites (VERDICT r8 #1): equi_depth_deciles
-#        (decile totals -> cent sums), revenue_mom_growth (cent totals +
-#        floor-ppm growth), q17_below_avg_quantity (cent-sum revenue).
-#     c. winsorized_price_stats (VERDICT r8 #2): p01/p99 -> floor-BIGINT-
-#        cents; its N-group p99 at sf0.01 sat exactly ON the half-cent
-#        cross-engine round() tie (104004.635).
-#     d. q15_top_supplier (ADVICE r8 medium): display round(rev4/10000.0,
-#        2) -> floor-to-cents; rev4 % 2500 == 1250 is an exactly-
-#        representable 2-decimal .5 tie.
-#  2. The 6 round-tie-audit migrations (VERDICT r8 #4 executed: the new
-#     tools/round_tie_audit.py swept every registered round(x, k) output
-#     — unrounded oracle re-run + exact Fraction distance from the
-#     nearest half-boundary, in value units AND in ulps of the scaled
-#     double). It found 3 EXACT cross-engine ties (dyadic-rational ratio
-#     outputs: gopher_repetition_signals 7/128, bpe_apply_merges 137/128,
-#     source_overlap_matrix 3/128 — every one green today only by the
-#     engines agreeing on that particular boundary double) and 3 sub-ulp
-#     near-ties (text_quality_score 0.12 ulps, dedup_keep_best_quality
-#     0.08, a2en_feature_assembly 0.15 — the scaled double IS the tie
-#     representation), against a >= 1311-ulp floor for everything else.
-#     All six migrated to floor-to-BIGINT ppm/micro units WITH seats
-#     (text_quality_score's seat doubles inside the r4 drain below).
-#  3. 2 new registrations (staged + fully verified in r8; VERDICT r8 #3
-#     prioritized these two — they certify an operator class nothing
-#     else covers): streaming_late_data_metrics,
-#     streaming_late_sink_counts. The other four staged queries
-#     (logreg_newton_lang, bootstrap_ci_order_value, doc_chunk_overlap,
-#     winsorized_bounds_sketch_certified) stay STAGED: their planned
-#     seats went to the tie-audit migrations (changed-code beats
-#     registration under the freeze policy's spare-seats-only rule);
-#     they lead the r10 registrations.
-#  4. The 31 r4-era stale keys (the full r4 tier, preflighted 38/38
-#     green at sf0.01 on 2026-08-15 together with the pre-migration
-#     money q-class) — drains the oldest tier entirely: after r9 no
-#     key's latest green row predates r5 (VERDICT r7 #5 / r8 #1). Eight
-#     of the money canaries in (1) are themselves r5-era, so they
-#     double-duty as the start of the r5 drain.
+# ROUND-10 WINDOW. Cumulative certification entering r10 is 210/210 with
+# staleness tiers r5=30, r6=37, r7=45, r8=48, r9=50 (recomputed from the
+# raw CORRECTNESS artifacts 2026-08-15); r10 registers the four queries
+# staged since r8/r9 plus the session-window streaming pair, bringing the
+# registry to 216. Seat order (changed-code beats stale, per the house
+# rule):
+#  1. The 7 round-10 changed-code canaries — the display-idiom near-tie
+#     residue queued by the r9 rotation comment, now migrated:
+#     a. flagship_segment_leaders / q3 / q5 / q10: revenue display
+#        round(sum4/10000.0, 2) -> floor-to-cents (`div 100` + one exact
+#        /100.0; div == floor on these non-negative sums) — flagship's
+#        revenue cell measured 0.125 ulps from a half-cent tie at
+#        sf0.001 (r9 tie audit), the others share the idiom.
+#     b. q1_pricing_summary: sum_disc_price (0.34 ulps at sf0.1) and
+#        sum_charge migrated the same way (1e-4- and 1e-6-unit sums ->
+#        div 100 / div 10000, then /100.0).
+#     c. time_to_convert_stats: mean/median/p90 -> floor-to-whole-µs
+#        then one /1e6 (median_sec measured 0.27/0.40 ulps from a
+#        round(,6) boundary — integer-µs interpolation midpoints land
+#        exactly ON .5 µs).
+#     d. winsorized_price_stats: winsorized_mean, the family's last
+#        round(avg(double), k) (VERDICT r9 #3) — the mean is now an
+#        EXACT decomposition (in-range BIGINT cent sum + clip-count x
+#        bound, fixed association, bit-identical cross-engine) displayed
+#        floor-to-1e-4; p01/p99 one-cent-down quantization documented
+#        (ADVICE r9).
+#  2. The 6 round-10 registrations (all staged + verified in earlier
+#     rounds; seats deferred from r9 under the changed-code-beats-
+#     registration rule): logreg_newton_lang, bootstrap_ci_order_value,
+#     doc_chunk_overlap, winsorized_bounds_sketch_certified, and the
+#     session-window late-data pair streaming_session_late_metrics /
+#     streaming_session_late_sink (contracts pinned empirically in
+#     tests/test_streaming_session_late.py before the oracle existed).
+#  3. The 30 r5-era stale keys (the full tier, alphabetical) — after r10
+#     no key's latest green row predates r6.
+#  4. 7 seats of r6-era drain, oldest-first alphabetical.
 #
-# r10 rotation (write the final comment the same day the r9 artifacts
-# land, per VERDICT r8 #7):
-#  1. The r10 changed-code canaries: migrate the remaining
-#     round(sum_units/10^u, 2) displays to floor-to-cents WITH seats —
-#     flagship_segment_leaders (its revenue cell measured 0.125 ulps
-#     from a half-cent tie at sf0.001 — the q15/ADVICE-r8 class),
-#     q1_pricing_summary (sum_disc_price 0.34 ulps at sf0.1; migrate
-#     its sum_charge 1e-6-unit display with it), q3/q5/q10 (same idiom,
-#     comfortable margins today, migrate with the family), and
-#     time_to_convert_stats' median_sec (0.27 ulps at sf0.001, 0.40 at
-#     sf0.1) to floor-micros. All are near-ties at NON-certification SFs
-#     — comfortable at the sf0.01 driver SF — documented with
-#     measurements in SCALING.md's round-9 tie-audit table; code
-#     deliberately UNCHANGED in r9 because no seat remained (changing
-#     registered code without a next-window seat is the worse debt).
-#  2. The 4 deferred registrations: logreg_newton_lang,
-#     bootstrap_ci_order_value, doc_chunk_overlap,
-#     winsorized_bounds_sketch_certified.
-#  3. The r5-era drain (expected r5=31 after the 8 money double-duty
-#     seats land: 39 - 8), oldest-first alphabetical within tier, minus
-#     whatever further changed-code canaries r9's work creates.
+# r11 rotation (write the final comment the same day the r10 artifacts
+# land): (1) any r11 changed-code canaries first; (2) the remaining 30
+# r6-era keys (37 - 7 drained here); (3) r7-era oldest-first with the
+# leftover seats. No registrations are staged for r11 yet — if r11 adds
+# queries, the governor caps the batch at (50 - backlog) seats.
 _DRIVER_PRIORITY = (
-    # --- 1a. money q-class migrations (round-9 changed-code canaries) ---
-    "q6_forecast_revenue",  # floor-to-cents; r5-era (double-duty seat)
-    "q7_volume_shipping",  # floor-to-cents per group; r5-era (double-duty)
-    "q8_market_share",  # floor-to-ppm exact-integer ratio; r5-era
-    "q9_product_type_profit",  # exact 1e-4-unit sums; r5-era
-    "q14_promo_revenue_ratio",  # floor-to-ppm; r5-era (double-duty)
-    "q19_disjunctive_revenue",  # floor-to-cents; r5-era (double-duty)
-    "q22_dormant_rich_customers",  # exact threshold + cent sums; r5-era
-    # --- 1b. money column sites ---
-    "equi_depth_deciles",  # cent-sum decile totals; last green r7
-    "revenue_mom_growth",  # cent totals + floor-ppm growth; last green r6
-    "q17_below_avg_quantity",  # cent-sum revenue; r5-era (double-duty)
-    # --- 1c/1d. round-tie migrations ---
-    "winsorized_price_stats",  # floor-cents percentiles; last green r6
-    "q15_top_supplier",  # floor-to-cents display (ADVICE r8); r8 re-seat
-    # --- 2. round-tie-audit migrations (floor-ppm/micro outputs) ---
-    "gopher_repetition_signals",  # exact tie 0.0546875; r5-era double-duty
-    "bpe_apply_merges",  # exact tie 1.0703125 = 137/128
-    "source_overlap_matrix",  # exact tie 0.0234375 = 3/128
-    "dedup_keep_best_quality",  # 0.08-ulp near-tie on best_quality
-    "a2en_feature_assembly",  # 0.15-ulp near-tie on volume_mean
-    # (text_quality_score: 0.12-ulp near-tie, migrated too — its seat is
-    # in the r4-era drain below)
-    # --- 3. new registrations (staged r8, registered r9) ---
-    "streaming_late_data_metrics",  # two-watermark late-drop metrics
-    "streaming_late_sink_counts",  # exactly-once emission with drops
-    # --- 4. r4-era stale drain (the full remaining tier, alphabetical) ---
-    "flame_decode_landmarks",  # displaced from r8 by the late q15 seat
-    "json_props_extract",
-    "lang_id_heuristic",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_image_channel_means",
-    "n10_bbox_transform_chain",
-    "n14_code_split",
-    "pack_token_budget",
-    "profile_documents",
-    "range_interval_join",
-    "s5_blink_features",
-    "s7_resample_linear",
-    "sim_brute_cosine_topk",
-    "sim_cosine_topk_per_label",
-    "sim_ivf_probe_topk",
-    "sim_lsh_bucket_topk",
-    "simhash_fingerprint",
-    "simhash_hamming_near_dups",
-    "skew_salted_quantity_rollup",
-    "split_train_val_test",
-    "stratified_sample_by_lang",
-    "string_functions_suite",
-    "table_profile_orders",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_token_stats",
-    "wav2vec_features_stub",
-    "weighted_sample_by_length",
-    "wide_source_assembly",
-    "window_rank_suite",
+    # --- 1. round-10 changed-code canaries (display-idiom migrations) ---
+    "flagship_segment_leaders",  # floor-to-cents revenue; r8-era seat
+    "q1_pricing_summary",  # floor-to-cents sum_disc_price/sum_charge; r8
+    "q3_top_revenue_orders",  # floor-to-cents rank key; r8-era
+    "q5_join_chain_revenue",  # floor-to-cents; r8-era
+    "q10_returned_item_customers",  # floor-to-cents rank key; r8-era
+    "time_to_convert_stats",  # floor-to-µs stats; r7-era (double-duty)
+    "winsorized_price_stats",  # exact-decomposition mean; r9 re-seat
+    # --- 2. round-10 registrations (staged r8/r9) ---
+    "logreg_newton_lang",  # 3-step Newton IRLS, bounded driver loop
+    "bootstrap_ci_order_value",  # Poisson bootstrap CI, exact weights
+    "doc_chunk_overlap",  # overlapping chunk grid + substring parity
+    "winsorized_bounds_sketch_certified",  # approx-quantile rank contract
+    "streaming_session_late_metrics",  # session-window late drops
+    "streaming_session_late_sink",  # evict-then-restart session emission
+    # --- 3. r5-era stale drain (the full tier, alphabetical) ---
+    "class_balanced_scale_path",
+    "dedup_exact_groups",
+    "emb_near_dup_pairs",
+    "flame_render_pipeline",
+    "n12_emoca_bbox_pipeline",
+    "n12_rolling_extent",
+    "n23_window_mean_edgepad",
+    "ngram_jaccard_near_dups",
+    "paragraph_dedup_stats",
+    "pii_redact_stats",
+    "pivot_status_by_segment",
+    "q11_important_part_values",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q18_large_volume_orders",
+    "q20_excess_share_suppliers",
+    "q21_lone_blamed_supplier",
+    "q2_min_cost_supplier",
+    "q4_priority_order_counts",
+    "running_sum_per_user",
+    "s6_sliding_mean",
+    "s8_savgol_exact",
+    "s8_savgol_fir",
+    "s9_tumbling_hourly",
+    "s9_tumbling_volume",
+    "sessionize_users",
+    "skew_salted_join_revenue",
+    "stratified_sample_scale_path",
+    "variant_props_extract",
+    # --- 4. r6-era drain (oldest-first alphabetical, 7 seats) ---
+    "approx_quantiles_certified",
+    "bigram_lm_doc_scores",
+    "bloom_filter_semi_join",
+    "bm25_topk_docs",
+    "bpe_top_merge_pairs",
+    "cms_heavy_hitters",
+    "emb_label_centroids",
 )
 
 # Overflow queue: never-driver-certified queries registered after the
-# current window filled its 50 seats. EMPTY for round 9 — the six r9
+# current window filled its 50 seats. EMPTY for round 10 — the six r10
 # registrations all hold seats in the window above (section 2), so every
 # never-certified query is inside the driver prefix (policy test asserts
 # len(never_certified) <= 50).

@@ -729,8 +729,16 @@ def source_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clipped_hi,
            CAST(floor(min(b.lo) * 100.0) AS BIGINT) AS p01_cents,
            CAST(floor(min(b.hi) * 100.0) AS BIGINT) AS p99_cents,
-           round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
-             AS winsorized_mean
+           CAST(floor(10000.0 *
+                  (((sum(CASE WHEN l.l_extendedprice >= b.lo
+                               AND l.l_extendedprice <= b.hi
+                              THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              ELSE 0 END) / 100.0
+                     + sum(CASE WHEN l.l_extendedprice < b.lo
+                                THEN 1 ELSE 0 END) * min(b.lo))
+                    + sum(CASE WHEN l.l_extendedprice > b.hi
+                               THEN 1 ELSE 0 END) * min(b.hi))
+                   / count(*))) AS BIGINT) / 10000.0 AS winsorized_mean
     FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
     GROUP BY 1
     """,
@@ -738,6 +746,26 @@ def source_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-flag winsorized (p01/p99-clipped) price stats.
+
+    p01_cents/p99_cents are floor-quantized: when the percentile lands
+    exactly ON a 2-decimal data value (interpolation weight 0), the
+    double product x*100.0 can sit one ulp BELOW the true integer (e.g.
+    104004.63*100 -> 10400462.999...), so the reported cents can be one
+    below the exact value (ADVICE r9). This is cross-engine deterministic
+    — both engines floor the identical double — and intentional: a
+    round() here is exactly the half-cent-tie class the r9 migration
+    retired. Consumers needing exact on-grid cents should round the
+    /100.0 display themselves.
+
+    winsorized_mean (round-10 migration, the last round(avg(double), k)
+    in the family): avg(clipped_double) is accumulation-order-dependent,
+    so instead the mean is DECOMPOSED exactly — in-range prices sum as
+    exact BIGINT cents (associative), the clipped tails contribute
+    n_clipped_lo*lo + n_clipped_hi*hi (two doubles, fixed multiplicity)
+    — and assembled in one fixed-association expression identical on
+    both engines, making the unrounded mean bit-identical cross-engine;
+    the display is then floor-to-1e-4 units /10000.0 per the tie-audit
+    convention.
 
     Scale shape: bounds are a per-group exact percentile (group-count-sized
     result, broadcast back), the clip+mean pass is map-side against the
@@ -766,10 +794,10 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("b", 1).alias("lo"),
         F.element_at("b", 2).alias("hi"),
     )
-    clipped = F.least(
-        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    in_range = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") <= F.col("hi")
     )
-    return (
+    agged = (
         li.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
@@ -787,14 +815,46 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The percentile doubles are bit-identical cross-engine, and
             # floor is the same function everywhere (the convention the
             # staged winsorized_bounds_sketch_certified already uses).
+            # One-cent-down quantization on on-grid percentiles is
+            # documented in the docstring (ADVICE r9).
             F.floor(F.min("lo") * F.lit(100.0)).cast("bigint").alias(
                 "p01_cents"
             ),
             F.floor(F.min("hi") * F.lit(100.0)).cast("bigint").alias(
                 "p99_cents"
             ),
-            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            # exact-decomposition pieces for the winsorized mean (see
+            # docstring): in-range prices as exact BIGINT cents; the
+            # clipped tails are counted and re-multiplied by the bounds.
+            F.sum(
+                F.when(
+                    in_range,
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("_mid_cents"),
+            F.min("lo").alias("_lo"),
+            F.min("hi").alias("_hi"),
         )
+    )
+    # Fixed-association assembly (matches the oracle parenthesization
+    # token for token): bit-identical cross-engine, then floor-to-1e-4.
+    mean = (
+        (
+            F.col("_mid_cents") / F.lit(100.0)
+            + F.col("n_clipped_lo") * F.col("_lo")
+        )
+        + F.col("n_clipped_hi") * F.col("_hi")
+    ) / F.col("n_rows")
+    return agged.select(
+        "l_returnflag",
+        "n_rows",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        "p01_cents",
+        "p99_cents",
+        (
+            F.floor(mean * F.lit(10000.0)).cast("bigint") / F.lit(10000.0)
+        ).alias("winsorized_mean"),
     )
 
 
@@ -973,11 +1033,9 @@ def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
-# migrations; tests/test_winsorized_sketch_staged.py includes the
-# falsifiability check — a deliberately broken bound flags 0). r10 flips
-# it to @register("winsorized_bounds_sketch_certified",
-# oracle=WINSORIZED_SKETCH_ORACLE, ...).
+# Registered round 10 (staged in r9; tests/test_winsorized_sketch_staged.py
+# includes the falsifiability check — a deliberately broken bound flags 0;
+# seat displaced from r9 by the tie-audit migrations).
 # ---------------------------------------------------------------------------
 
 WINSORIZED_SKETCH_ORACLE = """
@@ -995,6 +1053,11 @@ FROM lineitem GROUP BY 1
 _WS_ACCURACY = 10_000
 
 
+@register(
+    "winsorized_bounds_sketch_certified",
+    oracle=WINSORIZED_SKETCH_ORACLE,
+    tags=("dataprep", "percentile", "sketch", "certified"),
+)
 def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP certified sketch bounds — the at-scale half of the
     winsorization adjudication, closed.

@@ -253,10 +253,10 @@ _TTC_ORACLE = """
       QUALIFY event_type = 'purchase' AND delta_us IS NOT NULL
     )
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(CAST(sum(delta_us) AS DOUBLE) / nullif(count(*), 0)
-                 / 1000000, 6) AS mean_sec,
-           round(quantile_cont(delta_us, 0.5) / 1000000, 6) AS median_sec,
-           round(quantile_cont(delta_us, 0.9) / 1000000, 6) AS p90_sec
+           floor(CAST(sum(delta_us) AS DOUBLE) / nullif(count(*), 0))
+             / 1000000.0 AS mean_sec,
+           floor(quantile_cont(delta_us, 0.5)) / 1000000.0 AS median_sec,
+           floor(quantile_cont(delta_us, 0.9)) / 1000000.0 AS p90_sec
     FROM paired
 """
 
@@ -273,6 +273,16 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     track. Mean is computed as exact BIGINT Σ / n (no double
     accumulation); the percentiles interpolate over exact integer
     microsecond deltas, identical on both engines.
+
+    Floor-to-microseconds display (round-10): the r9 tie audit measured
+    median_sec 0.27 ulps (sf0.001) / 0.40 ulps (sf0.1) from a round(,6)
+    half-boundary — interpolated midpoints of integer microseconds land
+    exactly on .5 µs, the cross-engine round() divergence class. The
+    µs-precision doubles are bit-identical cross-engine by construction
+    (same IEEE division of exact integers), so each stat is floor()ed to
+    whole µs (floor is the same function on both engines, negatives
+    included) then divided once by 1e6 — exact integer in, correctly
+    rounded double out.
 
     Scale: one user-keyed window pass builds the pairing; the rollup is a
     single 1-row aggregation (exact percentile here; the certified
@@ -301,30 +311,30 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         # try_divide: zero conversions is a legal corpus state (ANSI mode
         # aborts on the 0 count where the oracle's NULL/0 yields NULL)
-        F.round(
-            F.try_divide(
-                F.sum("delta_us").cast("double"), F.count(F.lit(1))
+        (
+            F.floor(
+                F.try_divide(
+                    F.sum("delta_us").cast("double"), F.count(F.lit(1))
+                )
             )
-            / 1_000_000,
-            6,
+            / F.lit(1_000_000.0)
         ).alias("mean_sec"),
-        F.round(F.percentile("delta_us", F.lit(0.5)) / 1_000_000, 6).alias(
-            "median_sec"
-        ),
-        F.round(F.percentile("delta_us", F.lit(0.9)) / 1_000_000, 6).alias(
-            "p90_sec"
-        ),
+        (
+            F.floor(F.percentile("delta_us", F.lit(0.5)))
+            / F.lit(1_000_000.0)
+        ).alias("median_sec"),
+        (
+            F.floor(F.percentile("delta_us", F.lit(0.9)))
+            / F.lit(1_000_000.0)
+        ).alias("p90_sec"),
     )
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r10 REGISTRATION: oracle-verified + invariance-tested
-# (tests/test_logreg_staged.py pins the closed-form optimum and the
-# round(,6) boundary margins); its planned r9 seat was displaced by the
-# round-tie-audit migrations (6 registered queries sat ON or within one
-# ulp of a cross-engine round() tie and took the changed-code seats).
-# r10 flips it to @register("logreg_newton_lang",
-# oracle=LOGREG_NEWTON_ORACLE, ...) first.
+# Registered round 10 (staged + fully verified in r8/r9: tests/
+# test_logreg_staged.py pins the closed-form optimum and the round(,6)
+# boundary margins; its planned r9 seat was displaced by the round-tie-
+# audit migrations under the changed-code-beats-registration rule).
 # ---------------------------------------------------------------------------
 
 # Cross-engine float contract: every Newton update is the SAME IEEE-double
@@ -380,6 +390,11 @@ FROM i3
 """
 
 
+@register(
+    "logreg_newton_lang",
+    oracle=LOGREG_NEWTON_ORACLE,
+    tags=("mlstats", "iterative", "regression"),
+)
 def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression trained IN the engine by 3 Newton-Raphson (IRLS)
     steps: P(lang = 'en' | n_chars), the distributed iterative-optimization
@@ -443,10 +458,9 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
-# migrations; tests/test_bootstrap_staged.py pins weights, dtypes, split
-# invariance, and cross-engine quantile interpolation bits). r10 flips it
-# to @register("bootstrap_ci_order_value", oracle=BOOTSTRAP_CI_ORACLE, ...).
+# Registered round 10 (staged in r9; tests/test_bootstrap_staged.py pins
+# weights, dtypes, split invariance, and cross-engine quantile
+# interpolation bits; seat displaced from r9 by the tie-audit migrations).
 # ---------------------------------------------------------------------------
 
 # Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), written as exact
@@ -535,6 +549,11 @@ FROM base JOIN (
 """
 
 
+@register(
+    "bootstrap_ci_order_value",
+    oracle=BOOTSTRAP_CI_ORACLE,
+    tags=("mlstats", "bootstrap", "resampling"),
+)
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval of mean order value per
     priority — the standard one-pass distributed resampling estimator

@@ -28,13 +28,13 @@ from talkinghead_datapipeline_spark.queries import register
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
              AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                 / 10000.0, 2)                                              AS sum_disc_price,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                     * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-                 / 1000000.0, 2)                                            AS sum_charge,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            // 100) / 100.0                                                 AS sum_disc_price,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+            // 10000) / 100.0                                               AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
                  / count(*), 6)                                             AS avg_price,
@@ -69,19 +69,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
     tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
     n = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    agged = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-        F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(
-            F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
-        ).alias("sum_charge"),
+        F.sum(price_c * (100 - disc_c)).alias("_sd4"),
+        F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("_sc6"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.sum(price_c) / 100.0 / n, 6).alias("avg_price"),
         F.round(F.sum(disc_c) / 100.0 / n, 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+    # sum_disc_price / sum_charge display is floor-to-cents (round-10):
+    # the r9 tie audit measured sum_disc_price 0.34 ulps from a half-cent
+    # round() tie at sf0.1 — `div` (= floor on these non-negative sums,
+    # identical in both engines) then one exact /100.0 replaces the
+    # round(sum_units/10^u, 2) idiom. sum_base_price keeps round(): its
+    # cent-sum /100.0 is already exactly a 2-decimal value, never at a
+    # tie. sum_charge units peak ~5e15 (int64-safe); its cent quotient
+    # ~5e11 is inside 2^53, so the /100.0 is correctly rounded.
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        (F.expr("_sd4 div 100") / F.lit(100.0)).alias("sum_disc_price"),
+        (F.expr("_sc6 div 10000") / F.lit(100.0)).alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
     )
 
 
@@ -96,9 +112,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_cust AS (
       SELECT c_mktsegment, c_custkey,
-             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                   / 10000.0, 2) AS revenue,
+             (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              // 100) / 100.0 AS revenue,
              count(DISTINCT o_orderkey) AS n_orders
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -136,9 +152,12 @@ def flagship_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-order-invariant, and — unlike the DECIMAL(18,4) form also
     measured (1.5-1.8s) — free: 1.0s at sf0.1, the double form's cost.
     Per-customer sums peak ~10^11 units, far inside both int64 and the
-    2^53 double mantissa, so the final /10000.0 division is correctly
-    rounded and identical on both engines. This is the template for the
-    money-aggregate class (tracked in the registry conventions)."""
+    2^53 double mantissa; the display is floor-to-cents (`div 100` then
+    one exact /100.0, round-10) because round(sum4/10000.0, 2) re-enters
+    the cross-engine .5-tie class whenever sum4 % 2500 == 1250 — the r9
+    tie audit measured this query 0.125 ulps from such a tie at sf0.001.
+    This is the template for the money-aggregate class (tracked in the
+    registry conventions)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
     li = load_table(spark, sf_dir, "lineitem")
@@ -152,8 +171,19 @@ def flagship_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
-            F.round(F.sum("_rev4") / 10000.0, 2).alias("revenue"),
+            F.sum("_rev4").alias("_rev4s"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        # floor-to-cents display (round-10): `div 100` then one exact
+        # /100.0 — round(sum4/10000.0, 2) is the cross-engine .5-tie
+        # idiom (ADVICE r8 / q15 class); the r9 tie audit measured this
+        # query's revenue cell 0.125 ulps from a half-cent tie at
+        # sf0.001. div == floor here: _rev4s >= 0 by construction.
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            (F.expr("_rev4s div 100") / F.lit(100.0)).alias("revenue"),
+            "n_orders",
         )
     )
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -247,9 +277,9 @@ def e6_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_join_chain_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            // 100) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -290,14 +320,16 @@ def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("_rev4")
+        )
+        # floor-to-cents display (round-10, flagship template): div ==
+        # floor on the non-negative sum; round(sum4/10000.0, 2) is the
+        # cross-engine half-cent-tie idiom retired this round.
+        .select(
+            "n_name", (F.expr("_rev4 div 100") / F.lit(100.0)).alias("revenue")
         )
     )
 
@@ -306,9 +338,9 @@ def q5_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
     SELECT l_orderkey,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            // 100) / 100.0 AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -343,15 +375,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("_rev4")
         )
+        # floor-to-cents display (round-10, flagship template) — and the
+        # top-k now ranks on the exact cent value, so a layout-dependent
+        # ulp can neither flip a cent nor reorder the limit.
+        .withColumn("revenue", F.expr("_rev4 div 100") / F.lit(100.0))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")

@@ -737,16 +737,32 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_RUN_CACHE: dict = {}
 
 
-def _staged_late_run(spark: SparkSession, sf_dir: str):
+def _stream_run_key(spark: SparkSession, sf_dir: str):
+    """Memoization key for the staged streaming runs. Keyed on the confs
+    the invariance axes vary (shuffle partitions, AQE) so those still
+    trigger a genuine re-run; other confs intentionally share the cached
+    run. Escape hatch (ADVICE r9): set SPARK_GRAFT_STREAMING_NO_CACHE=1
+    to force a fresh run every call — required for run-to-run
+    NONdeterminism probes, where the memo would silently turn the second
+    run into a replay of the first, or when varying a determinism-
+    relevant conf the key does not capture."""
+    if os.environ.get("SPARK_GRAFT_STREAMING_NO_CACHE"):
+        return None
     # Typed confs validate their default against the conf's type, so pass
     # type-correct defaults (the values themselves only need to be stable
     # within a session for the cache key to be sound).
-    key = (
+    return (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         spark.conf.get("spark.sql.shuffle.partitions", "200"),
         spark.conf.get("spark.sql.adaptive.enabled", "true"),
     )
+
+
+def _staged_late_run(spark: SparkSession, sf_dir: str):
+    key = _stream_run_key(spark, sf_dir)
+    if key is None:
+        return _staged_late_run_uncached(spark, sf_dir)
     if key not in _LATE_RUN_CACHE:
         _LATE_RUN_CACHE[key] = _staged_late_run_uncached(spark, sf_dir)
     return _LATE_RUN_CACHE[key]
@@ -909,7 +925,7 @@ def streaming_late_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r10 REGISTRATION: session windows under late data — the
+# Registered round 10: session windows under late data — the
 # stateful-merge twin of the tumbling late-data pair above, over the same
 # 3-file straggler arrival. Session state is MERGED (not keyed by a fixed
 # window), so the late-data story is materially different; every contract
@@ -1048,12 +1064,9 @@ FROM (SELECT user_id, s_us, e_us, n FROM emit2
 
 
 def _staged_session_late_run(spark: SparkSession, sf_dir: str):
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        spark.conf.get("spark.sql.shuffle.partitions", "200"),
-        spark.conf.get("spark.sql.adaptive.enabled", "true"),
-    )
+    key = _stream_run_key(spark, sf_dir)
+    if key is None:
+        return _staged_session_late_run_uncached(spark, sf_dir)
     if key not in _SESSION_RUN_CACHE:
         _SESSION_RUN_CACHE[key] = _staged_session_late_run_uncached(
             spark, sf_dir
@@ -1130,6 +1143,11 @@ def _staged_session_late_run_uncached(spark: SparkSession, sf_dir: str):
     return metrics, sink
 
 
+@register(
+    "streaming_session_late_metrics",
+    oracle=STREAMING_SESSION_LATE_METRICS_ORACLE,
+    tags=("streaming", "watermark", "session"),
+)
 def streaming_session_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch input and dropped-by-watermark counts for a SESSION
     aggregation under the 3-batch straggler arrival — certifying contract
@@ -1152,6 +1170,11 @@ def streaming_session_late_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "streaming_session_late_sink",
+    oracle=STREAMING_SESSION_LATE_SINK_ORACLE,
+    tags=("streaming", "watermark", "session"),
+)
 def streaming_session_late_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SINK side of the staged session-late run: which merged sessions
     the append-mode session aggregation emitted, batch by batch, while

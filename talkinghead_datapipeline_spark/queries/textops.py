@@ -1760,10 +1760,9 @@ def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r10 REGISTRATION (seat displaced by the r9 tie-audit
-# migrations; tests/test_chunking_staged.py pins reassembly, grid algebra,
-# the map-only plan, and split invariance). r10 flips it to
-# @register("doc_chunk_overlap", oracle=DOC_CHUNK_ORACLE, ...).
+# Registered round 10 (staged in r9; tests/test_chunking_staged.py pins
+# reassembly, grid algebra, the map-only plan, and split invariance; seat
+# displaced from r9 by the tie-audit migrations).
 # ---------------------------------------------------------------------------
 
 # Chunk grid: 200-char windows, stride 150 (50-char overlap) — the standard
@@ -1789,6 +1788,11 @@ WHERE d.n_chars > 0
 """
 
 
+@register(
+    "doc_chunk_overlap",
+    oracle=DOC_CHUNK_ORACLE,
+    tags=("text", "chunking", "explode"),
+)
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (200-char windows, stride 150) — the
     retrieval/context-packing preprocessing pass, emitted WITH the chunk

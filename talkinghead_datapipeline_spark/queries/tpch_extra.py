@@ -117,9 +117,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_customers",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            // 100) / 100.0 AS revenue,
            round(c_acctbal, 2) AS acctbal
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -138,7 +138,9 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: lost-revenue ranking. Facts join on pruned date/returnflag
     slices; nation is a 25-row broadcast; top-20 is TakeOrderedAndProject
     (no global sort materialization). Integer-cents revenue (round-8
-    money convention) — the rank key is exact, so the top-20 cannot
+    money convention) with a floor-to-cents display (round-10, flagship
+    template — round(sum4/10000.0, 2) is the retired cross-engine
+    half-cent-tie idiom) — the rank key is exact, so the top-20 cannot
     reorder with input layout."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -152,7 +154,8 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(_rev_units()) / 10000.0, 2).alias("revenue"))
+        .agg(F.sum(_rev_units()).alias("_rev4"))
+        .withColumn("revenue", F.expr("_rev4 div 100") / F.lit(100.0))
         .select(
             "c_custkey",
             "c_name",

@@ -321,9 +321,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (100 - disc_cents), cost4 = retail_cents x 10 x qty (0.1 dollars =
     retail_cents x 10 units exactly; l_quantity is integral) — so the
     per-group sum is exact and possibly NEGATIVE: display is one unrounded
-    /10000.0 (bit-identical cross-engine; `div`/floor differ on negatives
-    between engines, round(,4) is the .5-tie class — neither enters the
-    path)."""
+    /10000.0 (bit-identical cross-engine). Note for future signed-value
+    migrations (ADVICE r9): floor() rounds toward -inf IDENTICALLY in
+    Spark and DuckDB and is safe on negatives — it is integer `div`
+    (Spark, truncates toward zero) vs `//` (DuckDB, floors) that diverge
+    on negative operands, and round(,4) that is the .5-tie class; those
+    two stay out of this path."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")

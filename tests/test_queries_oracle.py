@@ -145,61 +145,50 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-9 canaries: every query whose implementation (or output
+    # round-10 canaries: every query whose implementation (or output
     # contract) changed after its last green driver row holds a seat —
-    # the 12 money/round-tie migrations (VERDICT r8 #1/#2, ADVICE r8
-    # medium) plus the six r9 registrations (never certified yet, so they
-    # lead their section of the window per the governor above).
+    # the 7 display-idiom near-tie migrations (the residue queued by the
+    # r9 rotation comment + VERDICT r9 #3) plus the six r10 registrations
+    # (never certified yet, so they lead their section of the window per
+    # the governor above).
     canaries = {
-        # money q-class -> exact integer units
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_type_profit",
-        "q14_promo_revenue_ratio",
-        "q19_disjunctive_revenue",
-        "q22_dormant_rich_customers",
-        # money column sites
-        "equi_depth_deciles",
-        "revenue_mom_growth",
-        "q17_below_avg_quantity",
-        # round-tie migrations (VERDICT r8 #2 + ADVICE r8 medium)
+        # round(sum_units/10^u, 2) displays -> floor-to-cents
+        "flagship_segment_leaders",
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_join_chain_revenue",
+        "q10_returned_item_customers",
+        # round(,6)/round(,4) stats -> floor-µs / exact decomposition
+        "time_to_convert_stats",
         "winsorized_price_stats",
-        "q15_top_supplier",
-        # round-tie-audit migrations (VERDICT r8 #4: 3 exact ties +
-        # 3 sub-ulp near-ties; text_quality_score's seat lives in the
-        # r4-era drain)
-        "gopher_repetition_signals",
-        "bpe_apply_merges",
-        "source_overlap_matrix",
-        "dedup_keep_best_quality",
-        "a2en_feature_assembly",
-        "text_quality_score",
-        # r9 registrations (staged r8; the other four staged queries
-        # stay unregistered until r10 — their seats went to the audit
-        # migrations)
-        "streaming_late_data_metrics",
-        "streaming_late_sink_counts",
+        # r10 registrations (staged r8/r9)
+        "logreg_newton_lang",
+        "bootstrap_ci_order_value",
+        "doc_chunk_overlap",
+        "winsorized_bounds_sketch_certified",
+        "streaming_session_late_metrics",
+        "streaming_session_late_sink",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor (VERDICT r8 #1 done-criterion): the full r4-era tier
-    # is seated, so after r9 no key's latest green row predates r5.
-    r4_era = {
-        "flame_decode_landmarks", "json_props_extract", "lang_id_heuristic",
-        "multimodal_binary_features", "multimodal_frame_sample",
-        "multimodal_image_channel_means", "n10_bbox_transform_chain",
-        "n14_code_split", "pack_token_budget", "profile_documents",
-        "range_interval_join", "s5_blink_features", "s7_resample_linear",
-        "sim_brute_cosine_topk", "sim_cosine_topk_per_label",
-        "sim_ivf_probe_topk", "sim_lsh_bucket_topk", "simhash_fingerprint",
-        "simhash_hamming_near_dups", "skew_salted_quantity_rollup",
-        "split_train_val_test", "stratified_sample_by_lang",
-        "string_functions_suite", "table_profile_orders",
-        "text_bpe_token_count", "text_quality_score", "text_token_stats",
-        "wav2vec_features_stub", "weighted_sample_by_length",
-        "wide_source_assembly", "window_rank_suite",
+    # Staleness floor (VERDICT r9 staleness directive): the full r5-era
+    # tier is seated, so after r10 no key's latest green row predates r6.
+    r5_era = {
+        "class_balanced_scale_path", "dedup_exact_groups",
+        "emb_near_dup_pairs", "flame_render_pipeline",
+        "n12_emoca_bbox_pipeline", "n12_rolling_extent",
+        "n23_window_mean_edgepad", "ngram_jaccard_near_dups",
+        "paragraph_dedup_stats", "pii_redact_stats",
+        "pivot_status_by_segment", "q11_important_part_values",
+        "q12_priority_by_linestatus", "q13_customer_order_distribution",
+        "q16_supplier_part_counts", "q18_large_volume_orders",
+        "q20_excess_share_suppliers", "q21_lone_blamed_supplier",
+        "q2_min_cost_supplier", "q4_priority_order_counts",
+        "running_sum_per_user", "s6_sliding_mean", "s8_savgol_exact",
+        "s8_savgol_fir", "s9_tumbling_hourly", "s9_tumbling_volume",
+        "sessionize_users", "skew_salted_join_revenue",
+        "stratified_sample_scale_path", "variant_props_extract",
     }
-    assert r4_era <= prefix, f"unseated r4-era keys: {sorted(r4_era - prefix)}"
+    assert r5_era <= prefix, f"unseated r5-era keys: {sorted(r5_era - prefix)}"
 
 
 

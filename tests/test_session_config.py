@@ -38,19 +38,16 @@ def test_shuffle_partitions_track_core_count(spark):
 def test_bench_headline_keys_all_registered():
     """bench.py silently skips HEADLINE names missing from the registry
     (by design, for forward-compat) — so a typo'd key would quietly
-    shrink the benchmark. Pin that every current key resolves, with an
-    explicit allowlist for keys pre-listed ahead of their registration
-    (round-9: the two r10-deferred staged queries — the filter skipping
-    them is the documented intent, not a typo)."""
+    shrink the benchmark. Pin that every current key resolves. (The r9
+    string allowlist for pre-registration staged names is gone: ADVICE r9
+    flagged that a typo in a pre-listed name would pass silently, and the
+    r10 registrations made the allowlist empty anyway — any future staged
+    pre-listing must re-derive its allowlist from the staged symbols, not
+    hard-coded strings.)"""
     import bench
 
     from talkinghead_datapipeline_spark.queries import all_queries
 
-    staged_for_r10 = {"doc_chunk_overlap", "logreg_newton_lang"}
-    missing = [
-        n
-        for n in bench.HEADLINE
-        if n not in all_queries() and n not in staged_for_r10
-    ]
+    missing = [n for n in bench.HEADLINE if n not in all_queries()]
     assert not missing, f"HEADLINE keys not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate keys"

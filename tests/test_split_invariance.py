@@ -90,6 +90,17 @@ _REPRESENTATIVES = (
     # reproduce the UNsalted plans' frames bit-for-bit under every axis.
     "skew_salted_join_revenue",
     "skew_salted_quantity_rollup",
+    # round-10 display-idiom migrations + registrations: every changed or
+    # newly registered query joins the pinned set with its change (house
+    # rule). flagship/q1/q3/q5/q10/winsorized_price_stats were already
+    # pinned above and carry their r10 floor-display forms.
+    "time_to_convert_stats",  # floor-µs mean/median/p90
+    "logreg_newton_lang",  # 3 iterations of 5-stat aggregate folds
+    "bootstrap_ci_order_value",  # seeded replicate means + quantiles
+    "doc_chunk_overlap",  # map-only chunk grid + substring
+    "winsorized_bounds_sketch_certified",  # GK sketch merge + rank verify
+    "streaming_session_late_metrics",  # session-state late-drop counts
+    "streaming_session_late_sink",  # session evict/restart emission
 )
 
 

@@ -1,0 +1,97 @@
+"""Exact Mann-Whitney AUC (STAGED for r11).
+
+Oracle differential plus a brute-force pin: the tie-corrected rank
+identity must equal the O(P*N) pairwise definition
+AUC = (#{pos > neg} + 0.5 * #{pos == neg}) / (P*N) computed directly in
+numpy, and a 4-split re-layout must reproduce the exact integer
+statistic bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from talkinghead_datapipeline_spark.queries.mlstats import (
+    AUC_MANN_WHITNEY_ORACLE,
+    auc_mann_whitney_lang,
+)
+from tests.oracle_harness import run_compare
+
+
+def test_staged_oracle_matches(spark, sf_dir):
+    res = run_compare(
+        spark,
+        sf_dir,
+        "auc_mann_whitney_lang",
+        auc_mann_whitney_lang,
+        AUC_MANN_WHITNEY_ORACLE,
+    )
+    assert res.ok, res.mismatches
+
+
+def test_matches_pairwise_definition(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        .toPandas()
+    )
+    pos = pdf.loc[pdf["y"] == 1, "score"].to_numpy()
+    neg = pdf.loc[pdf["y"] == 0, "score"].to_numpy()
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    row = auc_mann_whitney_lang(spark, sf_dir).first()
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    # 2U = 2*#{pos>neg} + #{pos==neg}, exactly
+    assert row.two_u == 2 * int(gt) + int(eq)
+    want_ppm = (row.two_u * 1_000_000) // (2 * len(pos) * len(neg))
+    assert row.auc_ppm == want_ppm
+
+
+def test_degenerate_single_class_yields_null(spark, tmp_path):
+    """A corpus with only one class has no pairs to rank: auc_ppm must be
+    NULL (nullif guard) on the Spark side, matching the oracle's NULL."""
+    spark.createDataFrame(
+        [(1, "en", "t", "s", 10)],
+        "doc_id bigint, lang string, text string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = auc_mann_whitney_lang(spark, str(tmp_path)).first()
+    assert row.n_neg == 0 and row.auc_ppm is None
+
+
+def test_split_invariance_bit_exact(spark, sf_dir, tmp_path):
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    df.repartition(4).write.parquet(str(tmp_path / "documents.parquet"))
+    base = auc_mann_whitney_lang(spark, sf_dir).toPandas()
+    split = auc_mann_whitney_lang(spark, str(tmp_path)).toPandas()
+    assert base.equals(split)
+
+
+def test_conf_axis_invariance_bit_exact(spark, sf_dir):
+    """The other two invariance axes (shuffle partition count, AQE
+    toggle) must also reproduce the frame exactly — partial-merge order
+    cannot move an exact-integer pipeline."""
+    base = auc_mann_whitney_lang(spark, sf_dir).toPandas()
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "false" if aqe == "true" else "true",
+        )
+        alt = auc_mann_whitney_lang(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert base.equals(alt)

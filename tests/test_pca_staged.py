@@ -1,0 +1,116 @@
+"""Power-iteration PCA over document features (STAGED for r11).
+
+Oracle differential plus the analytic pins behind the staging comment's
+claims: the 3-step iterate must align with numpy's exact top eigenvector
+(the eigengap-dominance claim), the eigengap itself must stay large
+enough on the fixtures for that claim to keep holding, the sign anchor
+must sit far from its boundary, and a 4-split re-layout must reproduce
+every micro unit exactly (the shared-expression bit-identity claim).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from talkinghead_datapipeline_spark.queries.mlstats import (
+    PCA_POWER_ORACLE,
+    pca_power_doc_features,
+)
+from tests.oracle_harness import run_compare
+
+
+def test_staged_oracle_matches(spark, sf_dir):
+    res = run_compare(
+        spark,
+        sf_dir,
+        "pca_power_doc_features",
+        pca_power_doc_features,
+        PCA_POWER_ORACLE,
+    )
+    assert res.ok, res.mismatches
+
+
+def _features_numpy(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    pdf = docs.select(
+        F.col("n_chars").cast("double").alias("x1"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias("x2"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("double").alias("x3"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double")
+        .alias("x4"),
+    ).toPandas()
+    return pdf.to_numpy()
+
+
+def test_converges_to_numpy_top_eigvec(spark, sf_dir):
+    X = _features_numpy(spark, sf_dir)
+    C = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    row = pca_power_doc_features(spark, sf_dir).first()
+    v = np.array(
+        [row.loading1_micro, row.loading2_micro,
+         row.loading3_micro, row.loading4_micro],
+        dtype=np.float64,
+    ) / 1e6
+    # unit-ish (floor-micro truncation only)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # floor-micro truncation of 4 components costs up to ~2e-6 in the
+    # dot product; the convergence residual itself is ~(l2/l1)^3 ~ 1e-11
+    assert abs(abs(v @ top) - 1.0) < 5e-6, (v, top)
+    assert abs(row.lambda1_micro / 1e6 - evals[-1]) < evals[-1] * 1e-6
+
+
+def test_eigengap_keeps_convergence_claim_valid(spark, sf_dir):
+    """The 3-iteration convergence argument needs lambda1 >> lambda2
+    ((l2/l1)^3 residual). Pin the measured dominance so a future fixture
+    regeneration that flattens the spectrum fails HERE, not as a silent
+    drift of the certified output's meaning."""
+    X = _features_numpy(spark, sf_dir)
+    evals = np.linalg.eigvalsh(np.cov(X, rowvar=False))
+    assert evals[-1] / max(evals[-2], 1e-300) > 100
+
+
+def test_sign_anchor_far_from_boundary(spark, sf_dir):
+    """The sign fix anchors on the n_chars loading; it must stay far from
+    zero (measured ~0.76 on every fixture SF)."""
+    row = pca_power_doc_features(spark, sf_dir).first()
+    assert row.loading1_micro > 500_000
+
+
+def test_split_invariance_bit_exact(spark, sf_dir, tmp_path):
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    df.repartition(4).write.parquet(str(tmp_path / "documents.parquet"))
+    base = pca_power_doc_features(spark, sf_dir).toPandas()
+    split = pca_power_doc_features(spark, str(tmp_path)).toPandas()
+    assert base.equals(split)
+
+
+def test_conf_axis_invariance_bit_exact(spark, sf_dir):
+    """The other two invariance axes (shuffle partition count, AQE
+    toggle) must also reproduce the frame exactly — partial-merge order
+    cannot move an exact-integer pipeline."""
+    base = pca_power_doc_features(spark, sf_dir).toPandas()
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "false" if aqe == "true" else "true",
+        )
+        alt = pca_power_doc_features(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert base.equals(alt)

@@ -166,8 +166,16 @@ def audit_query(con, name: str, sql: str, time_budget_s: float = 60.0):
                 ties.append({"col": cname, "k": k, "values": at[:5]})
     if not per_col:
         return None
-    overall = min(v["min_margin"] for v in per_col.values())
-    overall_ulps = min(v["min_margin_ulps"] for v in per_col.values())
+    # Headline figures come from MAPPED columns only (those tied to an
+    # actual round(x, k) call in the oracle). Unmapped '?' entries are
+    # speculative what-if measurements of columns with no round at all —
+    # e.g. a floor-display migrated off round() would otherwise keep
+    # reporting its pre-migration phantom tie (observed round 10 on
+    # q1_pricing_summary: a 0.16-ulp headline from sum_charge@k=6? after
+    # the column had no round left). They stay in `columns` for reading.
+    mapped = {k: v for k, v in per_col.items() if v["mapped"]} or per_col
+    overall = min(v["min_margin"] for v in mapped.values())
+    overall_ulps = min(v["min_margin_ulps"] for v in mapped.values())
     return {
         "query": name,
         "min_margin": overall,

@@ -799,3 +799,140 @@ def diurnal_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             rk.cast("bigint").alias("busy_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r11 REGISTRATION: Nelson-Aalen hazard table of time to first
+# purchase — the survival-analysis class (the risk-set/censoring estimator
+# behind every "when do users convert/churn" curve; nothing in the
+# registry certifies a risk-set statistic). The event is a user's FIRST
+# purchase, clocked in hours from their first event; users who never
+# purchase are right-censored at their last observed event — they count
+# in every risk set up to their observed time but never as events,
+# exactly the classical treatment. (A 7-day-inactivity churn event was
+# probed first and rejected: the events fixture spans ~29 days with <= 2
+# days of max inactivity, so that cutoff has ZERO events at every SF;
+# the purchase event yields ~75 distinct hour-grain steps at sf0.01.)
+# Verified by tests/test_survival_staged.py.
+#
+# Design for exactness: the classical Kaplan-Meier survival product
+# Π(1 − d_i/n_i) and the real-valued Nelson-Aalen cumulative hazard
+# Σ d_i/n_i are sequential folds over rationals — not associative in
+# doubles, so not certifiable bit-exactly. Instead each per-step hazard
+# is quantized FIRST to an exact integer (d_i*1e6 div n_i — floor-ppm of
+# a rational, deterministic), and the cumulative hazard is then an exact
+# associative BIGINT prefix sum of those integers: the standard estimator
+# up to 1e-6 quantization per step, with every column integer end-to-end.
+# ---------------------------------------------------------------------------
+
+NELSON_AALEN_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_buy_us
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT (COALESCE(first_buy_us, last_us) - first_us) // 3600000000
+           AS t_hours,
+         CASE WHEN first_buy_us IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM u
+),
+h AS (
+  SELECT t_hours,
+         CAST(count(*) AS BIGINT) AS n_here,
+         CAST(sum(event) AS BIGINT) AS d_events
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t_hours, n_here, d_events,
+         CAST(sum(n_here) OVER () AS BIGINT)
+           - CAST(COALESCE(sum(n_here) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_at_risk
+  FROM h
+),
+steps AS (
+  SELECT t_hours, d_events, n_at_risk,
+         (d_events * 1000000) // n_at_risk AS hazard_ppm
+  FROM risk WHERE d_events > 0
+)
+SELECT CAST(t_hours AS BIGINT) AS t_hours, d_events, n_at_risk,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY t_hours
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm
+FROM steps ORDER BY t_hours
+"""
+
+
+def nelson_aalen_conversion_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen-style hazard table of time to first purchase: per
+    distinct event time (hours from a user's first event to their first
+    purchase), the number at risk, the conversion events, the per-step
+    hazard, and the cumulative hazard — the survival curve behind "how
+    long does intent take to convert", with users who never purchase
+    right-censored at their last observed event (in the risk set up to
+    their observed time, never an event — the classical treatment).
+
+    Scale shape: one user-grain aggregation of the event stream (the only
+    data-sized shuffle), then an event-time-grain histogram whose prefix
+    windows run over distinct-hour cardinality (bounded by corpus span,
+    not rows).
+
+    Determinism (fully exact, integers end-to-end): event times are exact
+    integer-µs arithmetic floored to hours (`div`: the spans are
+    non-negative); the risk set is a total-minus-prefix of exact counts;
+    each hazard step is the floor-ppm integer quotient of a rational (see
+    the staging comment for why the cumulative hazard sums these
+    quantized integers instead of folding raw rationals in doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_buy_us"
+        ),
+    )
+    obs = u.select(
+        F.expr(
+            "(COALESCE(first_buy_us, last_us) - first_us) div 3600000000"
+        ).alias("t_hours"),
+        F.col("first_buy_us").isNotNull().cast("bigint").alias("event"),
+    )
+    h = obs.groupBy("t_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_here"),
+        F.sum("event").cast("bigint").alias("d_events"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.orderBy("t_hours").rowsBetween(W.unboundedPreceding, -1)
+    risk = h.select(
+        "t_hours",
+        "d_events",
+        (
+            F.sum("n_here").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("n_here").over(w_before), F.lit(0)).cast(
+                "bigint"
+            )
+        ).alias("n_at_risk"),
+    )
+    steps = risk.filter(F.col("d_events") > 0).withColumn(
+        "hazard_ppm", F.expr("(d_events * 1000000) div n_at_risk")
+    )
+    w_cum = W.orderBy("t_hours").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return steps.select(
+        F.col("t_hours").cast("bigint").alias("t_hours"),
+        "d_events",
+        "n_at_risk",
+        F.col("hazard_ppm").cast("bigint").alias("hazard_ppm"),
+        F.sum("hazard_ppm").over(w_cum).cast("bigint").alias(
+            "cum_hazard_ppm"
+        ),
+    ).orderBy("t_hours")

@@ -128,10 +128,15 @@ _MODULES = (
 #  4. 7 seats of r6-era drain, oldest-first alphabetical.
 #
 # r11 rotation (write the final comment the same day the r10 artifacts
-# land): (1) any r11 changed-code canaries first; (2) the remaining 30
-# r6-era keys (37 - 7 drained here); (3) r7-era oldest-first with the
-# leftover seats. No registrations are staged for r11 yet — if r11 adds
-# queries, the governor caps the batch at (50 - backlog) seats.
+# land): (1) any r11 changed-code canaries first; (2) the FOUR queries
+# staged later in r10 — kfold_linreg_cv, pca_power_doc_features,
+# auc_mann_whitney_lang (queries/mlstats.py) and
+# nelson_aalen_conversion_hazard (queries/behavior.py), all
+# oracle-verified at three SFs with three-axis invariance pinned in
+# their test_*_staged.py files — register WITH seats; (3) the remaining
+# 30 r6-era keys (37 - 7 drained here); (4) r7-era oldest-first with the
+# leftover seats. The governor caps any further r11 registrations at
+# (50 - backlog) seats.
 _DRIVER_PRIORITY = (
     # --- 1. round-10 changed-code canaries (display-idiom migrations) ---
     "flagship_segment_leaders",  # floor-to-cents revenue; r8-era seat

@@ -746,7 +746,12 @@ def _stream_run_key(spark: SparkSession, sf_dir: str):
     NONdeterminism probes, where the memo would silently turn the second
     run into a replay of the first, or when varying a determinism-
     relevant conf the key does not capture."""
-    if os.environ.get("SPARK_GRAFT_STREAMING_NO_CACHE"):
+    if os.environ.get("SPARK_GRAFT_STREAMING_NO_CACHE", "").lower() not in (
+        "",
+        "0",
+        "false",
+        "no",
+    ):
         return None
     # Typed confs validate their default against the conf's type, so pass
     # type-correct defaults (the values themselves only need to be stable

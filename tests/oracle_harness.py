@@ -118,3 +118,43 @@ def run_compare(spark, sf_dir: str, name: str, spark_fn, oracle: str) -> Compare
     finally:
         con.close()
     return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+def _canon_frame(pdf):
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def assert_split_invariance(spark, sf_dir, tmp_path, query_fn, table):
+    """Axis 1 of the three-axis invariance contract for a staged query:
+    a 4-file re-layout of its input table must reproduce the frame
+    bit-for-bit (canonical column/row order; exact value equality)."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, table).repartition(4).write.parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+    base = _canon_frame(query_fn(spark, sf_dir).toPandas())
+    split = _canon_frame(query_fn(spark, str(tmp_path)).toPandas())
+    assert base.equals(split), f"{table}: layout-dependent result"
+
+
+def assert_conf_axis_invariance(spark, sf_dir, query_fn):
+    """Axes 2+3: shuffle-partition count and AQE toggle must reproduce the
+    frame exactly — partial-merge order cannot move an exact pipeline.
+    Restores both confs even on failure (a leaked setting would skew every
+    later test in the shared session)."""
+    base = _canon_frame(query_fn(spark, sf_dir).toPandas())
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "false" if aqe == "true" else "true",
+        )
+        alt = _canon_frame(query_fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert base.equals(alt), "conf-axis-dependent result"

@@ -68,30 +68,14 @@ def test_degenerate_single_class_yields_null(spark, tmp_path):
 
 
 def test_split_invariance_bit_exact(spark, sf_dir, tmp_path):
-    from talkinghead_datapipeline_spark.catalog import load_table
+    from tests.oracle_harness import assert_split_invariance
 
-    df = load_table(spark, sf_dir, "documents")
-    df.repartition(4).write.parquet(str(tmp_path / "documents.parquet"))
-    base = auc_mann_whitney_lang(spark, sf_dir).toPandas()
-    split = auc_mann_whitney_lang(spark, str(tmp_path)).toPandas()
-    assert base.equals(split)
+    assert_split_invariance(spark, sf_dir, tmp_path, auc_mann_whitney_lang, "documents")
 
 
 def test_conf_axis_invariance_bit_exact(spark, sf_dir):
-    """The other two invariance axes (shuffle partition count, AQE
-    toggle) must also reproduce the frame exactly — partial-merge order
-    cannot move an exact-integer pipeline."""
-    base = auc_mann_whitney_lang(spark, sf_dir).toPandas()
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        spark.conf.set(
-            "spark.sql.adaptive.enabled",
-            "false" if aqe == "true" else "true",
-        )
-        alt = auc_mann_whitney_lang(spark, sf_dir).toPandas()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert base.equals(alt)
+    """Shuffle-partition and AQE axes via the shared three-axis helper —
+    partial-merge order cannot move an exact-integer pipeline."""
+    from tests.oracle_harness import assert_conf_axis_invariance
+
+    assert_conf_axis_invariance(spark, sf_dir, auc_mann_whitney_lang)

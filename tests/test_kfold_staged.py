@@ -72,34 +72,14 @@ def test_matches_independent_numpy_fit(spark, sf_dir):
 
 
 def test_split_invariance_bit_exact(spark, sf_dir, tmp_path):
-    """4-file re-layout of documents must reproduce every output value
-    exactly: the sufficient stats are associative BIGINTs, so nothing may
-    move by even one micro unit."""
-    from talkinghead_datapipeline_spark.catalog import load_table
+    from tests.oracle_harness import assert_split_invariance
 
-    df = load_table(spark, sf_dir, "documents")
-    out = str(tmp_path / "documents.parquet")
-    df.repartition(4).write.parquet(out)
-    base = kfold_linreg_cv(spark, sf_dir).toPandas().sort_values("fold")
-    split = kfold_linreg_cv(spark, str(tmp_path)).toPandas().sort_values("fold")
-    assert base.reset_index(drop=True).equals(split.reset_index(drop=True))
+    assert_split_invariance(spark, sf_dir, tmp_path, kfold_linreg_cv, "documents")
 
 
 def test_conf_axis_invariance_bit_exact(spark, sf_dir):
-    """The other two invariance axes (shuffle partition count, AQE
-    toggle) must also reproduce the frame exactly — partial-merge order
-    cannot move an exact-integer pipeline."""
-    base = kfold_linreg_cv(spark, sf_dir).toPandas()
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        spark.conf.set(
-            "spark.sql.adaptive.enabled",
-            "false" if aqe == "true" else "true",
-        )
-        alt = kfold_linreg_cv(spark, sf_dir).toPandas()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert base.equals(alt)
+    """Shuffle-partition and AQE axes via the shared three-axis helper —
+    partial-merge order cannot move an exact-integer pipeline."""
+    from tests.oracle_harness import assert_conf_axis_invariance
+
+    assert_conf_axis_invariance(spark, sf_dir, kfold_linreg_cv)

@@ -98,27 +98,14 @@ def test_censored_user_in_risk_set_not_events(spark, tmp_path):
 
 
 def test_split_invariance_bit_exact(spark, sf_dir, tmp_path):
-    from talkinghead_datapipeline_spark.catalog import load_table
+    from tests.oracle_harness import assert_split_invariance
 
-    df = load_table(spark, sf_dir, "events")
-    df.repartition(4).write.parquet(str(tmp_path / "events.parquet"))
-    base = nelson_aalen_conversion_hazard(spark, sf_dir).toPandas()
-    split = nelson_aalen_conversion_hazard(spark, str(tmp_path)).toPandas()
-    assert base.equals(split)
+    assert_split_invariance(spark, sf_dir, tmp_path, nelson_aalen_conversion_hazard, "events")
 
 
 def test_conf_axis_invariance_bit_exact(spark, sf_dir):
-    base = nelson_aalen_conversion_hazard(spark, sf_dir).toPandas()
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        spark.conf.set(
-            "spark.sql.adaptive.enabled",
-            "false" if aqe == "true" else "true",
-        )
-        alt = nelson_aalen_conversion_hazard(spark, sf_dir).toPandas()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert base.equals(alt)
+    """Shuffle-partition and AQE axes via the shared three-axis helper —
+    partial-merge order cannot move an exact-integer pipeline."""
+    from tests.oracle_harness import assert_conf_axis_invariance
+
+    assert_conf_axis_invariance(spark, sf_dir, nelson_aalen_conversion_hazard)

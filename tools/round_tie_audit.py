@@ -173,13 +173,22 @@ def audit_query(con, name: str, sql: str, time_budget_s: float = 60.0):
     # reporting its pre-migration phantom tie (observed round 10 on
     # q1_pricing_summary: a 0.16-ulp headline from sum_charge@k=6? after
     # the column had no round left). They stay in `columns` for reading.
-    mapped = {k: v for k, v in per_col.items() if v["mapped"]} or per_col
+    mapped = {k: v for k, v in per_col.items() if v["mapped"]}
+    headline_unmapped = not mapped
+    if headline_unmapped:
+        # No column could be tied to a round() call (a round nested in a
+        # larger expression, or no trailing AS alias). Fall back to the
+        # what-if measurements but FLAG it loudly — a headline built only
+        # from unmapped columns may be a phantom (a floor display with no
+        # round at all) and must be read by hand, not acted on.
+        mapped = per_col
     overall = min(v["min_margin"] for v in mapped.values())
     overall_ulps = min(v["min_margin_ulps"] for v in mapped.values())
     return {
         "query": name,
         "min_margin": overall,
         "min_margin_ulps": overall_ulps,
+        "headline_unmapped": headline_unmapped,
         "exact_ties": ties,
         "columns": per_col,
         "elapsed_s": round(time.time() - t0, 2),
@@ -239,6 +248,8 @@ def main() -> int:
     for r in ordered[:12]:
         print(f"  {r['query']}: {r['min_margin']:.3e} "
               f"({r['min_margin_ulps']:.2f} ulps)"
+              + ("  [UNMAPPED-ONLY headline — read columns by hand]"
+                 if r.get("headline_unmapped") else "")
               + (f"  EXACT TIES: {r['exact_ties']}" if r["exact_ties"] else ""))
     errs = [r for r in results if "error" in r]
     if errs:

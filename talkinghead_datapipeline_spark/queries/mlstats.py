@@ -577,6 +577,16 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial rows — then a 5-row percentile. The fan-out multiplies rows
     read, not shuffled bytes (the agg is map-side combinable down to 160
     rows per partition); B tunes cost vs CI resolution.
+
+    Cost adjudication (round 10, measured): ~6.6s of the ~6.6s sf0.1
+    steady state is the portable md5 weight hash (4.8M string md5s); the
+    SAME plan with F.xxhash64 integer weights runs 0.07s — ~95x. The md5
+    stays because it is what makes the weights DuckDB-replicable and the
+    replicate means value-hash certifiable (the exactness contract
+    above); at production scale swap poisson_bootstrap_weight's uniform
+    source to xxhash64 — distributionally identical estimator, same plan,
+    no longer oracle-replicable (the exact-percentile vs
+    percentile_approx adjudication pattern, SCALING.md round 10).
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",

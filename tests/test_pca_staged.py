@@ -98,3 +98,21 @@ def test_conf_axis_invariance_bit_exact(spark, sf_dir):
     from tests.oracle_harness import assert_conf_axis_invariance
 
     assert_conf_axis_invariance(spark, sf_dir, pca_power_doc_features)
+
+
+def test_plan_is_one_reduce_plus_scalar_dag(spark, sf_dir):
+    """Pin the docstring's scale claim: the data pass is ONE map-side-
+    combinable 15-stat aggregation over a 2-column pruned scan; the
+    covariance + all three power-iteration steps are projections on the
+    1-row result (no further exchange, no window, no join)."""
+    plan = (
+        pca_power_doc_features(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in plan
+    assert "ReadSchema: struct<text:string,n_chars:bigint>" in plan
+    for bad in ("Window", "Join", "Sort"):
+        assert bad not in plan, f"unexpected {bad} in plan"

@@ -133,7 +133,10 @@ _MODULES = (
 # auc_mann_whitney_lang (queries/mlstats.py) and
 # nelson_aalen_conversion_hazard (queries/behavior.py), all
 # oracle-verified at three SFs with three-axis invariance pinned in
-# their test_*_staged.py files — register WITH seats; (3) the remaining
+# their test_*_staged.py files — register WITH seats AND add them to
+# bench.HEADLINE in the same change (they are deliberately NOT
+# pre-listed: test_session_config now rejects HEADLINE names missing
+# from the registry, per ADVICE r9); (3) the remaining
 # 30 r6-era keys (37 - 7 drained here); (4) r7-era oldest-first with the
 # leftover seats. The governor caps any further r11 registrations at
 # (50 - backlog) seats.

@@ -128,10 +128,11 @@ _MODULES = (
 #  4. 7 seats of r6-era drain, oldest-first alphabetical.
 #
 # r11 rotation (write the final comment the same day the r10 artifacts
-# land): (1) any r11 changed-code canaries first; (2) the FOUR queries
+# land): (1) any r11 changed-code canaries first; (2) the FIVE queries
 # staged later in r10 — kfold_linreg_cv, pca_power_doc_features,
-# auc_mann_whitney_lang (queries/mlstats.py) and
-# nelson_aalen_conversion_hazard (queries/behavior.py), all
+# auc_mann_whitney_lang (queries/mlstats.py),
+# nelson_aalen_conversion_hazard (queries/behavior.py) and
+# changepoint_daily_revenue (queries/timeseries.py), all
 # oracle-verified at three SFs with three-axis invariance pinned in
 # their test_*_staged.py files — register WITH seats AND add them to
 # bench.HEADLINE in the same change (they are deliberately NOT

@@ -1124,3 +1124,134 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r11 REGISTRATION: single-split changepoint detection (binary
+# segmentation, first step) over the daily revenue series — the
+# distribution-shift / segmentation class (PSI certifies drift BETWEEN two
+# known snapshots; this finds WHERE a series breaks, the monitoring
+# primitive behind "when did the corpus change"). Verified by
+# tests/test_changepoint_staged.py.
+#
+# Exactness: the optimal split of a series by within-segment SSE
+# maximizes SL²/NL + SR²/NR (the SSE identity — constant Σx² drops out),
+# so the whole search runs on exact BIGINT prefix sums of daily cent
+# totals; the per-split score is one fixed IEEE expression over those
+# exact integers (bit-identical cross-engine), the argmax carries a date
+# tiebreak, and the reported means are exact integer floor-micro-dollar
+# quotients.
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT d,
+         CAST(sum(s_cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+         CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS nl,
+         CAST(sum(s_cents) OVER () AS BIGINT) AS s,
+         CAST(sum(n) OVER () AS BIGINT) AS nt
+  FROM daily
+),
+scored AS (
+  SELECT d, sl, nl, s - sl AS sr, nt - nl AS nr, nt,
+         (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE)
+           + (CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE))
+             / CAST(nt - nl AS DOUBLE) AS score,
+         (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(nt AS DOUBLE)
+           AS base
+  FROM pre WHERE nl < nt
+)
+SELECT strftime(d, '%Y-%m-%d') AS split_date, nl AS n_left, nr AS n_right,
+       (sl * 10000) // nl AS mean_left_micro,
+       (sr * 10000) // nr AS mean_right_micro,
+       CAST(floor((score - base) / CAST(nt AS DOUBLE)) AS BIGINT)
+         AS gain_per_order_c2
+FROM scored
+ORDER BY score DESC, split_date ASC
+LIMIT 1
+"""
+
+
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint of the daily order-revenue series (binary
+    segmentation, first split): the date that maximizes the between-
+    segment SSE reduction, with left/right order counts, exact mean order
+    values, and the per-order variance gain — "when did the distribution
+    break", the segmentation primitive monitoring pipelines run after a
+    drift alarm (psi_snapshot_drift) fires.
+
+    Scale shape: one date-grain aggregation of orders (the only
+    data-sized shuffle, map-side combinable), then prefix-sum windows
+    over the distinct-day frame (bounded by calendar span, not rows) and
+    an argmax. Every candidate split is scored from two prefix sums —
+    the O(T) identity, no per-split rescan.
+
+    Determinism (exact): daily cent totals and their prefix sums are
+    associative BIGINTs; the score SL²/NL + SR²/NR is one fixed IEEE
+    expression over those exact integers — bit-identical cross-engine —
+    with a date tiebreak on the argmax; means are exact integer
+    floor-micro-dollar quotients ((cents*1e4) div n, non-negative).
+    Bound: cents*1e4 stays inside int64 through ~sf1 at TPC-H order
+    rates."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w_run = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    pre = daily.select(
+        "d",
+        F.sum("s_cents").over(w_run).cast("bigint").alias("sl"),
+        F.sum("n").over(w_run).cast("bigint").alias("nl"),
+        F.sum("s_cents").over(w_all).cast("bigint").alias("s"),
+        F.sum("n").over(w_all).cast("bigint").alias("nt"),
+    )
+    scored = (
+        pre.filter(F.col("nl") < F.col("nt"))
+        .withColumn("sr", F.col("s") - F.col("sl"))
+        .withColumn("nr", F.col("nt") - F.col("nl"))
+        .withColumn(
+            "score",
+            (F.col("sl").cast("double") * F.col("sl").cast("double"))
+            / F.col("nl").cast("double")
+            + (F.col("sr").cast("double") * F.col("sr").cast("double"))
+            / F.col("nr").cast("double"),
+        )
+        .withColumn(
+            "base",
+            (F.col("s").cast("double") * F.col("s").cast("double"))
+            / F.col("nt").cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("d"))
+        .limit(1)
+        .select(
+            # ISO string, not DATE: pandas widens DuckDB DATE to a
+            # datetime, which hash-mismatches Spark's datetime.date
+            F.date_format("d", "yyyy-MM-dd").alias("split_date"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.expr("(sl * 10000) div nl").alias("mean_left_micro"),
+            F.expr("(sr * 10000) div nr").alias("mean_right_micro"),
+            F.floor(
+                (F.col("score") - F.col("base")) / F.col("nt").cast("double")
+            )
+            .cast("bigint")
+            .alias("gain_per_order_c2"),
+        )
+    )

@@ -195,6 +195,17 @@ HEADLINE = (
     # stays out with the tumbling pair (same scheduling-floor reasoning).
     "bootstrap_ci_order_value",
     "winsorized_bounds_sketch_certified",
+    # Round-11 additions with their registrations (the five r10-staged
+    # operator classes; per test_session_config they join HEADLINE in the
+    # same change as their registration). All five are one-data-pass
+    # plans whose post-scan work is bounded (5-row fold frame, 1-row
+    # sufficient stats, distinct-score/hour/day frames), so their bench
+    # line is a genuine scan-cost signal, not scheduling floor.
+    "kfold_linreg_cv",
+    "pca_power_doc_features",
+    "auc_mann_whitney_lang",
+    "nelson_aalen_conversion_hazard",
+    "changepoint_daily_revenue",
 )
 
 

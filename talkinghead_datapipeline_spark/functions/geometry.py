@@ -146,3 +146,41 @@ def eye_aspect_ratio(
     v2 = l2(top_b[0], top_b[1], bot_b[0], bot_b[1])
     hor = l2(outer_a[0], outer_a[1], outer_b[0], outer_b[1])
     return (v1 + v2) / (2 * hor)
+
+
+def orth_project(
+    x: Column, y: Column, z: Column, s: Column, tx: Column, ty: Column
+) -> dict[str, Column]:
+    """N17 weak-perspective (orthographic) camera projection as pure column
+    expressions — the last SURVEY §2 kernel expressed in the engine
+    (VERDICT r10 #2).
+
+    Reference semantics (dpl/rendering/utils.py:135-145 ``batch_orth_proj``):
+    translate x/y by cam[1:] = (tx, ty), keep z, scale all three by
+    cam[0] = s; the rendering node then flips the sign of y and z before
+    rasterization (dpl/processor/nodes/rendering.py:101-106
+    ``trans_verts[:, :, 1:] = -trans_verts[:, :, 1:]``). This helper returns
+    the POST-FLIP view-space coordinates — the exact tensor the rasterizer
+    consumes.
+
+    Determinism: three mul/add/negate double expressions, fully inside
+    whole-stage codegen; given bit-identical inputs both engines produce
+    bit-identical outputs (IEEE ops, no library rounding). The DuckDB
+    oracle shares the expression text verbatim: ``s * (x + tx)``,
+    ``-(s * (y + ty))``, ``-(s * z)``.
+    """
+    return {
+        "px": s * (x + tx),
+        "py": -(s * (y + ty)),
+        "pz": -(s * z),
+    }
+
+
+def orth_project_sql(x: str, y: str, z: str, s: str, tx: str, ty: str) -> dict[str, str]:
+    """DuckDB-side twin of :func:`orth_project` — identical expression text
+    so the two engines run the same IEEE double DAG."""
+    return {
+        "px": f"{s} * ({x} + {tx})",
+        "py": f"-({s} * ({y} + {ty}))",
+        "pz": f"-({s} * {z})",
+    }

@@ -271,15 +271,48 @@ class FlameLbsDecoder:
 FlameDecoderStub = FlameLbsDecoder
 
 
+def batch_orth_proj(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
+    """N17 weak-perspective (orthographic) camera projection — REAL math
+    (dpl/rendering/utils.py:135-145 ``batch_orth_proj``): translate x/y by
+    cam[1:] = (tx, ty), keep z, scale all three coordinates by cam[0] = s.
+
+    ``X`` is (num_points, 3) for one mesh (the reference batches a leading
+    N axis; inside mapInPandas each row is one mesh, so the batch axis is
+    the Arrow batch itself). Returns (num_points, 3) float64.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    cam = np.asarray(cam, dtype=np.float64)
+    out = np.empty_like(X)
+    out[:, 0] = X[:, 0] + cam[1]
+    out[:, 1] = X[:, 1] + cam[2]
+    out[:, 2] = X[:, 2]
+    return cam[0] * out
+
+
+def view_transform(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
+    """Projection + the renderer's axis flip: the exact tensor the
+    rasterizer consumes (dpl/processor/nodes/rendering.py:101-106 —
+    ``trans_verts[:, :, 1:] = -trans_verts[:, :, 1:]`` after
+    ``batch_orth_proj``)."""
+    t = batch_orth_proj(X, cam)
+    t[:, 1:] = -t[:, 1:]
+    return t
+
+
 class RendererStub:
-    """N17 stand-in: verts + cam → deterministic pseudo-image bytes with the
-    real sink contract (binary payload + width/height metadata)."""
+    """N17 stand-in for the RASTERIZER TIER ONLY (pytorch3d-gated): takes
+    the view-space (projected + flipped) vertices the real rasterizer would
+    consume plus the cam metadata, returns deterministic pseudo-image bytes
+    with the real sink contract (binary payload + width/height metadata).
+    The projection itself is real math — see ``batch_orth_proj`` /
+    ``view_transform`` above and the column-expression twin
+    ``functions.geometry.orth_project``."""
 
     def __init__(self, size_hw: tuple[int, int] = (16, 16)):
         self.size_hw = size_hw
 
-    def render(self, verts: np.ndarray, cam: np.ndarray) -> bytes:
-        h = hashlib.md5(verts.tobytes() + cam.tobytes()).digest()
+    def render(self, trans_verts: np.ndarray, cam: np.ndarray) -> bytes:
+        h = hashlib.md5(trans_verts.tobytes() + cam.tobytes()).digest()
         n = self.size_hw[0] * self.size_hw[1]
         return (h * (n // len(h) + 1))[:n]
 

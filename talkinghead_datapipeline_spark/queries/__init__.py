@@ -90,112 +90,91 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-10 WINDOW. Cumulative certification entering r10 is 210/210 with
-# staleness tiers r5=30, r6=37, r7=45, r8=48, r9=50 (recomputed from the
-# raw CORRECTNESS artifacts 2026-08-15); r10 registers the four queries
-# staged since r8/r9 plus the session-window streaming pair, bringing the
-# registry to 216. Seat order (changed-code beats stale, per the house
-# rule):
-#  1. The 7 round-10 changed-code canaries — the display-idiom near-tie
-#     residue queued by the r9 rotation comment, now migrated:
-#     a. flagship_segment_leaders / q3 / q5 / q10: revenue display
-#        round(sum4/10000.0, 2) -> floor-to-cents (`div 100` + one exact
-#        /100.0; div == floor on these non-negative sums) — flagship's
-#        revenue cell measured 0.125 ulps from a half-cent tie at
-#        sf0.001 (r9 tie audit), the others share the idiom.
-#     b. q1_pricing_summary: sum_disc_price (0.34 ulps at sf0.1) and
-#        sum_charge migrated the same way (1e-4- and 1e-6-unit sums ->
-#        div 100 / div 10000, then /100.0).
-#     c. time_to_convert_stats: mean/median/p90 -> floor-to-whole-µs
-#        then one /1e6 (median_sec measured 0.27/0.40 ulps from a
-#        round(,6) boundary — integer-µs interpolation midpoints land
-#        exactly ON .5 µs).
-#     d. winsorized_price_stats: winsorized_mean, the family's last
-#        round(avg(double), k) (VERDICT r9 #3) — the mean is now an
-#        EXACT decomposition (in-range BIGINT cent sum + clip-count x
-#        bound, fixed association, bit-identical cross-engine) displayed
-#        floor-to-1e-4; p01/p99 one-cent-down quantization documented
-#        (ADVICE r9).
-#  2. The 6 round-10 registrations (all staged + verified in earlier
-#     rounds; seats deferred from r9 under the changed-code-beats-
-#     registration rule): logreg_newton_lang, bootstrap_ci_order_value,
-#     doc_chunk_overlap, winsorized_bounds_sketch_certified, and the
-#     session-window late-data pair streaming_session_late_metrics /
-#     streaming_session_late_sink (contracts pinned empirically in
-#     tests/test_streaming_session_late.py before the oracle existed).
-#  3. The 30 r5-era stale keys (the full tier, alphabetical) — after r10
-#     no key's latest green row predates r6.
-#  4. 7 seats of r6-era drain, oldest-first alphabetical.
+# ROUND-11 WINDOW. Cumulative certification entering r11 is 216/216 with
+# staleness tiers r6=30, r7=44, r8=43, r9=49, r10=50 (recomputed from the
+# raw CORRECTNESS artifacts 2026-08-15, matching VERDICT r10's own
+# recount); r11 registers the five operator-class queries staged in r10
+# (registry 216 -> 221), each of which joins bench.HEADLINE in the same
+# change per the test_session_config rule. Seat order (changed-code beats
+# stale, per the house rule):
+#  1. Round-11 registrations, never driver-certified (the governor allows
+#     up to 50 - backlog; backlog entering r11 is 0): kfold_linreg_cv,
+#     pca_power_doc_features, auc_mann_whitney_lang (queries/mlstats.py),
+#     nelson_aalen_conversion_hazard (queries/behavior.py),
+#     changepoint_daily_revenue (queries/timeseries.py) — all staged in
+#     r10 with three-SF oracle verification and three-axis invariance
+#     pinned (tests/test_{kfold,pca,auc,survival,changepoint}_staged.py)
+#     before this registration, per the house staging rule. Further r11
+#     registrations (N17 projection, incremental-maintenance equivalence
+#     — VERDICT r10 #2/#3) take seats here as they land, displacing the
+#     tail of section 3.
+#  2. The full 30-key r6-era stale tier (alphabetical) — after r11 no
+#     key's latest green row predates r7 (VERDICT r10 #4).
+#  3. r7-era drain, oldest-first alphabetical, with the leftover seats
+#     (44 keys in the tier; 14 seated after the flame_render_pipeline
+#     canary landed — the remaining 30 lead the r12 drain).
 #
-# r11 rotation (write the final comment the same day the r10 artifacts
-# land): (1) any r11 changed-code canaries first; (2) the FIVE queries
-# staged later in r10 — kfold_linreg_cv, pca_power_doc_features,
-# auc_mann_whitney_lang (queries/mlstats.py),
-# nelson_aalen_conversion_hazard (queries/behavior.py) and
-# changepoint_daily_revenue (queries/timeseries.py), all
-# oracle-verified at three SFs with three-axis invariance pinned in
-# their test_*_staged.py files — register WITH seats AND add them to
-# bench.HEADLINE in the same change (they are deliberately NOT
-# pre-listed: test_session_config now rejects HEADLINE names missing
-# from the registry, per ADVICE r9); (3) the remaining
-# 30 r6-era keys (37 - 7 drained here); (4) r7-era oldest-first with the
-# leftover seats. The governor caps any further r11 registrations at
-# (50 - backlog) seats.
+# r12 rotation (write the final comment the day the r11 artifacts land):
+# (1) r12 changed-code canaries; (2) the calibration/reliability and
+# sessionized-attribution queries staged in r11 (VERDICT r10 #7), WITH
+# seats and HEADLINE entries in the same change; (3) the remaining 30
+# r7-era keys (fk_integrity_audit first); (4) r8-era oldest-first with
+# leftover seats.
 _DRIVER_PRIORITY = (
-    # --- 1. round-10 changed-code canaries (display-idiom migrations) ---
-    "flagship_segment_leaders",  # floor-to-cents revenue; r8-era seat
-    "q1_pricing_summary",  # floor-to-cents sum_disc_price/sum_charge; r8
-    "q3_top_revenue_orders",  # floor-to-cents rank key; r8-era
-    "q5_join_chain_revenue",  # floor-to-cents; r8-era
-    "q10_returned_item_customers",  # floor-to-cents rank key; r8-era
-    "time_to_convert_stats",  # floor-to-µs stats; r7-era (double-duty)
-    "winsorized_price_stats",  # exact-decomposition mean; r9 re-seat
-    # --- 2. round-10 registrations (staged r8/r9) ---
-    "logreg_newton_lang",  # 3-step Newton IRLS, bounded driver loop
-    "bootstrap_ci_order_value",  # Poisson bootstrap CI, exact weights
-    "doc_chunk_overlap",  # overlapping chunk grid + substring parity
-    "winsorized_bounds_sketch_certified",  # approx-quantile rank contract
-    "streaming_session_late_metrics",  # session-window late drops
-    "streaming_session_late_sink",  # evict-then-restart session emission
-    # --- 3. r5-era stale drain (the full tier, alphabetical) ---
-    "class_balanced_scale_path",
-    "dedup_exact_groups",
-    "emb_near_dup_pairs",
-    "flame_render_pipeline",
-    "n12_emoca_bbox_pipeline",
-    "n12_rolling_extent",
-    "n23_window_mean_edgepad",
-    "ngram_jaccard_near_dups",
-    "paragraph_dedup_stats",
-    "pii_redact_stats",
-    "pivot_status_by_segment",
-    "q11_important_part_values",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_counts",
-    "q18_large_volume_orders",
-    "q20_excess_share_suppliers",
-    "q21_lone_blamed_supplier",
-    "q2_min_cost_supplier",
-    "q4_priority_order_counts",
-    "running_sum_per_user",
-    "s6_sliding_mean",
-    "s8_savgol_exact",
-    "s8_savgol_fir",
-    "s9_tumbling_hourly",
-    "s9_tumbling_volume",
-    "sessionize_users",
-    "skew_salted_join_revenue",
-    "stratified_sample_scale_path",
-    "variant_props_extract",
-    # --- 4. r6-era drain (oldest-first alphabetical, 7 seats) ---
-    "approx_quantiles_certified",
-    "bigram_lm_doc_scores",
-    "bloom_filter_semi_join",
-    "bm25_topk_docs",
-    "bpe_top_merge_pairs",
-    "cms_heavy_hitters",
-    "emb_label_centroids",
+    # --- 0. round-11 changed-code canaries ---
+    "flame_render_pipeline",  # N17 projection columns added (VERDICT r10 #2)
+    # --- 1. round-11 registrations (staged r10) ---
+    "kfold_linreg_cv",  # 5-fold CV linear regression, exact moment sums
+    "pca_power_doc_features",  # power-iteration PCA, 1-row stats frame
+    "auc_mann_whitney_lang",  # tie-corrected Mann-Whitney U / AUC
+    "nelson_aalen_conversion_hazard",  # survival hazard, right-censored
+    "changepoint_daily_revenue",  # binary-segmentation first split
+    # --- 2. r6-era stale drain (the full tier, alphabetical) ---
+    "ewma_user_values",
+    "gap_fill_hourly",
+    "gopher_dup_line_signals",
+    "gopher_dup_trigram_coverage",
+    "hll_distinct_users",
+    "item_cf_top_recs",
+    "lineitem_measure_correlations",
+    "merge_upsert_latest",
+    "ohlc_6h_bars",
+    "pagerank_trade_network",
+    "pmi_top_collocations",
+    "random_projection_jl",
+    "range_frame_trailing_30min",
+    "recursive_cte_key_depths",
+    "robust_outlier_flags",
+    "scd2_user_value_intervals",
+    "session_funnel_conversion",
+    "sim_ivf_trained_topk",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "sim_sq8_quant_topk",
+    "snapshot_diff_summary",
+    "source_mixture_manifest",
+    "substring_dup_coverage",
+    "table_integrity_checksums",
+    "text_unigram_entropy",
+    "tfidf_top_terms",
+    "triangle_count_copart",
+    "weighted_topk_sample_es",
+    "zorder_data_skipping",
+    # --- 3. r7-era drain (oldest-first alphabetical, 14 seats) ---
+    "ab_test_lift",
+    "asof_next_view_tolerance",
+    "bayes_smoothed_part_scores",
+    "benford_first_digit",
+    "ccnet_perplexity_buckets",
+    "chi2_lang_source_cells",
+    "churn_flags_by_cohort",
+    "cumulative_unique_users",
+    "dataset_card_stats",
+    "dedup_cluster_size_histogram",
+    "diurnal_activity_profile",
+    "dsir_importance_weights",
+    "e2_name_derivation",
+    "event_transition_matrix",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

@@ -802,7 +802,7 @@ def diurnal_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r11 REGISTRATION: Nelson-Aalen hazard table of time to first
+# REGISTERED r11 (staged r10): Nelson-Aalen hazard table of time to first
 # purchase — the survival-analysis class (the risk-set/censoring estimator
 # behind every "when do users convert/churn" curve; nothing in the
 # registry certifies a risk-set statistic). The event is a user's FIRST
@@ -868,6 +868,11 @@ FROM steps ORDER BY t_hours
 """
 
 
+@register(
+    "nelson_aalen_conversion_hazard",
+    oracle=NELSON_AALEN_ORACLE,
+    tags=("behavior", "survival", "hazard"),
+)
 def nelson_aalen_conversion_hazard(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

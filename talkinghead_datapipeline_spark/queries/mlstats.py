@@ -631,7 +631,7 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r11 REGISTRATION: k-fold cross-validation of in-engine linear
+# REGISTERED r11 (staged r10): k-fold cross-validation of in-engine linear
 # regression — the model-selection class (every curation pipeline that
 # trains a quality filter on its own corpus needs held-out validation of
 # that filter). Verified by tests/test_kfold_staged.py; registration takes
@@ -687,6 +687,11 @@ FROM scored ORDER BY fold
 """
 
 
+@register(
+    "kfold_linreg_cv",
+    oracle=KFOLD_LINREG_ORACLE,
+    tags=("mlstats", "cross-validation", "regression"),
+)
 def kfold_linreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold cross-validated linear regression y = b0 + b1*x trained IN
     the engine (x = n_chars, y = whitespace token count): per fold, fit on
@@ -790,7 +795,7 @@ def kfold_linreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r11 REGISTRATION: distributed PCA top component by in-engine
+# REGISTERED r11 (staged r10): distributed PCA top component by in-engine
 # power iteration — the spectral class. emb_covariance_upper's docstring
 # names "covariance + driver eigensolve" as the distributed-PCA recipe;
 # this query closes the loop ENTIRELY inside the engine for a small
@@ -930,6 +935,11 @@ SELECT CAST(n AS BIGINT) AS n_docs, {finals} FROM v3
 PCA_POWER_ORACLE = _pca_oracle_sql()
 
 
+@register(
+    "pca_power_doc_features",
+    oracle=PCA_POWER_ORACLE,
+    tags=("mlstats", "pca", "power-iteration"),
+)
 def pca_power_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the 4-dim document feature space
     (n_chars, token count, space count, non-space chars) by three
@@ -994,7 +1004,7 @@ def pca_power_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r11 REGISTRATION: AUC / Mann-Whitney U — the ranking-metric
+# REGISTERED r11 (staged r10): AUC / Mann-Whitney U — the ranking-metric
 # model-evaluation class (every learned curation filter is judged by AUC
 # before it gates data; nothing in the registry certifies a rank
 # statistic). Verified by tests/test_auc_staged.py.
@@ -1035,6 +1045,11 @@ FROM agg
 """
 
 
+@register(
+    "auc_mann_whitney_lang",
+    oracle=AUC_MANN_WHITNEY_ORACLE,
+    tags=("mlstats", "auc", "ranking-metric"),
+)
 def auc_mann_whitney_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC of n_chars as a ranker for lang = 'en', via the exact
     tie-corrected Mann-Whitney U statistic — the model-evaluation metric

@@ -1127,7 +1127,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r11 REGISTRATION: single-split changepoint detection (binary
+# REGISTERED r11 (staged r10): single-split changepoint detection (binary
 # segmentation, first step) over the daily revenue series — the
 # distribution-shift / segmentation class (PSI certifies drift BETWEEN two
 # known snapshots; this finds WHERE a series breaks, the monitoring
@@ -1181,6 +1181,11 @@ LIMIT 1
 """
 
 
+@register(
+    "changepoint_daily_revenue",
+    oracle=CHANGEPOINT_ORACLE,
+    tags=("timeseries", "changepoint", "segmentation"),
+)
 def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single best changepoint of the daily order-revenue series (binary
     segmentation, first split): the date that maximizes the between-

@@ -145,50 +145,41 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-10 canaries: every query whose implementation (or output
+    # round-11 canaries: every query whose implementation (or output
     # contract) changed after its last green driver row holds a seat —
-    # the 7 display-idiom near-tie migrations (the residue queued by the
-    # r9 rotation comment + VERDICT r9 #3) plus the six r10 registrations
-    # (never certified yet, so they lead their section of the window per
-    # the governor above).
+    # the five r10-staged registrations (never certified yet, so they
+    # lead their section of the window per the governor above) plus any
+    # r11 changed-code query (flame_render_pipeline gains the N17
+    # projection columns, VERDICT r10 #2 — added with that change).
     canaries = {
-        # round(sum_units/10^u, 2) displays -> floor-to-cents
-        "flagship_segment_leaders",
-        "q1_pricing_summary",
-        "q3_top_revenue_orders",
-        "q5_join_chain_revenue",
-        "q10_returned_item_customers",
-        # round(,6)/round(,4) stats -> floor-µs / exact decomposition
-        "time_to_convert_stats",
-        "winsorized_price_stats",
-        # r10 registrations (staged r8/r9)
-        "logreg_newton_lang",
-        "bootstrap_ci_order_value",
-        "doc_chunk_overlap",
-        "winsorized_bounds_sketch_certified",
-        "streaming_session_late_metrics",
-        "streaming_session_late_sink",
+        # r11 changed-code: N17 projection columns (VERDICT r10 #2)
+        "flame_render_pipeline",
+        # r11 registrations (staged r10, three-SF oracle + invariance)
+        "kfold_linreg_cv",
+        "pca_power_doc_features",
+        "auc_mann_whitney_lang",
+        "nelson_aalen_conversion_hazard",
+        "changepoint_daily_revenue",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor (VERDICT r9 staleness directive): the full r5-era
-    # tier is seated, so after r10 no key's latest green row predates r6.
-    r5_era = {
-        "class_balanced_scale_path", "dedup_exact_groups",
-        "emb_near_dup_pairs", "flame_render_pipeline",
-        "n12_emoca_bbox_pipeline", "n12_rolling_extent",
-        "n23_window_mean_edgepad", "ngram_jaccard_near_dups",
-        "paragraph_dedup_stats", "pii_redact_stats",
-        "pivot_status_by_segment", "q11_important_part_values",
-        "q12_priority_by_linestatus", "q13_customer_order_distribution",
-        "q16_supplier_part_counts", "q18_large_volume_orders",
-        "q20_excess_share_suppliers", "q21_lone_blamed_supplier",
-        "q2_min_cost_supplier", "q4_priority_order_counts",
-        "running_sum_per_user", "s6_sliding_mean", "s8_savgol_exact",
-        "s8_savgol_fir", "s9_tumbling_hourly", "s9_tumbling_volume",
-        "sessionize_users", "skew_salted_join_revenue",
-        "stratified_sample_scale_path", "variant_props_extract",
+    # Staleness floor (VERDICT r10 #4): the full r6-era tier is seated,
+    # so after r11 no key's latest green row predates r7.
+    r6_era = {
+        "ewma_user_values", "gap_fill_hourly", "gopher_dup_line_signals",
+        "gopher_dup_trigram_coverage", "hll_distinct_users",
+        "item_cf_top_recs", "lineitem_measure_correlations",
+        "merge_upsert_latest", "ohlc_6h_bars", "pagerank_trade_network",
+        "pmi_top_collocations", "random_projection_jl",
+        "range_frame_trailing_30min", "recursive_cte_key_depths",
+        "robust_outlier_flags", "scd2_user_value_intervals",
+        "session_funnel_conversion", "sim_ivf_trained_topk",
+        "sim_ivfpq_topk", "sim_pq_adc_topk", "sim_sq8_quant_topk",
+        "snapshot_diff_summary", "source_mixture_manifest",
+        "substring_dup_coverage", "table_integrity_checksums",
+        "text_unigram_entropy", "tfidf_top_terms", "triangle_count_copart",
+        "weighted_topk_sample_es", "zorder_data_skipping",
     }
-    assert r5_era <= prefix, f"unseated r5-era keys: {sorted(r5_era - prefix)}"
+    assert r6_era <= prefix, f"unseated r6-era keys: {sorted(r6_era - prefix)}"
 
 
 

@@ -195,6 +195,11 @@ HEADLINE = (
     # stays out with the tumbling pair (same scheduling-floor reasoning).
     "bootstrap_ci_order_value",
     "winsorized_bounds_sketch_certified",
+    # Round-11 exclusion: incremental_recompute_equivalence (three
+    # AvailableNow runs + three sink swaps, ~11s at every SF) stays out
+    # with the streaming pairs — its cost is per-run scheduling floor,
+    # not data volume; its scale record lives in SCALING.md.
+    #
     # Round-11 additions with their registrations (the five r10-staged
     # operator classes; per test_session_config they join HEADLINE in the
     # same change as their registration). All five are one-data-pass

@@ -111,15 +111,16 @@ _MODULES = (
 #  2. The full 30-key r6-era stale tier (alphabetical) — after r11 no
 #     key's latest green row predates r7 (VERDICT r10 #4).
 #  3. r7-era drain, oldest-first alphabetical, with the leftover seats
-#     (44 keys in the tier; 14 seated after the flame_render_pipeline
-#     canary landed — the remaining 30 lead the r12 drain).
+#     (44 keys in the tier; 13 seated after the flame_render_pipeline
+#     canary and the incremental_recompute_equivalence registration
+#     landed — the remaining 31 lead the r12 drain).
 #
 # r12 rotation (write the final comment the day the r11 artifacts land):
 # (1) r12 changed-code canaries; (2) the calibration/reliability and
 # sessionized-attribution queries staged in r11 (VERDICT r10 #7), WITH
-# seats and HEADLINE entries in the same change; (3) the remaining 30
-# r7-era keys (fk_integrity_audit first); (4) r8-era oldest-first with
-# leftover seats.
+# seats and HEADLINE entries in the same change; (3) the remaining 31
+# r7-era keys (event_transition_matrix, fk_integrity_audit first); (4)
+# r8-era oldest-first with leftover seats.
 _DRIVER_PRIORITY = (
     # --- 0. round-11 changed-code canaries ---
     "flame_render_pipeline",  # N17 projection columns added (VERDICT r10 #2)
@@ -129,6 +130,7 @@ _DRIVER_PRIORITY = (
     "auc_mann_whitney_lang",  # tie-corrected Mann-Whitney U / AUC
     "nelson_aalen_conversion_hazard",  # survival hazard, right-censored
     "changepoint_daily_revenue",  # binary-segmentation first split
+    "incremental_recompute_equivalence",  # IVM ≡ recompute by hash (r10 #3)
     # --- 2. r6-era stale drain (the full tier, alphabetical) ---
     "ewma_user_values",
     "gap_fill_hourly",
@@ -160,7 +162,7 @@ _DRIVER_PRIORITY = (
     "triangle_count_copart",
     "weighted_topk_sample_es",
     "zorder_data_skipping",
-    # --- 3. r7-era drain (oldest-first alphabetical, 14 seats) ---
+    # --- 3. r7-era drain (oldest-first alphabetical, 13 seats) ---
     "ab_test_lift",
     "asof_next_view_tolerance",
     "bayes_smoothed_part_scores",
@@ -174,7 +176,6 @@ _DRIVER_PRIORITY = (
     "diurnal_activity_profile",
     "dsir_importance_weights",
     "e2_name_derivation",
-    "event_transition_matrix",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

@@ -1,0 +1,145 @@
+"""Incremental view maintenance ≡ recompute (VERDICT r10 #3):
+run_foreach_batch_merge across appended files + restarts must equal the
+from-scratch batch aggregate EXACTLY, and a restart with no new data must
+not change the sink (exactly-once file-source semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from talkinghead_datapipeline_spark.streaming.incremental import (
+    run_foreach_batch_merge,
+)
+
+SCHEMA = "k bigint, v bigint"
+
+
+def _batch_agg(df):
+    return df.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+
+
+def _re_agg(df):
+    return df.groupBy("k").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+    )
+
+
+@pytest.fixture()
+def work():
+    d = tempfile.mkdtemp(prefix="thdp_ivm_test_")
+    os.makedirs(os.path.join(d, "src"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _append_file(spark, work: str, name: str, rows: list[tuple[int, int]]) -> None:
+    stage = os.path.join(work, f"stage_{name}")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
+    n = 0
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(stage, f), os.path.join(work, "src", f"{name}-{n}.parquet")
+            )
+            n += 1
+    assert n == 1
+
+
+def _run(spark, work: str) -> None:
+    run_foreach_batch_merge(
+        spark,
+        source_dir=os.path.join(work, "src"),
+        schema=SCHEMA,
+        batch_agg=_batch_agg,
+        re_agg=_re_agg,
+        sink_path=os.path.join(work, "sink"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+
+
+def _sink_rows(spark, work: str) -> set[tuple]:
+    return {
+        (r["k"], r["n"], r["s"])
+        for r in spark.read.parquet(os.path.join(work, "sink")).collect()
+    }
+
+
+def test_merge_across_appends_equals_recompute(spark, work):
+    b1 = [(1, 10), (1, 20), (2, 5)]
+    b2 = [(1, 1), (3, 7)]
+    b3 = [(2, 2), (3, 3), (3, 4)]
+
+    _append_file(spark, work, "b1", b1)
+    _run(spark, work)
+    assert _sink_rows(spark, work) == {(1, 2, 30), (2, 1, 5)}
+
+    _append_file(spark, work, "b2", b2)
+    _run(spark, work)  # restart #1: fresh query, same checkpoint
+    _append_file(spark, work, "b3", b3)
+    _run(spark, work)  # restart #2
+
+    # from-scratch recompute over the union — exact equality
+    batch = {
+        (r["k"], r["n"], r["s"])
+        for r in _batch_agg(spark.createDataFrame(b1 + b2 + b3, SCHEMA)).collect()
+    }
+    assert _sink_rows(spark, work) == batch == {(1, 3, 31), (2, 2, 7), (3, 3, 14)}
+
+
+def test_restart_without_new_data_is_idempotent(spark, work):
+    _append_file(spark, work, "b1", [(1, 10), (2, 20)])
+    _run(spark, work)
+    before = _sink_rows(spark, work)
+    # a fresh run against the same checkpoint with NO new files must not
+    # re-aggregate anything (double-counting would show up as n=2)
+    _run(spark, work)
+    assert _sink_rows(spark, work) == before == {(1, 1, 10), (2, 1, 20)}
+
+
+def test_registered_query_matches_spark_batch_recompute(spark):
+    """The registered query's incremental sink equals Spark's OWN batch
+    recompute bit-for-bit (the DuckDB oracle certifies the cross-engine
+    half; this pins the incremental-vs-batch half inside one engine)."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.functions.geometry import round_half_away
+    from talkinghead_datapipeline_spark.queries.streaming_queries import (
+        incremental_recompute_equivalence,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        tuple(r)
+        for r in incremental_recompute_equivalence(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                F.sum(round_half_away(F.col("value") * 100))
+                .cast("bigint")
+                .alias("sum_value_cents"),
+            )
+            .select(
+                "user_id",
+                "n_purchases",
+                "sum_value_cents",
+                (F.col("sum_value_cents") / 100.0).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0

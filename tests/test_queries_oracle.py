@@ -160,6 +160,8 @@ def test_driver_priority_rotation_policy():
         "auc_mann_whitney_lang",
         "nelson_aalen_conversion_hazard",
         "changepoint_daily_revenue",
+        # r11 registration (VERDICT r10 #3): IVM ≡ recompute certification
+        "incremental_recompute_equivalence",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
     # Staleness floor (VERDICT r10 #4): the full r6-era tier is seated,

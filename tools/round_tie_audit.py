@@ -142,6 +142,7 @@ def audit_query(con, name: str, sql: str, time_budget_s: float = 60.0):
     ks_all = sorted(set(ks)) or [2, 6]
     per_col: dict[str, dict] = {}
     ties = []
+    unmapped_ties = []
     for ci, cname in enumerate(cols):
         vals = [r[ci] for r in rows if isinstance(r[ci], float)]
         if not vals:
@@ -163,7 +164,14 @@ def audit_query(con, name: str, sql: str, time_budget_s: float = 60.0):
             }
             if mn == 0.0:
                 at = [v for v in fin if tie_distance(v, k) == 0.0]
-                ties.append({"col": cname, "k": k, "values": at[:5]})
+                entry = {"col": cname, "k": k, "values": at[:5]}
+                # ADVICE r10: only MAPPED ties (a column actually produced
+                # by a round(x, k) call) drive the TIE! tag and the
+                # non-zero exit — an unmapped '?' what-if measurement of a
+                # floor/integer display whose raw double sits on a .5
+                # boundary is the same phantom class the headline fix
+                # retired. Unmapped ties stay visible for hand review.
+                (ties if cname in colk else unmapped_ties).append(entry)
     if not per_col:
         return None
     # Headline figures come from MAPPED columns only (those tied to an
@@ -190,6 +198,7 @@ def audit_query(con, name: str, sql: str, time_budget_s: float = 60.0):
         "min_margin_ulps": overall_ulps,
         "headline_unmapped": headline_unmapped,
         "exact_ties": ties,
+        "unmapped_ties": unmapped_ties,
         "columns": per_col,
         "elapsed_s": round(time.time() - t0, 2),
     }
@@ -250,7 +259,9 @@ def main() -> int:
               f"({r['min_margin_ulps']:.2f} ulps)"
               + ("  [UNMAPPED-ONLY headline — read columns by hand]"
                  if r.get("headline_unmapped") else "")
-              + (f"  EXACT TIES: {r['exact_ties']}" if r["exact_ties"] else ""))
+              + (f"  EXACT TIES: {r['exact_ties']}" if r["exact_ties"] else "")
+              + (f"  unmapped what-if ties (hand review): {r['unmapped_ties']}"
+                 if r.get("unmapped_ties") else ""))
     errs = [r for r in results if "error" in r]
     if errs:
         print("errors:", [(r["query"], r["error"]) for r in errs])

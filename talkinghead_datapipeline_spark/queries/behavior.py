@@ -941,3 +941,160 @@ def nelson_aalen_conversion_hazard(
             "cum_hazard_ppm"
         ),
     ).orderBy("t_hours")
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r12 REGISTRATION: sessionized first/last-touch revenue
+# attribution — the marketing-attribution class (VERDICT r10 #7; pairs with
+# session_funnel_conversion and sessionize_users: the funnel certifies the
+# path, this certifies WHO GETS CREDIT for the purchase at its end). Each
+# purchase attributes its exact cent value to (a) the FIRST and (b) the
+# LAST touch event (view/click) strictly before it inside its own session
+# (30-minute inactivity gap, the sessionize_users contract); purchases with
+# no prior touch in-session attribute to 'direct'. Verified by
+# tests/test_attribution_staged.py; registration takes an r12 seat per the
+# house staging rule.
+#
+# Determinism (fully exact): sessions split on the same integer-µs gap and
+# (event_id) order as sessionize_users; the first/last-touch carries are
+# ignore-nulls window functions over a frame with a full event_id tiebreak
+# (the proven asof_prior_view_value idiom); revenue accumulates BIGINT
+# cents (round-half-away on both engines), so the 3-row rollup is
+# bit-identical under any layout and the /100.0 display is one correctly-
+# rounded division of exact integers.
+#
+# Scale shape: one user-keyed window stage (a single hash shuffle — the
+# sessionize shape, salting note shared), a map-side 2x fan-out of the
+# purchase rows into (channel, which-touch) pairs, then one combinable
+# ≤(channels x 2)-cell aggregation. No self-joins, no collects; at 100 TB
+# the window stage dominates exactly like every other sessionized query.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+),
+tagged AS (
+  SELECT *,
+    first_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                IGNORE NULLS)
+      OVER (PARTITION BY user_id, session_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id, session_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM sess
+),
+p AS (
+  SELECT COALESCE(first_touch, 'direct') AS fc,
+         COALESCE(last_touch, 'direct') AS lc,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM tagged WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT fc AS channel, 0 AS is_last, cents FROM p
+  UNION ALL
+  SELECT lc AS channel, 1 AS is_last, cents FROM p
+)
+SELECT channel,
+       CAST(sum(CASE WHEN is_last = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first_touch,
+       CAST(sum(CASE WHEN is_last = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS first_touch_cents,
+       CAST(sum(CASE WHEN is_last = 0 THEN cents ELSE 0 END) AS BIGINT) / 100.0
+         AS first_touch_revenue,
+       CAST(sum(CASE WHEN is_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_last_touch,
+       CAST(sum(CASE WHEN is_last = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS last_touch_cents,
+       CAST(sum(CASE WHEN is_last = 1 THEN cents ELSE 0 END) AS BIGINT) / 100.0
+         AS last_touch_revenue
+FROM u GROUP BY channel
+"""
+
+
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized first/last-touch revenue attribution per channel: every
+    purchase credits its exact cent value to the first and the last
+    view/click strictly before it in its 30-minute-gap session ('direct'
+    when none). See the staging block above for the determinism and scale
+    contract."""
+    from talkinghead_datapipeline_spark.functions.geometry import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts", 1).over(w).isNull(), 1)
+        .when(gap_us > 1_800_000_000, 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = (
+        W.partitionBy("user_id", "session_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    tagged = sess.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(ws).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(ws).alias("last_touch"),
+    )
+    p = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("fc"),
+        F.coalesce("last_touch", F.lit("direct")).alias("lc"),
+        round_half_away(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # map-side 2x fan-out (explode of a 2-struct array), NOT a union of two
+    # projections — a union would re-plan the whole window stage per branch
+    u = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("fc").alias("channel"),
+                    F.lit(0).alias("is_last"),
+                    F.col("cents"),
+                ),
+                F.struct(
+                    F.col("lc").alias("channel"),
+                    F.lit(1).alias("is_last"),
+                    F.col("cents"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.channel", "t.is_last", "t.cents")
+    first_cents = F.sum(F.when(F.col("is_last") == 0, F.col("cents")).otherwise(0))
+    last_cents = F.sum(F.when(F.col("is_last") == 1, F.col("cents")).otherwise(0))
+    return u.groupBy("channel").agg(
+        F.sum(F.when(F.col("is_last") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_touch"),
+        first_cents.cast("bigint").alias("first_touch_cents"),
+        (first_cents.cast("bigint") / 100.0).alias("first_touch_revenue"),
+        F.sum(F.when(F.col("is_last") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last_touch"),
+        last_cents.cast("bigint").alias("last_touch_cents"),
+        (last_cents.cast("bigint") / 100.0).alias("last_touch_revenue"),
+    )

@@ -1106,3 +1106,94 @@ def auc_mann_whitney_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((two_u * 1000000) div nullif(2 * n_pos * n_neg, 0) AS BIGINT)"
         " AS auc_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r12 REGISTRATION: calibration / reliability bins — the
+# model-calibration class (VERDICT r10 #7; pairs with auc_mann_whitney_lang:
+# AUC certifies a ranker's DISCRIMINATION, this certifies whether its scores
+# read as probabilities). Per predicted-probability decile: count, positive
+# count, mean predicted probability, empirical positive rate, the
+# calibration gap, the bin's reliability term (n_k·(p̄_k − ō_k)², the Murphy
+# decomposition's reliability summand), and the bin's Brier contribution.
+# Verified by tests/test_reliability_staged.py; registration takes an r12
+# seat per the house staging rule.
+#
+# The "model" is a deterministic integer score b = n_chars % 100 read as a
+# predicted probability b/100 of lang = 'en' — the certification target is
+# the binning/decomposition OPERATOR, not the toy scorer (swap b for any
+# certified score column; nb_lang_classifier_scores is the in-registry
+# candidate). Determinism (fully exact): every output is an integer-ppm
+# floor division of exact BIGINT sums — no doubles anywhere, so the result
+# is bit-identical under any layout, partitioning, or accumulation order.
+# Fixed-point contract: per-bin terms are floored to integer ppm BEFORE any
+# consumer sums them (a defined statistic, same floors on both engines).
+# Domain note (same class as the round(x,k) portability note in
+# queries/__init__.py): rel_term_ppm's numerator is ≤ 1e6·n_k², inside
+# int64 for n_k up to ~3e6 rows per bin — orders of magnitude above any
+# certified SF; at 100 TB the same plan runs with the numerator in DOUBLE
+# or DECIMAL(38) (one expression swap, noted here so nobody reads the
+# BIGINT form as unbounded).
+#
+# Scale shape: ONE map-side-combinable aggregation of four exact integer
+# sums to a ≤10-row frame; everything after is per-row integer arithmetic
+# on that frame. At 100 TB this is a single reduce — the cheapest possible
+# shape for a full-corpus calibration audit.
+# ---------------------------------------------------------------------------
+
+RELIABILITY_BINS_ORACLE = """
+WITH f AS (
+  SELECT n_chars % 100 AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT b // 10 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(b) AS BIGINT) AS s,
+         CAST(sum((b - 100 * y) * (b - 100 * y)) AS BIGINT) AS sq
+  FROM f GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+       CAST(s * 10000 // n AS BIGINT) AS mean_pred_ppm,
+       CAST(n_pos * 1000000 // n AS BIGINT) AS emp_rate_ppm,
+       CAST(s * 10000 // n - n_pos * 1000000 // n AS BIGINT) AS gap_ppm,
+       CAST((s - 100 * n_pos) * (s - 100 * n_pos) * 100 // n AS BIGINT)
+         AS rel_term_ppm,
+       CAST(sq * 100 // n AS BIGINT) AS brier_bin_ppm
+FROM g ORDER BY bin
+"""
+
+
+def reliability_bins_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) bins for a probability-scored binary label:
+    per predicted-probability decile, the count, positives, mean predicted
+    probability, empirical rate, calibration gap, Murphy reliability term
+    n_k·(p̄_k − ō_k)², and Brier contribution — all as exact integer ppm.
+    See the staging block above for the determinism and scale contract."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    f = docs.select(
+        (F.col("n_chars") % 100).alias("b"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = f.groupBy(F.expr("b div 10").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("b").cast("bigint").alias("s"),
+        F.sum(F.expr("(b - 100 * y) * (b - 100 * y)")).cast("bigint").alias("sq"),
+    )
+    return g.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        "n_pos",
+        F.expr("s * 10000 div n").cast("bigint").alias("mean_pred_ppm"),
+        F.expr("n_pos * 1000000 div n").cast("bigint").alias("emp_rate_ppm"),
+        F.expr("s * 10000 div n - n_pos * 1000000 div n")
+        .cast("bigint")
+        .alias("gap_ppm"),
+        F.expr("(s - 100 * n_pos) * (s - 100 * n_pos) * 100 div n")
+        .cast("bigint")
+        .alias("rel_term_ppm"),
+        F.expr("sq * 100 div n").cast("bigint").alias("brier_bin_ppm"),
+    ).orderBy("bin")

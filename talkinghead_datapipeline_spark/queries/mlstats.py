@@ -1197,3 +1197,131 @@ def reliability_bins_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel_term_ppm"),
         F.expr("sq * 100 div n").cast("bigint").alias("brier_bin_ppm"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r12 REGISTRATION: isotonic regression calibration curve — the
+# monotone-calibration class (pairs with reliability_bins_lang: the bins
+# AUDIT calibration, isotonic regression FIXES it — sklearn's
+# IsotonicRegression / Zadrozny-Elkan calibration, the standard
+# post-processor for any learned quality scorer). Verified by
+# tests/test_isotonic_staged.py; registration takes an r12 seat per the
+# house staging rule.
+#
+# Algorithm: the pool-adjacent-violators fit at score i equals the minimax
+# identity iso(i) = max_{j<=i} min_{k>=i} avg(y over scores j..k) — a
+# closed form over the DISTINCT-SCORE frame, so the sequential PAV loop
+# (inherently order-dependent, un-Spark-able) is replaced by a pairs
+# expansion + suffix-min window + per-score max over a frame whose
+# cardinality is the number of distinct scores (<= 100 here), NOT rows.
+# tests/test_isotonic_staged.py proves the identity against an exact
+# Fraction-arithmetic PAV implementation.
+#
+# Determinism: every avg is ONE division of exact BIGINT prefix-count
+# differences — bit-identical on both engines — and min/max/floor are
+# exact on identical doubles, so the floor-ppm display needs no margin
+# argument. Scale shape: one map-side-combinable aggregation to the
+# distinct-score frame (the ONLY data-sized pass), then O(S^2) = 10^4
+# pair rows through one window and one 100-cell agg; at 100 TB with
+# continuous scores the same plan runs on certified equi-depth buckets.
+# ---------------------------------------------------------------------------
+
+ISOTONIC_CALIBRATION_ORACLE = """
+WITH f AS (
+  SELECT n_chars % 100 AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT b AS score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM f GROUP BY 1
+),
+pre AS (
+  SELECT score, n, pos,
+         CAST(sum(n) OVER w AS BIGINT) AS c,
+         CAST(sum(pos) OVER w AS BIGINT) AS p
+  FROM s
+  WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pairs AS (
+  SELECT j.score AS sj, k.score AS sk,
+         CAST(k.p - (j.p - j.pos) AS DOUBLE)
+           / CAST(k.c - (j.c - j.n) AS DOUBLE) AS a
+  FROM pre j JOIN pre k ON j.score <= k.score
+),
+m AS (
+  SELECT sj, sk,
+         min(a) OVER (PARTITION BY sj ORDER BY sk DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS msuffix
+  FROM pairs
+),
+iso AS (
+  SELECT sk AS score, max(msuffix) AS fit FROM m GROUP BY sk
+)
+SELECT CAST(p.score AS BIGINT) AS score, p.n, p.pos,
+       CAST(p.pos * 1000000 // p.n AS BIGINT) AS emp_ppm,
+       CAST(floor(i.fit * 1000000.0) AS BIGINT) AS iso_ppm
+FROM pre p JOIN iso i ON p.score = i.score
+ORDER BY score
+"""
+
+
+def isotonic_calibration_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration curve of the b = n_chars % 100 score for
+    lang = 'en': per distinct score, the raw empirical rate and the
+    monotone isotonic fit (both floor-ppm), via the minimax closed form
+    over the distinct-score frame. See the staging block above for the
+    identity, determinism, and scale contract."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    s = docs.select(
+        (F.col("n_chars") % 100).alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wp = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = s.select(
+        "score",
+        "n",
+        "pos",
+        F.sum("n").over(wp).cast("bigint").alias("c"),
+        F.sum("pos").over(wp).cast("bigint").alias("p"),
+    )
+    j = pre.select(
+        F.col("score").alias("sj"),
+        (F.col("p") - F.col("pos")).alias("p_prev"),
+        (F.col("c") - F.col("n")).alias("c_prev"),
+    )
+    k = pre.select(
+        F.col("score").alias("sk"),
+        F.col("p").alias("pk"),
+        F.col("c").alias("ck"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("sj") <= F.col("sk")).select(
+        "sj",
+        "sk",
+        (
+            (F.col("pk") - F.col("p_prev")).cast("double")
+            / (F.col("ck") - F.col("c_prev")).cast("double")
+        ).alias("a"),
+    )
+    wm = (
+        W.partitionBy("sj")
+        .orderBy(F.desc("sk"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = pairs.select("sj", "sk", F.min("a").over(wm).alias("msuffix"))
+    iso = m.groupBy(F.col("sk").alias("score")).agg(F.max("msuffix").alias("fit"))
+    return (
+        pre.join(iso, "score")
+        .select(
+            F.col("score").cast("bigint").alias("score"),
+            "n",
+            "pos",
+            F.expr("pos * 1000000 div n").cast("bigint").alias("emp_ppm"),
+            F.floor(F.col("fit") * 1000000.0).cast("bigint").alias("iso_ppm"),
+        )
+        .orderBy("score")
+    )

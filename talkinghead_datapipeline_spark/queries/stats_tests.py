@@ -526,3 +526,109 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mom_growth_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r12 REGISTRATION: Kolmogorov-Smirnov two-sample statistic —
+# the nonparametric distribution-shift test class (pairs with
+# psi_snapshot_drift, which needs pre-agreed bins, and chi2, which needs
+# categories: KS compares two FULL empirical CDFs with no binning choice —
+# "did the en corpus's length distribution drift from the rest"). Verified
+# by tests/test_ks_staged.py; registration takes an r12 seat per the house
+# staging rule.
+#
+# Determinism (fully EXACT, no margin argument): the statistic is computed
+# as an INTEGER — D = max_x |F1(x)·n1·n2 − F2(x)·n1·n2| needs no division:
+# d_num(x) = |c1(≤x)·n2 − c2(≤x)·n1| over exact BIGINT prefix counts, the
+# max and its witness score are integer-argmaxed with a full (d DESC,
+# score ASC) tiebreak, and the one /(n1·n2) quotient is displayed as a
+# floor-ppm of exact integers. Domain note: d_num·10⁶ ≤ n1·n2·10⁶, inside
+# int64 for n1·n2 up to ~9e12 (n ~ 3e6 per side) — far above certified
+# SFs; the at-scale swap is DECIMAL(38) on one line.
+#
+# Scale shape: one aggregation to the distinct-score frame (cardinality =
+# distinct scores, NOT rows — the auc_mann_whitney_lang shape), one
+# ordered prefix-sum window over that small frame, one argmax reduce. For
+# continuous scores at 100 TB the same plan runs on the certified
+# equi-depth bucket boundaries (the KS sup is then exact on the bucketed
+# CDF, a documented lower bound of the raw-data statistic).
+# ---------------------------------------------------------------------------
+
+KS_TWO_SAMPLE_ORACLE = """
+WITH s AS (
+  SELECT n_chars AS score,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM documents GROUP BY 1
+),
+pre AS (
+  SELECT score,
+         CAST(sum(c1) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS f1,
+         CAST(sum(c2) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS f2,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         CAST(sum(c2) OVER () AS BIGINT) AS n2
+  FROM s
+),
+d AS (
+  SELECT score, n1, n2, abs(f1 * n2 - f2 * n1) AS d_num
+  FROM pre
+)
+SELECT n1, n2,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+       CAST(score AS BIGINT) AS at_score
+FROM d
+ORDER BY d_num DESC, score ASC
+LIMIT 1
+"""
+
+
+def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of n_chars for
+    lang = 'en' vs the rest: the sup-distance of the two empirical CDFs as
+    an exact integer (d_num = max |F1·n1·n2 − F2·n1·n2|), its witness
+    score (smallest on ties), and the floor-ppm statistic. See the staging
+    block above for the determinism and scale contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wp = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pre = s.select(
+        "score",
+        F.sum("c1").over(wp).cast("bigint").alias("f1"),
+        F.sum("c2").over(wp).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    d = pre.select(
+        "score",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    )
+    return (
+        d.orderBy(F.desc("d_num"), F.asc("score"))
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            F.col("d_num").cast("bigint").alias("d_num"),
+            F.expr("d_num * 1000000 div (n1 * n2)").cast("bigint").alias("d_ppm"),
+            F.col("score").cast("bigint").alias("at_score"),
+        )
+    )

@@ -116,11 +116,12 @@ _MODULES = (
 #     landed — the remaining 31 lead the r12 drain).
 #
 # r12 rotation (write the final comment the day the r11 artifacts land):
-# (1) r12 changed-code canaries; (2) the FOUR queries staged in r11, WITH
+# (1) r12 changed-code canaries; (2) the FIVE queries staged in r11, WITH
 # seats and HEADLINE entries in the same change: reliability_bins_lang +
 # attribution_first_last_touch (VERDICT r10 #7) and ks_two_sample_chars +
-# isotonic_calibration_lang (the distribution-shift-test and
-# monotone-calibration classes, staged beyond the verdict list), each
+# isotonic_calibration_lang + k_anonymity_audit (the
+# distribution-shift-test, monotone-calibration, and privacy-governance
+# classes, staged beyond the verdict list), each
 # three-SF + x4 oracle-verified with three-axis invariance pinned in its
 # test_*_staged.py; (3) the remaining 31 r7-era keys
 # (event_transition_matrix, fk_integrity_audit first); (4) r8-era

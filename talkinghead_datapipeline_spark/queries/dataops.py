@@ -357,3 +357,101 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r12 REGISTRATION: k-anonymity audit — the privacy/governance
+# class (pairs with pii_redact_stats: that one masks direct identifiers,
+# this one measures whether the QUASI-identifier combination still singles
+# people out — the k-anonymity criterion every release review runs before
+# data leaves the pipeline). Quasi-identifier tuple here: (lang, source,
+# n_chars // 100) over documents — the categorical + coarse-numeric shape
+# a real QI set has. For each k in a fixed policy ladder (2/5/10/25):
+# how many equivalence classes fall below k, how many ROWS sit in them
+# (the re-identifiable population), and that population as floor-ppm.
+# Verified by tests/test_kanon_staged.py; registration takes an r12 seat
+# per the house staging rule.
+#
+# Determinism (fully exact): everything is BIGINT counts of a single
+# groupBy plus one conditional re-aggregation; the only division is the
+# floor-ppm display of exact integers.
+#
+# Scale shape: ONE map-side-combinable aggregation to the equivalence-
+# class frame (cardinality = distinct QI tuples, not rows), a map-side
+# 4x threshold fan-out of THAT small frame, then a 4-row agg. The class
+# frame is the thing that can skew at 100 TB (a hot QI tuple), but it
+# only ever passes through count aggregation — no per-class expansion.
+# ---------------------------------------------------------------------------
+
+K_ANONYMITY_ORACLE = """
+WITH classes AS (
+  SELECT lang, source, n_chars // 100 AS size_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS total_classes,
+         CAST(min(n) AS BIGINT) AS min_class_size
+  FROM classes
+),
+ladder AS (
+  SELECT k, CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+              AS classes_below,
+         CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+              AS rows_below
+  FROM classes, (SELECT unnest([2, 5, 10, 25]) AS k)
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, classes_below, rows_below,
+       CAST(rows_below * 1000000 // total_rows AS BIGINT) AS rows_below_ppm,
+       total_rows, total_classes, min_class_size
+FROM ladder, tot
+ORDER BY k
+"""
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (lang, source, n_chars // 100)
+    quasi-identifier over documents: per policy threshold k, the count of
+    equivalence classes below k and the rows inside them (raw + floor-ppm),
+    with the corpus totals and the smallest class. See the staging block
+    above for the determinism and scale contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").alias("size_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = classes.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("total_classes"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+    )
+    ladder = (
+        classes.select(
+            "n", F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 25)])).alias("k")
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below"),
+        )
+    )
+    return (
+        ladder.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "classes_below",
+            "rows_below",
+            F.expr("rows_below * 1000000 div total_rows")
+            .cast("bigint")
+            .alias("rows_below_ppm"),
+            "total_rows",
+            "total_classes",
+            "min_class_size",
+        )
+        .orderBy("k")
+    )

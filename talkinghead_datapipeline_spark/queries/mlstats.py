@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -1282,12 +1282,18 @@ def isotonic_calibration_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("pos"),
     )
     wp = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
-    pre = s.select(
-        "score",
-        "n",
-        "pos",
-        F.sum("n").over(wp).cast("bigint").alias("c"),
-        F.sum("pos").over(wp).cast("bigint").alias("p"),
+    # persist the distinct-score frame: j and k below both derive from it,
+    # and without the cut the self-join would scan documents TWICE — at
+    # scale the second full pass costs more than the whole ≤100-row
+    # minimax stage (same persist-cut rationale as sim_ivf_trained_topk)
+    pre = persist_once(
+        s.select(
+            "score",
+            "n",
+            "pos",
+            F.sum("n").over(wp).cast("bigint").alias("c"),
+            F.sum("pos").over(wp).cast("bigint").alias("p"),
+        )
     )
     j = pre.select(
         F.col("score").alias("sj"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table
+from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H, snap_hash20
 
@@ -418,9 +418,14 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus totals and the smallest class. See the staging block
     above for the determinism and scale contract."""
     docs = load_table(spark, sf_dir, "documents")
-    classes = docs.groupBy(
-        "lang", "source", F.expr("n_chars div 100").alias("size_bucket")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # persist the equivalence-class frame: tot and ladder both derive from
+    # it, and without the cut each would re-scan documents — one full pass
+    # must feed both (same persist-cut rationale as the isotonic minimax)
+    classes = persist_once(
+        docs.groupBy(
+            "lang", "source", F.expr("n_chars div 100").alias("size_bucket")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     tot = classes.agg(
         F.sum("n").cast("bigint").alias("total_rows"),
         F.count(F.lit(1)).cast("bigint").alias("total_classes"),

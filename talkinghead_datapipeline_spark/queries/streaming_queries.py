@@ -1265,9 +1265,13 @@ def incremental_recompute_equivalence(spark: SparkSession, sf_dir: str) -> DataF
         run_foreach_batch_merge,
     )
 
-    from talkinghead_datapipeline_spark.catalog import load_table
+    from talkinghead_datapipeline_spark.catalog import load_table, persist_once
 
-    ev = (
+    # persist the projected purchase frame: the three split-writes below
+    # each filter it, and without the cut each write would re-scan events
+    # (the splits are harness scaffolding — in production the micro-batch
+    # files ARRIVE; the operator under certification is the merge)
+    ev = persist_once(
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "event_id", "value")

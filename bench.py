@@ -211,6 +211,18 @@ HEADLINE = (
     "auc_mann_whitney_lang",
     "nelson_aalen_conversion_hazard",
     "changepoint_daily_revenue",
+    # Round-12 additions with their registrations (the five r11-staged
+    # operator classes; per test_session_config they join HEADLINE in the
+    # same change as their registration). All five are one-data-pass
+    # plans whose post-scan work is bounded (10-row calibration frame,
+    # distinct-score frames for KS/PAV, a quasi-identifier class frame,
+    # one session-window pass), so their bench line is a genuine
+    # scan-cost signal, not scheduling floor.
+    "reliability_bins_lang",
+    "isotonic_calibration_lang",
+    "ks_two_sample_chars",
+    "k_anonymity_audit",
+    "attribution_first_last_touch",
 )
 
 

@@ -90,102 +90,106 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-11 WINDOW. Cumulative certification entering r11 is 216/216 with
-# staleness tiers r6=30, r7=44, r8=43, r9=49, r10=50 (recomputed from the
-# raw CORRECTNESS artifacts 2026-08-15, matching VERDICT r10's own
-# recount); r11 registers the five operator-class queries staged in r10
-# (registry 216 -> 221), each of which joins bench.HEADLINE in the same
-# change per the test_session_config rule. Seat order (changed-code beats
-# stale, per the house rule):
-#  1. Round-11 registrations, never driver-certified (the governor allows
-#     up to 50 - backlog; backlog entering r11 is 0): kfold_linreg_cv,
-#     pca_power_doc_features, auc_mann_whitney_lang (queries/mlstats.py),
-#     nelson_aalen_conversion_hazard (queries/behavior.py),
-#     changepoint_daily_revenue (queries/timeseries.py) — all staged in
-#     r10 with three-SF oracle verification and three-axis invariance
-#     pinned (tests/test_{kfold,pca,auc,survival,changepoint}_staged.py)
-#     before this registration, per the house staging rule. Further r11
-#     registrations (N17 projection, incremental-maintenance equivalence
-#     — VERDICT r10 #2/#3) take seats here as they land, displacing the
-#     tail of section 3.
-#  2. The full 30-key r6-era stale tier (alphabetical) — after r11 no
-#     key's latest green row predates r7 (VERDICT r10 #4).
-#  3. r7-era drain, oldest-first alphabetical, with the leftover seats
-#     (44 keys in the tier; 13 seated after the flame_render_pipeline
-#     canary and the incremental_recompute_equivalence registration
-#     landed — the remaining 31 lead the r12 drain).
+# ROUND-12 WINDOW. Cumulative certification entering r12 is 222/222
+# (r11 registered six: the five r10-staged operator classes plus
+# incremental_recompute_equivalence, registry 216 -> 222 — this corrects
+# the prior comment's "-> 221" miscount, ADVICE r11) with staleness tiers
+# r7=31, r8=43, r9=49, r10=49, r11=50 (recomputed from the raw
+# CORRECTNESS artifacts 2026-08-15; the r6 tier drained fully in r11).
+# r12 registers the five queries staged in r11 (registry 222 -> 227),
+# each joining bench.HEADLINE in the same change per the
+# test_session_config rule. Seat order (changed-code beats stale, per the
+# house rule):
+#  0. r12 changed-code canaries: incremental_recompute_equivalence — its
+#     merge sink gained the _applied_batch_id replay watermark (ADVICE
+#     r11: foreachBatch is at-least-once; the additive merge now skips
+#     replayed batch ids) — and streaming_foreachbatch_upsert, the other
+#     consumer of streaming/incremental.py (its upsert body is unchanged,
+#     seated defensively for the shared-module edit; it is also r8-tier
+#     stale, so the seat does double duty).
+#  1. Round-12 registrations, never driver-certified (the governor allows
+#     up to 50 - backlog; backlog entering r12 is 0): the calibration
+#     pair reliability_bins_lang + isotonic_calibration_lang
+#     (queries/mlstats.py — Murphy/Brier decile bins; PAV via the minimax
+#     identity), ks_two_sample_chars (queries/stats_tests.py — exact
+#     integer KS sup-distance), k_anonymity_audit (queries/dataops.py —
+#     privacy governance), attribution_first_last_touch
+#     (queries/behavior.py — sessionized first/last-touch cents). All
+#     staged in r11 with three-SF + x4 oracle verification and three-axis
+#     invariance pinned (tests/test_{reliability,isotonic,ks,kanon,
+#     attribution}_staged.py) before this registration, per the house
+#     staging rule.
+#  2. r7-era drain: the full remaining 31-key tier (alphabetical) — after
+#     r12 no key's latest green row predates r8.
+#  3. r8-era drain, oldest-first alphabetical, with the leftover 12 seats
+#     (43 keys in the tier; streaming_foreachbatch_upsert's canary seat
+#     makes it 13 drained — the remaining 30 lead the r13 drain).
 #
-# r12 rotation (write the final comment the day the r11 artifacts land):
-# (1) r12 changed-code canaries; (2) the FIVE queries staged in r11, WITH
-# seats and HEADLINE entries in the same change: reliability_bins_lang +
-# attribution_first_last_touch (VERDICT r10 #7) and ks_two_sample_chars +
-# isotonic_calibration_lang + k_anonymity_audit (the
-# distribution-shift-test, monotone-calibration, and privacy-governance
-# classes, staged beyond the verdict list), each
-# three-SF + x4 oracle-verified with three-axis invariance pinned in its
-# test_*_staged.py; (3) the remaining 31 r7-era keys
-# (event_transition_matrix, fk_integrity_audit first); (4) r8-era
-# oldest-first with leftover seats.
+# r13 rotation (write the final comment the day the r12 artifacts land):
+# (1) r13 changed-code canaries; (2) any queries staged in r12, WITH
+# seats and HEADLINE entries in the same change; (3) the remaining 30
+# r8-era keys (e7_memoization_anti, emb_covariance_upper first); (4)
+# r9-era oldest-first with leftover seats.
 _DRIVER_PRIORITY = (
-    # --- 0. round-11 changed-code canaries ---
-    "flame_render_pipeline",  # N17 projection columns added (VERDICT r10 #2)
-    # --- 1. round-11 registrations (staged r10) ---
-    "kfold_linreg_cv",  # 5-fold CV linear regression, exact moment sums
-    "pca_power_doc_features",  # power-iteration PCA, 1-row stats frame
-    "auc_mann_whitney_lang",  # tie-corrected Mann-Whitney U / AUC
-    "nelson_aalen_conversion_hazard",  # survival hazard, right-censored
-    "changepoint_daily_revenue",  # binary-segmentation first split
-    "incremental_recompute_equivalence",  # IVM ≡ recompute by hash (r10 #3)
-    # --- 2. r6-era stale drain (the full tier, alphabetical) ---
-    "ewma_user_values",
-    "gap_fill_hourly",
-    "gopher_dup_line_signals",
-    "gopher_dup_trigram_coverage",
-    "hll_distinct_users",
-    "item_cf_top_recs",
-    "lineitem_measure_correlations",
-    "merge_upsert_latest",
-    "ohlc_6h_bars",
-    "pagerank_trade_network",
-    "pmi_top_collocations",
-    "random_projection_jl",
-    "range_frame_trailing_30min",
-    "recursive_cte_key_depths",
-    "robust_outlier_flags",
-    "scd2_user_value_intervals",
-    "session_funnel_conversion",
-    "sim_ivf_trained_topk",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "sim_sq8_quant_topk",
-    "snapshot_diff_summary",
-    "source_mixture_manifest",
-    "substring_dup_coverage",
-    "table_integrity_checksums",
-    "text_unigram_entropy",
-    "tfidf_top_terms",
-    "triangle_count_copart",
-    "weighted_topk_sample_es",
-    "zorder_data_skipping",
-    # --- 3. r7-era drain (oldest-first alphabetical, 13 seats) ---
-    "ab_test_lift",
-    "asof_next_view_tolerance",
-    "bayes_smoothed_part_scores",
-    "benford_first_digit",
-    "ccnet_perplexity_buckets",
-    "chi2_lang_source_cells",
-    "churn_flags_by_cohort",
-    "cumulative_unique_users",
-    "dataset_card_stats",
-    "dedup_cluster_size_histogram",
-    "diurnal_activity_profile",
-    "dsir_importance_weights",
-    "e2_name_derivation",
+    # --- 0. round-12 changed-code canaries (streaming/incremental.py) ---
+    "incremental_recompute_equivalence",  # replay watermark added (ADVICE r11)
+    "streaming_foreachbatch_upsert",  # shared-module canary (also r8-stale)
+    # --- 1. round-12 registrations (staged r11) ---
+    "reliability_bins_lang",  # Murphy/Brier calibration decile bins
+    "isotonic_calibration_lang",  # PAV monotone calibration (minimax identity)
+    "ks_two_sample_chars",  # exact integer KS two-sample sup-distance
+    "k_anonymity_audit",  # quasi-identifier k-anonymity / privacy audit
+    "attribution_first_last_touch",  # sessionized first/last-touch revenue
+    # --- 2. r7-era drain (the full remaining tier, alphabetical) ---
+    "event_transition_matrix",
+    "fk_integrity_audit",
+    "frequent_event_trigrams",
+    "fuzzy_blocking_recall_certified",
+    "fuzzy_name_clusters",
+    "fuzzy_part_match_pairs",
+    "gopher_quality_filter",
+    "group_split_no_leakage",
+    "hard_negative_mining",
+    "histogram_fixed_width",
+    "kcenter_coreset_selection",
+    "keyword_domain_tags",
+    "knn_mutual_edges",
+    "llm_curation_pipeline",
+    "minhash_estimate_error",
+    "mode_nation_per_segment",
+    "nb_lang_classifier_scores",
+    "nb_lang_margin",
+    "order_interarrival_by_segment",
+    "psi_snapshot_drift",
+    "retention_cohorts",
+    "rfm_segments",
+    "rolling_mad_anomalies",
+    "rrf_hybrid_topk",
+    "semdedup_prune_stats",
+    "sim_lsh_recall_certified",
+    "temperature_mixture_weights",
+    "tokenizer_fertility_per_lang",
+    "trailing_zscore_anomalies",
+    "unigram_kl_per_source",
+    "zipf_slope_per_lang",
+    # --- 3. r8-era drain (oldest-first alphabetical, 12 seats) ---
+    "array_hof_suite",
+    "asof_prior_view_value",
+    "class_balanced_downsample",
+    "corpus_clean_pipeline",
+    "cube_flag_status",
+    "date_functions_suite",
+    "date_orders_by_month",
+    "decontaminate_against_benchmark",
+    "dedup_cluster_assignments",
+    "dedup_exact_keep_first",
+    "doc_fingerprint",
+    "e3_key_intersection_semi",
 )
 
 # Overflow queue: never-driver-certified queries registered after the
-# current window filled its 50 seats. EMPTY for round 10 — the six r10
-# registrations all hold seats in the window above (section 2), so every
+# current window filled its 50 seats. EMPTY for round 12 — the five r12
+# registrations all hold seats in the window above (section 1), so every
 # never-certified query is inside the driver prefix (policy test asserts
 # len(never_certified) <= 50).
 _NEXT_ROUND_QUEUE: tuple[str, ...] = ()

@@ -944,7 +944,7 @@ def nelson_aalen_conversion_hazard(
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r12 REGISTRATION: sessionized first/last-touch revenue
+# REGISTERED r12 (staged r11): sessionized first/last-touch revenue
 # attribution — the marketing-attribution class (VERDICT r10 #7; pairs with
 # session_funnel_conversion and sessionize_users: the funnel certifies the
 # path, this certifies WHO GETS CREDIT for the purchase at its end). Each
@@ -1024,6 +1024,11 @@ FROM u GROUP BY channel
 """
 
 
+@register(
+    "attribution_first_last_touch",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("behavior", "attribution", "sessionization"),
+)
 def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionized first/last-touch revenue attribution per channel: every
     purchase credits its exact cent value to the first and the last
@@ -1097,4 +1102,176 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_last_touch"),
         last_cents.cast("bigint").alias("last_touch_cents"),
         (last_cents.cast("bigint") / 100.0).alias("last_touch_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r13 REGISTRATION: CUPED variance-reduced A/B lift — the
+# experimentation-efficiency class (VERDICT r11 #4a; pairs with
+# ab_test_lift: that query certifies the raw two-cohort readout, this
+# certifies the industry-standard pre-period covariate adjustment that
+# shrinks its variance). Cohorts split by user_id parity as in ab_test_lift;
+# the experiment metric Y is each user's purchase cents in the SECOND half
+# of the event window (ts >= 2024-01-16, the midpoint of the fixed 30-day
+# corpus window, stable at every SF), the covariate X is the same user's
+# purchase cents in the FIRST half — the pre-experiment period. Verified by
+# tests/test_cuped_staged.py; registration takes an r13 seat per the house
+# staging rule.
+#
+# CUPED (Deng et al., WSDM 2013, public): Y' = Y − θ(X − X̄) with
+# θ = cov(X,Y)/var(X) estimated POOLED across cohorts; the adjusted lift is
+# (Ȳ₁−Ȳ₀) − θ(X̄₁−X̄₀) and the variance shrinks by ρ²(X,Y).
+#
+# Determinism: every input to the float math is an exact BIGINT — per-user
+# cents (round-half-away both engines) reduced to one row of exact sums
+# (n, Σx, Σy, Σxx, Σxy, Σyy and the per-cohort n/Σx/Σy) — so θ, the lifts,
+# and ρ² are single-row IEEE expressions over identical integers,
+# bit-identical cross-engine; rounded outputs carry the +0.0
+# negative-zero normalization (they sit near zero by construction when the
+# parity split is null, which it is — user_id parity assigns no treatment).
+# Domain note (same class as reliability_bins_lang's): Σxx/Σxy stay inside
+# int64 while n·(max user cents)² ≲ 9e18 — per-user half-window cents are
+# ~1e6 here, so the headroom is ~9e6 users; past that the moment sums
+# widen to DECIMAL(38) or DOUBLE (one expression swap). The scalar
+# combinations (n·Σxy − Σx·Σy …) are computed in DOUBLE precisely because
+# they exceed int64 long before the raw sums do.
+#
+# Scale shape: ONE user-keyed combinable aggregation (the event stream's
+# cheapest reduction) then ONE 1-row global agg — no joins, no windows, no
+# second scan. At 100 TB this is two reduce stages, the minimal cost for
+# any per-unit covariate-adjusted experiment readout.
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16"
+
+CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                 AND ts < TIMESTAMP '{_CUPED_CUT}'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END),
+                       0) AS BIGINT) AS x,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                 AND ts >= TIMESTAMP '{_CUPED_CUT}'
+                            THEN CAST(round(value * 100, 0) AS BIGINT) END),
+                       0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN cohort = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(CASE WHEN cohort = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN cohort = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN cohort = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+  FROM per_user
+),
+d AS (
+  SELECT n, n0, n1,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n2,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx_n2,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary_n2,
+         (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / 100.0
+           AS diff_raw,
+         (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0) / 100.0
+           AS xdiff
+  FROM s
+)
+SELECT n AS n_users, n0 AS n_control, n1 AS n_treatment,
+       round(cov_n2 / varx_n2, 6) + 0.0 AS theta,
+       round(diff_raw, 6) + 0.0 AS diff_raw,
+       round(diff_raw - (cov_n2 / varx_n2) * xdiff, 6) + 0.0 AS diff_cuped,
+       round((cov_n2 * cov_n2) / (varx_n2 * vary_n2), 6) + 0.0
+         AS var_reduction
+FROM d
+"""
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift: per-user pre-period purchase cents
+    (covariate X) adjust the experiment-period cents (metric Y) via the
+    pooled θ = cov(X,Y)/var(X); emits cohort sizes, θ, the raw and
+    CUPED-adjusted lifts (dollars), and the achieved variance-reduction
+    factor ρ². See the staging block above for the determinism and scale
+    contract."""
+    from talkinghead_datapipeline_spark.functions.geometry import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    cents = round_half_away(F.col("value") * 100).cast("bigint")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(is_p & (F.col("ts") < cut), cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(is_p & (F.col("ts") >= cut), cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    cohort = (F.col("user_id") % 2).alias("cohort")
+    s = per_user.select("x", "y", cohort).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx0"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+    )
+    cov_n2 = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    varx_n2 = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vary_n2 = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    diff_raw = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    ) / 100.0
+    xdiff = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx0").cast("double") / F.col("n0")
+    ) / 100.0
+    theta = cov_n2 / varx_n2
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        (F.round(theta, 6) + 0.0).alias("theta"),
+        (F.round(diff_raw, 6) + 0.0).alias("diff_raw"),
+        (F.round(diff_raw - theta * xdiff, 6) + 0.0).alias("diff_cuped"),
+        (F.round((cov_n2 * cov_n2) / (varx_n2 * vary_n2), 6) + 0.0).alias(
+            "var_reduction"
+        ),
     )

@@ -360,7 +360,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r12 REGISTRATION: k-anonymity audit — the privacy/governance
+# REGISTERED r12 (staged r11): k-anonymity audit — the privacy/governance
 # class (pairs with pii_redact_stats: that one masks direct identifiers,
 # this one measures whether the QUASI-identifier combination still singles
 # people out — the k-anonymity criterion every release review runs before
@@ -411,6 +411,11 @@ ORDER BY k
 """
 
 
+@register(
+    "k_anonymity_audit",
+    oracle=K_ANONYMITY_ORACLE,
+    tags=("dataops", "privacy", "k-anonymity", "governance"),
+)
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of the (lang, source, n_chars // 100)
     quasi-identifier over documents: per policy threshold k, the count of

@@ -1109,7 +1109,7 @@ def auc_mann_whitney_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r12 REGISTRATION: calibration / reliability bins — the
+# REGISTERED r12 (staged r11): calibration / reliability bins — the
 # model-calibration class (VERDICT r10 #7; pairs with auc_mann_whitney_lang:
 # AUC certifies a ranker's DISCRIMINATION, this certifies whether its scores
 # read as probabilities). Per predicted-probability decile: count, positive
@@ -1166,6 +1166,11 @@ FROM g ORDER BY bin
 """
 
 
+@register(
+    "reliability_bins_lang",
+    oracle=RELIABILITY_BINS_ORACLE,
+    tags=("mlstats", "calibration", "reliability", "brier"),
+)
 def reliability_bins_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability (calibration) bins for a probability-scored binary label:
     per predicted-probability decile, the count, positives, mean predicted
@@ -1200,7 +1205,7 @@ def reliability_bins_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r12 REGISTRATION: isotonic regression calibration curve — the
+# REGISTERED r12 (staged r11): isotonic regression calibration curve — the
 # monotone-calibration class (pairs with reliability_bins_lang: the bins
 # AUDIT calibration, isotonic regression FIXES it — sklearn's
 # IsotonicRegression / Zadrozny-Elkan calibration, the standard
@@ -1267,6 +1272,11 @@ ORDER BY score
 """
 
 
+@register(
+    "isotonic_calibration_lang",
+    oracle=ISOTONIC_CALIBRATION_ORACLE,
+    tags=("mlstats", "calibration", "isotonic", "pav"),
+)
 def isotonic_calibration_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration curve of the b = n_chars % 100 score for
     lang = 'en': per distinct score, the raw empirical rate and the
@@ -1330,4 +1340,163 @@ def isotonic_calibration_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("fit") * 1000000.0).cast("bigint").alias("iso_ppm"),
         )
         .orderBy("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r13 REGISTRATION: split-conformal prediction-interval
+# calibration — the distribution-free uncertainty-quantification class
+# (VERDICT r11 #4b; completes the calibration suite with
+# reliability_bins_lang / isotonic_calibration_lang: those certify
+# probability calibration, this certifies INTERVAL coverage). Mondrian
+# (per-lang) split conformal over documents: the calibration half
+# (doc_id % 2 = 0) fits a point predictor (per-lang floor-mean n_chars) and
+# the conformal quantile q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+# nonconformity |n_chars − pred|; the disjoint test half then measures
+# empirical coverage of pred ± q̂, which the split-conformal theorem
+# (Vovk et al.; Papadopoulos et al. 2002 — public) guarantees ≥ 1−α in
+# expectation. α = 0.1. Verified by tests/test_conformal_staged.py;
+# registration takes an r13 seat per the house staging rule.
+#
+# Determinism (fully exact): the predictor is an integer floor division,
+# nonconformities are absolute integer differences, q̂ is an exact order
+# statistic selected as "smallest r whose cumulative calibration count
+# reaches k" — a rank-position value invariant to any tiebreak — and
+# coverage is an integer floor-ppm ratio. No doubles anywhere. Langs with
+# n_cal < 19 are excluded (k = ⌈0.9(n+1)⌉ would exceed n_cal, where
+# conformal prescribes q̂ = ∞); inactive at every oracle SF (min n_cal is
+# 31) — totality guard only, same pattern as simhash's _MAX_BUCKET.
+#
+# Scale shape: one lang-keyed reduction for the predictor (map-side
+# combinable), one (lang, r)-keyed reduction to the DISTINCT-nonconformity
+# frame (the auc/KS trick — the order-statistic window scales with value
+# cardinality, not rows), a broadcast of the tiny per-lang frame to the
+# test half, one final ≤|langs|-row agg. At 100 TB the exact q̂ selection
+# swaps to approx_percentile on the same nonconformity column
+# (approx_quantiles_certified is that certified operator); everything else
+# is unchanged.
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ORACLE = """
+WITH cal AS (SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+tst AS (SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+pred AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+         CAST(sum(n_chars) // count(*) AS BIGINT) AS pred,
+         CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k_rank
+  FROM cal GROUP BY lang HAVING count(*) >= 19
+),
+r AS (
+  SELECT cal.lang, abs(cal.n_chars - p.pred) AS r
+  FROM cal JOIN pred p ON p.lang = cal.lang
+),
+rc AS (SELECT lang, r, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+cum AS (
+  SELECT lang, r,
+         sum(c) OVER (PARTITION BY lang ORDER BY r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM rc
+),
+q AS (
+  SELECT cum.lang, CAST(min(r) AS BIGINT) AS q_hat
+  FROM cum JOIN pred ON pred.lang = cum.lang
+  WHERE cc >= pred.k_rank GROUP BY 1
+),
+cov AS (
+  SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(t.n_chars - p.pred) <= q.q_hat
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM tst t
+  JOIN pred p ON p.lang = t.lang
+  JOIN q ON q.lang = t.lang
+  GROUP BY 1
+)
+SELECT p.lang, p.n_cal, cov.n_test, p.pred, p.k_rank, q.q_hat, cov.n_covered,
+       CAST(cov.n_covered * 1000000 // cov.n_test AS BIGINT) AS coverage_ppm
+FROM pred p
+JOIN q ON q.lang = p.lang
+JOIN cov ON cov.lang = p.lang
+ORDER BY p.lang
+"""
+
+
+def conformal_coverage_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang split-conformal interval calibration: calibration-half
+    floor-mean predictor, exact conformal quantile q̂ at α = 0.1 via the
+    distinct-nonconformity cumulative frame, and test-half coverage in
+    floor ppm (guaranteed ≥ 900000 in expectation by the split-conformal
+    theorem). See the staging block above for the determinism and scale
+    contract."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    cal = docs.filter(F.col("doc_id") % 2 == 0)
+    tst = docs.filter(F.col("doc_id") % 2 == 1)
+    pred = (
+        cal.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+            F.sum("n_chars").cast("bigint").alias("s"),
+        )
+        .filter(F.col("n_cal") >= 19)
+        .select(
+            "lang",
+            "n_cal",
+            F.expr("s div n_cal").cast("bigint").alias("pred"),
+            F.expr("(9 * (n_cal + 1) + 9) div 10")
+            .cast("bigint")
+            .alias("k_rank"),
+        )
+    )
+    r = cal.join(F.broadcast(pred), "lang").select(
+        "lang",
+        "k_rank",
+        F.abs(F.col("n_chars") - F.col("pred")).alias("r"),
+    )
+    rc = r.groupBy("lang", "k_rank", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum_w = (
+        W.partitionBy("lang")
+        .orderBy("r")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    q = (
+        rc.withColumn("cc", F.sum("c").over(cum_w))
+        .filter(F.col("cc") >= F.col("k_rank"))
+        .groupBy("lang")
+        .agg(F.min("r").cast("bigint").alias("q_hat"))
+    )
+    per_lang = pred.join(F.broadcast(q), "lang")
+    cov = (
+        tst.join(F.broadcast(per_lang), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("pred"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        per_lang.join(F.broadcast(cov), "lang")
+        .select(
+            "lang",
+            "n_cal",
+            "n_test",
+            "pred",
+            "k_rank",
+            "q_hat",
+            "n_covered",
+            F.expr("(n_covered * 1000000) div n_test")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("lang")
     )

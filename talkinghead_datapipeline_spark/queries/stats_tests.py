@@ -529,7 +529,7 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r12 REGISTRATION: Kolmogorov-Smirnov two-sample statistic —
+# REGISTERED r12 (staged r11): Kolmogorov-Smirnov two-sample statistic —
 # the nonparametric distribution-shift test class (pairs with
 # psi_snapshot_drift, which needs pre-agreed bins, and chi2, which needs
 # categories: KS compares two FULL empirical CDFs with no binning choice —
@@ -587,6 +587,11 @@ LIMIT 1
 """
 
 
+@register(
+    "ks_two_sample_chars",
+    oracle=KS_TWO_SAMPLE_ORACLE,
+    tags=("stats", "ks", "two-sample", "drift"),
+)
 def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic of n_chars for
     lang = 'en' vs the rest: the sup-distance of the two empirical CDFs as

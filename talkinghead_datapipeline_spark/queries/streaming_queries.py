@@ -1258,6 +1258,7 @@ def incremental_recompute_equivalence(spark: SparkSession, sf_dir: str) -> DataF
     the sink swap is the only full rewrite — at 100 TB the swap becomes a
     Delta/Iceberg MERGE on the same combine expression and the partials
     pattern is unchanged. State lives in the sink, not the state store."""
+    import atexit
     import shutil
 
     from talkinghead_datapipeline_spark.functions.geometry import round_half_away
@@ -1278,6 +1279,9 @@ def incremental_recompute_equivalence(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     work = tempfile.mkdtemp(prefix="thdp_stream_ivm_")
+    # ADVICE r11: reclaim the work dir (3 data copies + sink + checkpoint)
+    # at interpreter exit, matching streaming_session_late_*.
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "src")
     os.makedirs(src)
     sink = os.path.join(work, "sink")

@@ -1260,3 +1260,162 @@ def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gain_per_order_c2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r13 REGISTRATION: day-of-week seasonal decomposition +
+# forecast backtest — the seasonality class (VERDICT r11 #4c; pairs with
+# changepoint_daily_revenue, which finds where the daily series BREAKS, and
+# q6_forecast_revenue: this certifies the series' periodic structure and
+# whether exploiting it beats the naive forecast). Per weekday over the
+# daily order-revenue series: the multiplicative seasonal index
+# (dow mean / grand mean, floor ppm) and a walk-forward backtest comparing
+# the seasonal-naive forecast (floor mean of the previous 4 same-weekday
+# observations) against the naive forecast (previous observed day) by MAE
+# in exact cents, on the same evaluation rows. Verified by
+# tests/test_seasonal_staged.py; registration takes an r13 seat per the
+# house staging rule.
+#
+# Determinism (fully exact): daily totals are BIGINT cents (round-half-away
+# both engines); every derived statistic is an integer floor division of
+# exact sums — the seasonal index composes two floor-means and one floor-ppm
+# ratio (a DEFINED statistic, identical floors on both engines, the
+# k_anonymity_audit pattern), forecasts are floor-means over exact window
+# frames with a full calendar order (dates are unique after the daily
+# rollup — no tiebreak needed), and the MAEs are floor-cent quotients.
+# Weekday numbering is pinned to Monday=0 on both engines (Spark weekday()
+# vs DuckDB isodow()-1 — dayofweek() disagrees between them).
+#
+# Scale shape: ONE date-grain combinable aggregation over orders (the only
+# data-sized shuffle), then lag/frame windows over the ~2.4k-row distinct-
+# day frame (bounded by calendar span, not data volume — the certified
+# changepoint shape) and a 7-row rollup. At 100 TB the daily rollup is the
+# only stage that sees the data.
+# ---------------------------------------------------------------------------
+
+SEASONAL_DOW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS st, CAST(count(*) AS BIGINT) AS nt
+  FROM daily
+),
+fc AS (
+  SELECT d, dow, s,
+         lag(s) OVER (ORDER BY d) AS f_naive,
+         CAST(sum(s) OVER wd AS BIGINT) AS s4,
+         CAST(count(*) OVER wd AS BIGINT) AS n4
+  FROM daily
+  WINDOW wd AS (PARTITION BY dow ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+),
+ev AS (
+  SELECT dow, abs(s - f_naive) AS e_naive, abs(s - s4 // 4) AS e_seas
+  FROM fc WHERE f_naive IS NOT NULL AND n4 = 4
+),
+idx AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(((sum(s) // count(*)) * 1000000) // (st // nt) AS BIGINT)
+           AS seasonal_index_ppm
+  FROM daily CROSS JOIN tot
+  GROUP BY dow, st, nt
+),
+mae AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(e_naive) // count(*) AS BIGINT) AS mae_naive_cents,
+         CAST(sum(e_seas) // count(*) AS BIGINT) AS mae_seasonal_cents
+  FROM ev GROUP BY dow
+)
+SELECT idx.dow, idx.n_days, idx.seasonal_index_ppm,
+       mae.n_eval, mae.mae_naive_cents, mae.mae_seasonal_cents,
+       CAST((mae.mae_seasonal_cents * 1000000)
+            // nullif(mae.mae_naive_cents, 0) AS BIGINT) AS seas_vs_naive_ppm
+FROM idx JOIN mae ON mae.dow = idx.dow
+ORDER BY idx.dow
+"""
+
+
+def seasonal_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index (floor ppm of dow mean vs grand mean)
+    plus a walk-forward MAE backtest of the seasonal-naive forecast
+    (floor mean of the prior 4 same-weekday days) against the naive
+    previous-day forecast, in exact cents on shared evaluation rows. See
+    the staging block above for the determinism and scale contract."""
+    from talkinghead_datapipeline_spark.functions.geometry import round_half_away
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(round_half_away(F.col("o_totalprice") * 100))
+            .cast("bigint")
+            .alias("s")
+        )
+        .select(F.col("d"), F.weekday("d").cast("bigint").alias("dow"), "s")
+    )
+    daily = persist_once(daily)
+
+    tot = daily.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    idx = (
+        daily.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("s").cast("bigint").alias("sd"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.expr("((sd div n_days) * 1000000) div (st div nt)")
+            .cast("bigint")
+            .alias("seasonal_index_ppm"),
+        )
+    )
+    w_naive = W.orderBy("d")
+    w_dow = W.partitionBy("dow").orderBy("d").rowsBetween(-4, -1)
+    fc = daily.select(
+        "dow",
+        "s",
+        F.lag("s").over(w_naive).alias("f_naive"),
+        F.sum("s").over(w_dow).cast("bigint").alias("s4"),
+        F.count(F.lit(1)).over(w_dow).cast("bigint").alias("n4"),
+    )
+    ev = fc.filter(F.col("f_naive").isNotNull() & (F.col("n4") == 4)).select(
+        "dow",
+        F.abs(F.col("s") - F.col("f_naive")).alias("e_naive"),
+        F.abs(F.col("s") - F.expr("s4 div 4")).alias("e_seas"),
+    )
+    mae = ev.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.expr("sum(e_naive) div count(1)")
+        .cast("bigint")
+        .alias("mae_naive_cents"),
+        F.expr("sum(e_seas) div count(1)")
+        .cast("bigint")
+        .alias("mae_seasonal_cents"),
+    )
+    return (
+        idx.join(F.broadcast(mae), "dow")
+        .select(
+            "dow",
+            "n_days",
+            "seasonal_index_ppm",
+            "n_eval",
+            "mae_naive_cents",
+            F.col("mae_seasonal_cents"),
+            F.expr(
+                "(mae_seasonal_cents * 1000000) div nullif(mae_naive_cents, 0)"
+            )
+            .cast("bigint")
+            .alias("seas_vs_naive_ppm"),
+        )
+        .orderBy("dow")
+    )

@@ -21,6 +21,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -311,6 +312,67 @@ def run_foreach_batch_upsert(
     query.awaitTermination()
 
 
+# Metadata column carried in the merge sink: the highest micro-batch id
+# already merged. Written atomically WITH the data (same parquet commit),
+# so the sink is always either entirely pre-batch or entirely post-batch —
+# a sidecar marker file could not give that (a crash between data write
+# and marker write would desynchronize them).
+_BATCH_ID_COL = "_applied_batch_id"
+
+
+def merge_batch_into_sink(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    batch_agg: Callable[[DataFrame], DataFrame],
+    re_agg: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+) -> bool:
+    """One idempotent merge step: combine ``batch_df``'s per-key partials
+    into the sink UNLESS this ``batch_id`` was already applied. Returns
+    True when the batch was merged, False when it was skipped as a replay.
+
+    foreachBatch delivery is AT-LEAST-ONCE: a failure after the sink
+    overwrite but before the checkpoint's offset commit re-delivers the
+    batch (same ``batch_id`` — Spark's contract) on restart. An additive
+    merge is NOT replay-idempotent by itself (unlike the keyed upsert,
+    where re-replacing the same keys is a no-op), so the sink carries a
+    ``_applied_batch_id`` high-watermark column: batch ids are monotonic
+    per checkpoint, so ``batch_id <= max(applied)`` identifies a replay
+    exactly, and skipping it makes the at-least-once delivery effectively
+    exactly-once (ADVICE r11). Sinks written before this column existed
+    merge as before (watermark absent → never skip).
+    """
+    if _sink_exists(spark, sink_path):
+        existing = spark.read.parquet(sink_path).persist()
+        try:
+            applied = (
+                existing.agg(F.max(_BATCH_ID_COL)).first()[0]
+                if _BATCH_ID_COL in existing.columns
+                else None
+            )
+            if applied is not None and batch_id <= applied:
+                return False  # replayed batch: already merged into the sink
+            merged = re_agg(
+                existing.drop(_BATCH_ID_COL).unionByName(batch_agg(batch_df))
+            )
+            # Stage then swap: materialize BEFORE the overwrite (merged
+            # reads sink_path itself) so the sink stays readable mid-plan.
+            staged = merged.withColumn(
+                _BATCH_ID_COL, F.lit(batch_id).cast("bigint")
+            ).localCheckpoint(eager=True)
+        finally:
+            existing.unpersist()
+    else:  # first batch: partials are already one row per key
+        staged = (
+            batch_agg(batch_df)
+            .withColumn(_BATCH_ID_COL, F.lit(batch_id).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+    staged.write.mode("overwrite").parquet(sink_path)
+    return True
+
+
 def run_foreach_batch_merge(
     spark: SparkSession,
     source_dir: str,
@@ -332,20 +394,20 @@ def run_foreach_batch_merge(
     from-scratch batch answer EXACTLY and the equivalence is certifiable by
     hash (VERDICT r10 #3). At scale the body becomes a Delta/Iceberg MERGE
     with the same combine expression; state lives in the sink, not the
-    state store, so a restart resumes from the checkpoint with zero
-    replays (exactly-once file-source semantics).
+    state store.
+
+    Replay safety: foreachBatch is at-least-once, and the additive combine
+    would double-count a replayed batch — so each merge goes through
+    ``merge_batch_into_sink``, which persists the applied-batch
+    high-watermark in the sink itself and skips batch ids at or below it
+    (see its docstring). Downstream readers that select columns by name
+    never see the ``_applied_batch_id`` metadata column.
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_agg(batch_df)
-        if _sink_exists(spark, sink_path):
-            existing = spark.read.parquet(sink_path)
-            merged = re_agg(existing.unionByName(part))
-        else:  # first batch: partials are already one row per key
-            merged = part
-        # Stage then swap: the sink must stay readable mid-rewrite.
-        staged = merged.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(sink_path)
+        merge_batch_into_sink(
+            spark, batch_df, batch_id, batch_agg, re_agg, sink_path
+        )
 
     query = (
         spark.readStream.schema(schema)

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from talkinghead_datapipeline_spark.streaming.incremental import (
+    merge_batch_into_sink,
     run_foreach_batch_merge,
 )
 
@@ -104,6 +105,48 @@ def test_restart_without_new_data_is_idempotent(spark, work):
     # re-aggregate anything (double-counting would show up as n=2)
     _run(spark, work)
     assert _sink_rows(spark, work) == before == {(1, 1, 10), (2, 1, 20)}
+
+
+def test_replayed_batch_is_skipped_not_double_counted(spark, work):
+    """foreachBatch is at-least-once: a crash after the sink overwrite but
+    before the checkpoint offset commit re-delivers the batch with the SAME
+    batch_id. The additive merge must skip it (ADVICE r11) — drive the
+    per-batch step directly to simulate the replay the clean-restart test
+    cannot reach."""
+    sink = os.path.join(work, "sink")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], SCHEMA)
+    b1 = spark.createDataFrame([(1, 1), (3, 7)], SCHEMA)
+
+    assert merge_batch_into_sink(spark, b0, 0, _batch_agg, _re_agg, sink) is True
+    after_b0 = _sink_rows(spark, work)
+    assert after_b0 == {(1, 1, 10), (2, 1, 20)}
+
+    # replay of batch 0 (failure landed between sink write and offset
+    # commit): must be a no-op, not a double count (n=2 would betray it)
+    assert merge_batch_into_sink(spark, b0, 0, _batch_agg, _re_agg, sink) is False
+    assert _sink_rows(spark, work) == after_b0
+
+    # the next genuine batch still merges...
+    assert merge_batch_into_sink(spark, b1, 1, _batch_agg, _re_agg, sink) is True
+    after_b1 = _sink_rows(spark, work)
+    assert after_b1 == {(1, 2, 11), (2, 1, 20), (3, 1, 7)}
+
+    # ...and replays of EITHER earlier batch id are still skipped
+    assert merge_batch_into_sink(spark, b1, 1, _batch_agg, _re_agg, sink) is False
+    assert merge_batch_into_sink(spark, b0, 0, _batch_agg, _re_agg, sink) is False
+    assert _sink_rows(spark, work) == after_b1
+
+
+def test_legacy_sink_without_watermark_still_merges(spark, work):
+    """A sink written before the _applied_batch_id column existed must keep
+    merging (watermark absent → never skip), then gain the column."""
+    sink = os.path.join(work, "sink")
+    _batch_agg(spark.createDataFrame([(1, 10)], SCHEMA)).write.parquet(sink)
+    b1 = spark.createDataFrame([(1, 5)], SCHEMA)
+    assert merge_batch_into_sink(spark, b1, 0, _batch_agg, _re_agg, sink) is True
+    assert _sink_rows(spark, work) == {(1, 2, 15)}
+    cols = spark.read.parquet(sink).columns
+    assert "_applied_batch_id" in cols
 
 
 def test_registered_query_matches_spark_batch_recompute(spark):

@@ -145,43 +145,46 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-11 canaries: every query whose implementation (or output
+    # round-12 canaries: every query whose implementation (or output
     # contract) changed after its last green driver row holds a seat —
-    # the five r10-staged registrations (never certified yet, so they
-    # lead their section of the window per the governor above) plus any
-    # r11 changed-code query (flame_render_pipeline gains the N17
-    # projection columns, VERDICT r10 #2 — added with that change).
+    # the five r11-staged registrations (never certified yet, so they
+    # lead their section of the window per the governor above) plus the
+    # r12 changed-code pair (streaming/incremental.py gained the
+    # _applied_batch_id replay watermark, ADVICE r11: the merge consumer
+    # changed behavior; the upsert consumer is seated defensively for the
+    # shared-module edit).
     canaries = {
-        # r11 changed-code: N17 projection columns (VERDICT r10 #2)
-        "flame_render_pipeline",
-        # r11 registrations (staged r10, three-SF oracle + invariance)
-        "kfold_linreg_cv",
-        "pca_power_doc_features",
-        "auc_mann_whitney_lang",
-        "nelson_aalen_conversion_hazard",
-        "changepoint_daily_revenue",
-        # r11 registration (VERDICT r10 #3): IVM ≡ recompute certification
+        # r12 changed-code: foreachBatch replay idempotency (ADVICE r11)
         "incremental_recompute_equivalence",
+        "streaming_foreachbatch_upsert",
+        # r12 registrations (staged r11, three-SF oracle + invariance)
+        "reliability_bins_lang",
+        "isotonic_calibration_lang",
+        "ks_two_sample_chars",
+        "k_anonymity_audit",
+        "attribution_first_last_touch",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor (VERDICT r10 #4): the full r6-era tier is seated,
-    # so after r11 no key's latest green row predates r7.
-    r6_era = {
-        "ewma_user_values", "gap_fill_hourly", "gopher_dup_line_signals",
-        "gopher_dup_trigram_coverage", "hll_distinct_users",
-        "item_cf_top_recs", "lineitem_measure_correlations",
-        "merge_upsert_latest", "ohlc_6h_bars", "pagerank_trade_network",
-        "pmi_top_collocations", "random_projection_jl",
-        "range_frame_trailing_30min", "recursive_cte_key_depths",
-        "robust_outlier_flags", "scd2_user_value_intervals",
-        "session_funnel_conversion", "sim_ivf_trained_topk",
-        "sim_ivfpq_topk", "sim_pq_adc_topk", "sim_sq8_quant_topk",
-        "snapshot_diff_summary", "source_mixture_manifest",
-        "substring_dup_coverage", "table_integrity_checksums",
-        "text_unigram_entropy", "tfidf_top_terms", "triangle_count_copart",
-        "weighted_topk_sample_es", "zorder_data_skipping",
+    # Staleness floor: the full remaining r7-era tier is seated, so after
+    # r12 no key's latest green row predates r8.
+    r7_era = {
+        "event_transition_matrix", "fk_integrity_audit",
+        "frequent_event_trigrams", "fuzzy_blocking_recall_certified",
+        "fuzzy_name_clusters", "fuzzy_part_match_pairs",
+        "gopher_quality_filter", "group_split_no_leakage",
+        "hard_negative_mining", "histogram_fixed_width",
+        "kcenter_coreset_selection", "keyword_domain_tags",
+        "knn_mutual_edges", "llm_curation_pipeline",
+        "minhash_estimate_error", "mode_nation_per_segment",
+        "nb_lang_classifier_scores", "nb_lang_margin",
+        "order_interarrival_by_segment", "psi_snapshot_drift",
+        "retention_cohorts", "rfm_segments", "rolling_mad_anomalies",
+        "rrf_hybrid_topk", "semdedup_prune_stats",
+        "sim_lsh_recall_certified", "temperature_mixture_weights",
+        "tokenizer_fertility_per_lang", "trailing_zscore_anomalies",
+        "unigram_kl_per_source", "zipf_slope_per_lang",
     }
-    assert r6_era <= prefix, f"unseated r6-era keys: {sorted(r6_era - prefix)}"
+    assert r7_era <= prefix, f"unseated r7-era keys: {sorted(r7_era - prefix)}"
 
 
 

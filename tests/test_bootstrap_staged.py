@@ -129,3 +129,74 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def _physical_ops(df):
+    """Operator-name sequence of the formatted physical plan (expression
+    details stripped) — two plans with the same sequence have the same
+    fan-out / aggregation / exchange structure."""
+    import re
+
+    text = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return re.findall(r"(?m)^\s*[*+\-: ]*([A-Za-z][A-Za-z0-9 ]*?) \(\d+\)\s*$", text)
+
+
+def _replicate_means(spark, sf_dir, source):
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+    w = poisson_bootstrap_weight(F.col("b"), F.col("o_orderkey"), source=source)
+    return (
+        rep.withColumn("wgt", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            (
+                F.sum(F.col("wgt") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("wgt").cast("double"))
+            ).alias("m")
+        )
+    )
+
+
+def test_xxhash64_source_same_plan_shape(spark, sf_dir):
+    """VERDICT r11 #7: the production uniform source (xxhash64, ~95x)
+    must be a one-expression swap — identical physical operator sequence
+    (same explode fan-out, same partial/final aggregation, same
+    exchanges) as the oracle-replicable md5 path."""
+    ops_md5 = _physical_ops(_replicate_means(spark, sf_dir, "md5"))
+    ops_xxh = _physical_ops(_replicate_means(spark, sf_dir, "xxhash64"))
+    assert ops_md5 == ops_xxh and "Generate" in " ".join(ops_md5)
+
+
+def test_xxhash64_source_weight_moments(spark, sf_dir):
+    """The xxhash64-sourced weights must be the same Poisson(1)
+    estimator distributionally: mean within 2% of 1, variance within
+    10% of 1, support inside {0..6} (the CDF table's truncation)."""
+    from talkinghead_datapipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+    w = poisson_bootstrap_weight(F.col("b"), F.col("o_orderkey"), source="xxhash64")
+    stats = rep.select(w.alias("w")).agg(
+        F.avg("w").alias("mean"),
+        F.var_pop("w").alias("var"),
+        F.min("w").alias("lo"),
+        F.max("w").alias("hi"),
+    ).first()
+    assert abs(stats["mean"] - 1.0) < 0.02
+    assert abs(stats["var"] - 1.0) < 0.10
+    assert stats["lo"] >= 0 and stats["hi"] <= 6
+
+
+def test_unknown_source_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown uniform source"):
+        poisson_bootstrap_weight(F.lit(1), F.lit(1), source="sha1")

@@ -211,21 +211,22 @@ class FlameLbsDecoder:
         coefs = np.einsum("f,fck->ck", b, self.shapedirs[corner_verts])
         return base, coefs
 
-    def posed_landmark_affine(
-        self, lmk: int, pose: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Landmark ``lmk`` at a FIXED pose as an affine map of betas.
+    def posed_verts_affine(self, pose: np.ndarray) -> np.ndarray:
+        """Every vertex at a FIXED pose as an affine map of betas.
 
         For fixed pose the rotations (Rodrigues, kinematic chain) are
         constants and every remaining stage — blend shapes, joint
-        regression, the A_j translation corrections, skinning, barycentric
-        mix — is linear in the betas, so the whole pipeline reduces to
-        landmark[c] = base[c] + coefs[c] · betas exactly. Computed by
-        pushing an affine value representation (trailing axis = [const,
-        coef_0..coef_nb-1]) through the same steps ``decode_batch`` runs,
-        which value-checks Rodrigues + kinematics + skinning at a nonzero
-        pose (the rest-pose oracle of flame_decode_landmarks cannot see
-        them: every A_j is the identity there)."""
+        regression, the A_j translation corrections, skinning — is linear
+        in the betas, so verts[v, c] = aff[v, c, 0] + aff[v, c, 1:] · betas
+        exactly. Computed by pushing an affine value representation
+        (trailing axis = [const, coef_0..coef_nb-1]) through the same steps
+        ``decode_batch`` runs, which value-checks Rodrigues + kinematics +
+        skinning at a nonzero pose (the rest-pose oracle of
+        flame_decode_landmarks cannot see them: every A_j is the identity
+        there). ``posed_landmark_affine`` is its barycentric mix; the
+        rasterizer oracle of n17_render_mask_zbuffer embeds these literals
+        per vertex to value-check decode → project → rasterize end-to-end.
+        Returns (V, 3, 1 + n_betas)."""
         nb = self.n_shape + self.n_exp
         V, J = self.template.shape[0], self.N_JOINTS
 
@@ -258,8 +259,16 @@ class FlameLbsDecoder:
 
         T_R = np.einsum("vj,jxy->vxy", self.lbs_weights, A_R)  # (V,3,3)
         T_t = np.einsum("vj,jxk->vxk", self.lbs_weights, A_t)  # (V,3,1+nb)
-        verts = np.einsum("vxy,vyk->vxk", T_R, v_posed) + T_t
+        return np.einsum("vxy,vyk->vxk", T_R, v_posed) + T_t
 
+    def posed_landmark_affine(
+        self, lmk: int, pose: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Landmark ``lmk`` at a FIXED pose as an affine map of betas:
+        the barycentric mix of ``posed_verts_affine`` — returns
+        (base (3,), coefs (3, n_betas)), the oracle literals of
+        flame_render_pipeline."""
+        verts = self.posed_verts_affine(pose)
         corner_verts = self.faces[self.lmk_faces_idx[lmk]]
         b = self.lmk_bary[lmk]
         lmk_aff = np.einsum("f,fck->ck", b, verts[corner_verts])  # (3, 1+nb)
@@ -299,22 +308,94 @@ def view_transform(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
     return t
 
 
-class RendererStub:
-    """N17 stand-in for the RASTERIZER TIER ONLY (pytorch3d-gated): takes
-    the view-space (projected + flipped) vertices the real rasterizer would
-    consume plus the cam metadata, returns deterministic pseudo-image bytes
-    with the real sink contract (binary payload + width/height metadata).
-    The projection itself is real math — see ``batch_orth_proj`` /
-    ``view_transform`` above and the column-expression twin
-    ``functions.geometry.orth_project``."""
+class ShapeRenderer:
+    """N17 renderer with the rasterizer / normals / SH-lighting tiers REAL
+    (operators.rasterize — point-in-triangle + z-buffer on quantized view
+    coords, dpl/rendering/renderer.py:28-70; vertex normals, utils.py:80-132;
+    SH irradiance, renderer.py:232-262). What it emits is the reference's
+    gray "shape overlay" mode (renderer.py:107-117: constant 180/255
+    face_colors albedo times SH shading) — the only tier still out of scope
+    is the textured-albedo path, which needs the licensed FLAME uv space.
 
-    def __init__(self, size_hw: tuple[int, int] = (16, 16)):
+    ``render(vertices, trans_verts, cam, channel)`` mirrors
+    ``SRenderY.forward(vertices, transformed_vertices, ...)``: world-space
+    verts drive the normals/shading, view-space (post ``view_transform``)
+    verts drive the rasterization. Channels — all real rasterizer outputs:
+    ``shade`` (SH-lit gray, the default), ``mask`` (coverage 0/255),
+    ``normal`` (winner-interpolated normal z, [-1,1] → [0,255]), ``bary``
+    (winner's first barycentric weight — the uv-interpolant analog).
+    Payload stays H·W uint8 bytes: the sink contract is unchanged.
+
+    Topology: pass ``faces`` (e.g. ``FlameLbsDecoder().faces``) or let it
+    default to a deterministic triangle fan over however many verts the
+    mesh has.
+    """
+
+    _ALBEDO = 180.0 / 255.0  # renderer.py:109 shape-overlay face color
+
+    def __init__(
+        self,
+        size_hw: tuple[int, int] = (16, 16),
+        faces: np.ndarray | None = None,
+        sh_coeff: np.ndarray | None = None,
+    ):
         self.size_hw = size_hw
+        self.faces = None if faces is None else np.asarray(faces, dtype=np.int64)
+        if sh_coeff is None:
+            sh = _seeded_rng("sh_lighting").normal(size=(9, 3)) * 0.3
+            sh[0] += 2.0  # dominant ambient keeps shading positive
+            sh_coeff = sh
+        self.sh_coeff = np.asarray(sh_coeff, dtype=np.float64)
 
-    def render(self, trans_verts: np.ndarray, cam: np.ndarray) -> bytes:
-        h = hashlib.md5(trans_verts.tobytes() + cam.tobytes()).digest()
-        n = self.size_hw[0] * self.size_hw[1]
-        return (h * (n // len(h) + 1))[:n]
+    def _faces_for(self, n_verts: int) -> np.ndarray:
+        if self.faces is not None:
+            return self.faces
+        i = np.arange(1, n_verts - 1, dtype=np.int64)
+        return np.stack([np.zeros_like(i), i, i + 1], axis=1)  # triangle fan
+
+    def render(
+        self,
+        vertices: np.ndarray,
+        trans_verts: np.ndarray,
+        cam: np.ndarray | None = None,
+        channel: str = "shade",
+    ) -> bytes:
+        from talkinghead_datapipeline_spark.operators.rasterize import (
+            quantize_verts,
+            rasterize,
+            screen_transform,
+            sh_irradiance,
+            vertex_normals,
+        )
+
+        verts = np.asarray(vertices, dtype=np.float64)
+        faces = self._faces_for(verts.shape[0])
+        size = self.size_hw[0]
+        scale = 256 * size  # divisible by size; exact-int64 up to ~341 px
+        ras = rasterize(
+            quantize_verts(screen_transform(trans_verts), scale), faces, size, scale
+        )
+        mask, bary, p2f = ras["mask"], ras["bary"], ras["pix_to_face"]
+        if channel == "mask":
+            img = np.where(mask, 255.0, 0.0)
+        elif channel == "bary":
+            img = bary[..., 0] * 255.0
+        else:
+            normals = vertex_normals(verts, faces)
+            corners = faces[np.where(mask, p2f, 0)]  # (H, W, 3) vert ids
+            n_img = np.einsum("hwf,hwfc->hwc", bary, normals[corners])
+            if channel == "normal":
+                img = (n_img[..., 2] * 0.5 + 0.5) * 255.0 * mask
+            else:  # shade — SH-lit gray shape overlay
+                shading = sh_irradiance(n_img, self.sh_coeff)
+                gray = shading.mean(axis=-1) * self._ALBEDO
+                img = np.clip(gray, 0.0, 1.0) * 255.0 * mask
+        return np.clip(np.round(img), 0, 255).astype(np.uint8).tobytes()
+
+
+# The md5-tiled stub shrank to this alias when the rasterizer tier became
+# real math — the registry vocabulary keeps the old name.
+RendererStub = ShapeRenderer
 
 
 # Media decode feature gates ------------------------------------------------

@@ -1,0 +1,240 @@
+"""N17 rasterizer tier — REAL math in numpy (VERDICT r11 #6).
+
+Implements the three public-math stages of the reference renderer that were
+previously stubbed behind the pytorch3d gate:
+
+1. **Barycentric rasterization with a z-buffer** — the mask / pix_to_face /
+   zbuf channel of ``pytorch3d.renderer.mesh.rasterize_meshes`` as the
+   reference configures it (``dpl/rendering/renderer.py:28-70``:
+   blur_radius=0, faces_per_pixel=1, perspective_correct=False — i.e. plain
+   point-in-triangle coverage with nearest-z wins).
+2. **Vertex normals** — ``dpl/rendering/utils.py:80-132 vertex_normals``:
+   per-corner cross products accumulated per vertex, L2-normalized with an
+   eps guard.
+3. **Spherical-harmonics irradiance** — ``dpl/rendering/renderer.py:232-262
+   add_SHlight``: the 9-term SH basis of the (interpolated) normal times the
+   published constant factors, contracted against a (9, 3) coefficient set.
+
+Only the texture tier (uv ``grid_sample`` of a learned albedo map) remains
+out of scope — it needs the licensed FLAME texture space. The gray
+"shape overlay" render the reference also ships (``face_colors`` constant
+180/255 albedo, renderer.py:107-117) is fully implementable and is what
+``models.ShapeRenderer`` emits.
+
+Determinism / oracle design
+---------------------------
+The rasterizer runs on **quantized integer coordinates**: screen-space
+verts are snapped to a 1/SCALE grid (SCALE = 4096 = 2^12) via
+``floor(x * 4096)``, and pixel centers of the S×S image land on exact
+integers of the same grid (SCALE % S == 0). Edge functions and the z
+numerator/denominator are then exact int64 arithmetic, and the bounds
+below keep |num| and |den| under 2^53, so the ONE division producing the
+interpolated z is an IEEE double op on exactly-representable operands —
+bit-identical in numpy and in DuckDB SQL. Coverage, pix_to_face (nearest z,
+lowest face id on exact ties), and any floor/round display of z are
+therefore exactly reproducible cross-engine with no rounding-boundary
+argument: the SQL oracle of the staged query re-runs this rasterizer
+verbatim as relational algebra (pixel grid ⨯ faces, integer edge
+functions, argmin window).
+
+Bounds (clamps make them unconditional; all scale-relative so any image
+size with scale = 256·size stays exact):
+- |qx|, |qy| ≤ 8·scale; qz ∈ [0, 16·scale]; pixel centers ≤ scale.
+- |edge function| ≤ 2·(16·scale)·(9·scale) = 288·scale².
+- |z numerator| = |Σ₃ E·z| ≤ 3·288·scale²·16·scale = 13824·scale³
+  → < 2^53 at the default scale 4096 (oracle exact-double domain), and
+  < 2^63 for any scale ≤ 87k, i.e. image sizes up to ~341 px (asserted).
+
+Screen-space convention (documented, matching the reference composition):
+``view_transform`` (models.py) already applied batch_orth_proj and the
+y/z flip of dpl/processor/nodes/rendering.py:101-106; ``SRenderY.forward``
+then shifts z by +10 (renderer.py:150 — "move mesh so minz larger than 0")
+and ``Pytorch3dRasterizer.forward`` negates x and y (renderer.py:41).
+Pixel (row i, col j) of an S×S image sits at NDC (1-(2j+1)/S, 1-(2i+1)/S)
+— pytorch3d's +X-left / +Y-up square-image convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SCALE = 4096  # 2^12 — default quantization grid per NDC unit
+COORD_CLAMP_UNITS = 8  # |x|,|y| ≤ 8 NDC units after clamp
+Z_CLAMP_UNITS = 16  # z ∈ [0, 16] NDC units after the +10 shift
+COORD_CLAMP = COORD_CLAMP_UNITS * SCALE  # at the default scale (oracle)
+Z_CLAMP = Z_CLAMP_UNITS * SCALE
+
+# SH constant factors — renderer.py:118-131 (public Ramamoorthi-Hanrahan
+# irradiance constants as the reference writes them).
+_PI = np.pi
+SH_CONSTANT_FACTOR = np.array(
+    [
+        1.0 / np.sqrt(4 * _PI),
+        ((2 * _PI) / 3) * np.sqrt(3 / (4 * _PI)),
+        ((2 * _PI) / 3) * np.sqrt(3 / (4 * _PI)),
+        ((2 * _PI) / 3) * np.sqrt(3 / (4 * _PI)),
+        (_PI / 4) * 3 * np.sqrt(5 / (12 * _PI)),
+        (_PI / 4) * 3 * np.sqrt(5 / (12 * _PI)),
+        (_PI / 4) * 3 * np.sqrt(5 / (12 * _PI)),
+        (_PI / 4) * (3.0 / 2) * np.sqrt(5 / (12 * _PI)),
+        (_PI / 4) * (1.0 / 2) * np.sqrt(5 / (4 * _PI)),
+    ]
+)
+
+
+def screen_transform(trans_verts: np.ndarray) -> np.ndarray:
+    """View-space verts (post ``view_transform``) → rasterizer screen space:
+    z += 10 (renderer.py:150), then negate x and y (renderer.py:41)."""
+    t = np.asarray(trans_verts, dtype=np.float64)
+    s = np.empty_like(t)
+    s[:, 0] = -t[:, 0]
+    s[:, 1] = -t[:, 1]
+    s[:, 2] = t[:, 2] + 10.0
+    return s
+
+
+def quantize_verts(screen_verts: np.ndarray, scale: int = SCALE) -> np.ndarray:
+    """Snap float screen verts to the integer grid: floor(x·scale), clamped.
+
+    Clamp order matters for exactness: floor in the float domain, clamp on
+    the (still exactly representable) float integers, THEN cast — a huge
+    float would wrap in a direct int64 cast. The SQL twin is
+    ``CAST(GREATEST(lo, LEAST(hi, floor(x * scale))) AS BIGINT)``.
+    """
+    f = np.floor(np.asarray(screen_verts, dtype=np.float64) * float(scale))
+    hi = float(COORD_CLAMP_UNITS * scale)
+    zhi = float(Z_CLAMP_UNITS * scale)
+    q = np.empty_like(f)
+    q[:, 0] = np.maximum(-hi, np.minimum(hi, f[:, 0]))
+    q[:, 1] = np.maximum(-hi, np.minimum(hi, f[:, 1]))
+    q[:, 2] = np.maximum(0.0, np.minimum(zhi, f[:, 2]))
+    return q.astype(np.int64)
+
+
+def pixel_centers(size: int, scale: int = SCALE) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized NDC pixel-center coordinates: x for columns, y for rows.
+
+    pytorch3d square-image convention (+X left, +Y up): pixel (i, j) center
+    = (1-(2j+1)/S, 1-(2i+1)/S). scale % size == 0 keeps them exact ints.
+    """
+    if scale % size != 0:
+        raise ValueError(f"scale {scale} must be divisible by image size {size}")
+    step = scale // size
+    idx = np.arange(size, dtype=np.int64)
+    c = scale - (2 * idx + 1) * step
+    return c.copy(), c.copy()  # (x per column j, y per row i)
+
+
+def rasterize(
+    q_verts: np.ndarray, faces: np.ndarray, size: int, scale: int = SCALE
+) -> dict[str, np.ndarray]:
+    """Exact-integer barycentric rasterization with a z-buffer.
+
+    Returns dict with:
+    - ``mask``   (size, size) bool — any non-degenerate face covers the pixel
+    - ``pix_to_face`` (size, size) int64 — nearest-z face id (ties → lowest
+      id), -1 where uncovered
+    - ``zbuf``   (size, size) float64 — interpolated z of the winner, +inf
+      where uncovered (num/den division of exact <2^53 int64s: bit-portable)
+    - ``bary``   (size, size, 3) float64 — barycentric weights of the winner
+      (E_i/den, same exact-operand divisions), 0 where uncovered
+
+    Coverage convention: pixel center on an edge counts as inside for both
+    adjacent faces (all E ≥ 0 or all E ≤ 0) — exact on integers, so both
+    engines agree without a top-left tie rule.
+    """
+    if 13824 * scale**3 >= 2**63:
+        raise ValueError(f"scale {scale} overflows the exact-int64 z bound")
+    q = np.asarray(q_verts, dtype=np.int64)
+    f = np.asarray(faces, dtype=np.int64)
+    v0, v1, v2 = q[f[:, 0]], q[f[:, 1]], q[f[:, 2]]  # (F, 3) each
+    px, py = pixel_centers(size, scale)
+    # broadcast: faces on axis 0, pixel rows (y) axis 1, pixel cols (x) axis 2
+    X = px[None, None, :]
+    Y = py[None, :, None]
+
+    def edge(ax, ay, bx, by):
+        # E = cross(b - a, p - a), int64 exact
+        return (bx - ax)[:, None, None] * (Y - ay[:, None, None]) - (
+            by - ay
+        )[:, None, None] * (X - ax[:, None, None])
+
+    e0 = edge(v1[:, 0], v1[:, 1], v2[:, 0], v2[:, 1])
+    e1 = edge(v2[:, 0], v2[:, 1], v0[:, 0], v0[:, 1])
+    e2 = edge(v0[:, 0], v0[:, 1], v1[:, 0], v1[:, 1])
+    den = (
+        (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1])
+        - (v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0])
+    )[:, None, None]  # signed 2·area == e0+e1+e2 (exact identity)
+
+    covered = (den != 0) & (
+        ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    )
+    num = e0 * v0[:, 2][:, None, None] + e1 * v1[:, 2][:, None, None] + e2 * v2[
+        :, 2
+    ][:, None, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        zpx = num.astype(np.float64) / den.astype(np.float64)
+    z_masked = np.where(covered, zpx, np.inf)
+
+    mask = covered.any(axis=0)
+    # argmin returns the FIRST minimum → lowest face id on exact-double ties,
+    # matching the SQL twin's ORDER BY zpx, fid.
+    winner = np.argmin(z_masked, axis=0)
+    pix_to_face = np.where(mask, winner, -1)
+    zbuf = np.take_along_axis(z_masked, winner[None], axis=0)[0]
+    zbuf = np.where(mask, zbuf, np.inf)
+
+    w_idx = winner[None]
+    den_w = den[:, 0, 0][winner].astype(np.float64)  # winner's 2·area per pixel
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bary = np.stack(
+            [
+                np.take_along_axis(e, w_idx, axis=0)[0].astype(np.float64) / den_w
+                for e in (e0, e1, e2)
+            ],
+            axis=-1,
+        )
+    bary = np.where(mask[..., None], bary, 0.0)
+    return {"mask": mask, "pix_to_face": pix_to_face, "zbuf": zbuf, "bary": bary}
+
+
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals — dpl/rendering/utils.py:80-132
+    semantics: for each face, accumulate at each corner the cross product of
+    the two edges leaving it (in the reference's corner order), then
+    L2-normalize with eps=1e-6 (torch F.normalize: x / max(‖x‖, eps))."""
+    v = np.asarray(vertices, dtype=np.float64)
+    f = np.asarray(faces, dtype=np.int64)
+    vf = v[f]  # (F, 3, 3)
+    normals = np.zeros_like(v)
+    np.add.at(normals, f[:, 1], np.cross(vf[:, 2] - vf[:, 1], vf[:, 0] - vf[:, 1]))
+    np.add.at(normals, f[:, 2], np.cross(vf[:, 0] - vf[:, 2], vf[:, 1] - vf[:, 2]))
+    np.add.at(normals, f[:, 0], np.cross(vf[:, 1] - vf[:, 0], vf[:, 2] - vf[:, 0]))
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    return normals / np.maximum(norm, 1e-6)
+
+
+def sh_irradiance(normals: np.ndarray, sh_coeff: np.ndarray) -> np.ndarray:
+    """SH-lit shading — renderer.py:232-262 ``add_SHlight``: the 9 basis
+    functions [1, nx, ny, nz, nx·ny, nx·nz, ny·nz, nx²−ny², 3nz²−1] of the
+    normal, times the constant factors, contracted against sh_coeff (9, 3).
+    ``normals`` is (..., 3); returns (..., 3) RGB shading."""
+    n = np.asarray(normals, dtype=np.float64)
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    basis = np.stack(
+        [
+            np.ones_like(nx),
+            nx,
+            ny,
+            nz,
+            nx * ny,
+            nx * nz,
+            ny * nz,
+            nx**2 - ny**2,
+            3 * nz**2 - 1,
+        ],
+        axis=-1,
+    )
+    basis = basis * SH_CONSTANT_FACTOR
+    return np.einsum("...k,kc->...c", basis, np.asarray(sh_coeff, dtype=np.float64))

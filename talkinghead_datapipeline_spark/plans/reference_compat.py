@@ -424,7 +424,9 @@ def _flame(ctx: GraphContext, p: dict[str, Any]) -> None:
 @ref_node("RenderingNode")
 def _rendering(ctx: GraphContext, p: dict[str, Any]) -> None:
     """N17: verts + cam → render_normal/render_uv/render_mask binaries
-    (three sinks of rendering.py:53-143; stub emits the same contract)."""
+    (three sinks of rendering.py:53-143) — each channel a REAL rasterizer
+    output (operators.rasterize): interpolated normal-z, barycentric
+    uv-interpolant, and z-buffered coverage mask."""
     joined = ctx.get("flame_out").join(
         ctx.get("emoca_codes").select("clip_name", "frame_idx", "cam"),
         ["clip_name", "frame_idx"],
@@ -432,6 +434,8 @@ def _rendering(ctx: GraphContext, p: dict[str, Any]) -> None:
 
     def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.models import view_transform
 
         rows = []
         for name, idx, verts, cam in zip(
@@ -441,13 +445,14 @@ def _rendering(ctx: GraphContext, p: dict[str, Any]) -> None:
             # stack row-wise (asarray on the object array is ragged-unsafe).
             v = np.stack([np.asarray(r, dtype=np.float64) for r in verts])
             c = np.asarray(cam, dtype=np.float64)
+            tv = view_transform(v, c)
             rows.append(
                 {
                     "clip_name": name,
                     "frame_idx": idx,
-                    "render_normal": model.render(v, c),
-                    "render_uv": model.render(v * 2.0, c),
-                    "render_mask": model.render(v * 3.0, c),
+                    "render_normal": model.render(v, tv, c, channel="normal"),
+                    "render_uv": model.render(v, tv, c, channel="bary"),
+                    "render_mask": model.render(v, tv, c, channel="mask"),
                     "error": None,
                 }
             )
@@ -460,9 +465,15 @@ def _rendering(ctx: GraphContext, p: dict[str, Any]) -> None:
         )
 
     def factory():
-        from talkinghead_datapipeline_spark.operators.models import RendererStub
+        from talkinghead_datapipeline_spark.operators.models import (
+            FlameLbsDecoder,
+            ShapeRenderer,
+        )
 
-        return RendererStub(size_hw=(int(p.get("image_size", 16)),) * 2)
+        return ShapeRenderer(
+            size_hw=(int(p.get("image_size", 16)),) * 2,
+            faces=FlameLbsDecoder().faces,
+        )
 
     from talkinghead_datapipeline_spark.operators.inference import (
         batched_inference,

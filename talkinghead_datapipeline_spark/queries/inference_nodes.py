@@ -291,11 +291,13 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     y/z flip of dpl/processor/nodes/rendering.py:101-106), computed as
     codegen'd COLUMN EXPRESSIONS (functions.geometry.orth_project) from the
     certified 6-decimal landmark and the raw cam floats, displayed
-    floor-to-micro. The renderer now consumes view_transform(verts, cam) —
-    the same projected tensor the real rasterizer takes; only the
-    rasterizer/SH-lighting tier remains stubbed (pytorch3d-gated). The raw
-    frame bytes (md5-tiled, not SQL-expressible) stay pinned by unit
-    tests."""
+    floor-to-micro. The renderer is now REAL through the rasterizer and
+    SH-lighting tiers (operators.rasterize: point-in-triangle + z-buffer on
+    the view_transform(verts, cam) tensor, vertex normals, SH irradiance —
+    the gray shape-overlay mode of renderer.py:107-117); only the
+    textured-albedo tier stays out of scope (licensed FLAME uv space). The
+    frame bytes are pinned by unit tests; the rasterizer itself is
+    value-oracled cross-engine by the staged n17_render_mask_zbuffer."""
     from talkinghead_datapipeline_spark.functions.geometry import orth_project
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
@@ -334,9 +336,9 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-row pose drives the rendered frame (the real N15/N17 shape)
             verts, _ = flame.decode(sh, ex, np.asarray(po, dtype=np.float64))
             cam = np.asarray(cam, dtype=np.float64)
-            # REAL projection feeds the (stub) rasterizer, like the
+            # REAL projection feeds the REAL rasterizer/SH tier, like the
             # reference's model(verts, trans_verts, ...) call
-            frame = renderer.render(view_transform(verts, cam), cam)
+            frame = renderer.render(verts, view_transform(verts, cam), cam)
             # fixed probe pose drives the oracle-checked landmark
             probe_lmk = probe_base + probe_coefs @ np.concatenate([sh, ex])
             rows.append(
@@ -364,10 +366,11 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def factory():
         from talkinghead_datapipeline_spark.operators.models import (
             FlameLbsDecoder,
-            RendererStub,
+            ShapeRenderer,
         )
 
-        return (FlameLbsDecoder(), RendererStub())
+        flame = FlameLbsDecoder()
+        return (flame, ShapeRenderer(faces=flame.faces))
 
     out = batched_inference(
         emb,
@@ -398,3 +401,274 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(proj["pz"] * 1000000.0).cast("bigint").alias("proj_lmk_z_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r13 registration — n17_render_mask_zbuffer (VERDICT r11 #6).
+#
+# The N17 rasterizer tier as a value-oracled query: decode every embedding's
+# mesh at the fixed _PROBE_POSE, project with the real orthographic camera
+# (batch_orth_proj + the rendering-node y/z flip + the pytorch3d x/y flip +
+# the renderer's z+10 shift), quantize to the 1/4096 integer grid, and
+# rasterize all 48 FLAME-topology faces against the 16x16 pixel grid with
+# exact int64 edge functions and a z-buffer. Emits per mesh: covered pixel
+# count (the render_mask channel's content), the sum of winning face ids
+# (certifies nearest-z-wins + lowest-id tie rule per pixel), and the
+# floor-micro min/max interpolated z over the frame (certifies the
+# barycentric z interpolation itself). The DuckDB oracle re-runs the WHOLE
+# chain as relational algebra: per-vertex affine-in-betas literals
+# (posed_verts_affine — constants of the same seeded basis the executor
+# loads) -> the identical IEEE projection/quantization expression text ->
+# a pixel-grid x faces join with the same integer edge functions -> an
+# argmin window. rasterize() bounds |num| <= 3*2^51 and |den| <= 2^35
+# (operators/rasterize.py module docstring), so the single num/den division
+# is an IEEE op on exactly-representable int64 operands — bit-identical
+# cross-engine; every downstream display (floor of z/4096*1e6) therefore
+# needs no rounding-boundary argument. Coverage ties on shared edges are
+# exact integer predicates — both engines agree by construction.
+#
+# Determinism of the INPUT tensor: the query evaluates the vertex affine
+# form left-to-right (acc = b; acc += c_k*e_k), exactly the SQL's
+# left-associated `b + c1*e1 + ... + c16*e16`, so the floats entering
+# quantization are bit-identical too (the affine form is proven == the full
+# LBS decode to ~7e-16 at the probe pose in tests/test_render_mask_staged.py,
+# the same identity flame_render_pipeline's landmark oracle rides).
+#
+# Scale shape: ONE mapInPandas over embeddings (map-only, no shuffle, no
+# join) — each mesh rasterizes in microseconds of vectorized int64 numpy;
+# at 100 TB this is embarrassingly parallel and Arrow-batched. The oracle's
+# pixel x face cross join is oracle-side only (DuckDB at sf<=0.1).
+# Verified by tests/test_render_mask_staged.py at three SFs + x4 replication
+# + the three-axis invariance contract; registration takes an r13 seat per
+# the house staging rule.
+# ---------------------------------------------------------------------------
+
+_RAS_IMG_SIZE = 16
+
+
+def _render_mask_oracle() -> str:
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
+    from talkinghead_datapipeline_spark.operators.rasterize import (
+        COORD_CLAMP,
+        SCALE,
+        Z_CLAMP,
+    )
+
+    m = FlameLbsDecoder()
+    aff = m.posed_verts_affine(np.asarray(_PROBE_POSE, dtype=np.float64))
+    nb = aff.shape[-1] - 1  # 16 betas
+
+    vb_cols = ["vid"]
+    for axis in ("x", "y", "z"):
+        vb_cols.append(f"b{axis}")
+        vb_cols += [f"c{axis}{k}" for k in range(1, nb + 1)]
+    vb_rows = []
+    for vid in range(aff.shape[0]):
+        vals = [str(vid)]
+        for c in range(3):
+            vals.append(repr(float(aff[vid, c, 0])))
+            vals += [repr(float(aff[vid, c, k])) for k in range(1, nb + 1)]
+        vb_rows.append("(" + ", ".join(vals) + ")")
+    fc_rows = [
+        f"({fid}, {int(a)}, {int(b)}, {int(c)})"
+        for fid, (a, b, c) in enumerate(m.faces)
+    ]
+
+    def affine(axis: str) -> str:
+        return " + ".join(
+            [f"b{axis}"] + [f"c{axis}{k}*e{k}" for k in range(1, nb + 1)]
+        )
+
+    emb_cols = ",\n         ".join(
+        f"CAST(embedding[{k}] AS DOUBLE) AS e{k}" for k in range(1, nb + 1)
+    )
+    vb_cols_sql = ", ".join(vb_cols)
+    vb_values = ",\n      ".join(vb_rows)
+    fc_values = ",\n      ".join(fc_rows)
+    step = SCALE // _RAS_IMG_SIZE
+    hi, zhi = float(COORD_CLAMP), float(Z_CLAMP)
+    qx = (
+        f"CAST(GREATEST({-hi!r}, LEAST({hi!r}, "
+        f"floor((-(s * (({affine('x')}) + tx))) * {float(SCALE)!r}))) AS BIGINT)"
+    )
+    qy = (
+        f"CAST(GREATEST({-hi!r}, LEAST({hi!r}, "
+        f"floor((s * (({affine('y')}) + ty)) * {float(SCALE)!r}))) AS BIGINT)"
+    )
+    qz = (
+        f"CAST(GREATEST(0.0, LEAST({zhi!r}, "
+        f"floor(((-(s * ({affine('z')}))) + 10.0) * {float(SCALE)!r}))) AS BIGINT)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+         CAST(embedding[23] AS DOUBLE) AS s,
+         CAST(embedding[24] AS DOUBLE) AS tx,
+         CAST(embedding[25] AS DOUBLE) AS ty,
+         {emb_cols}
+      FROM embeddings
+    ),
+    vb({vb_cols_sql}) AS (VALUES
+      {vb_values}
+    ),
+    fc(fid, i0, i1, i2) AS (VALUES
+      {fc_values}
+    ),
+    verts AS (
+      SELECT emb.vec_id, vb.vid,
+             {qx} AS qx,
+             {qy} AS qy,
+             {qz} AS qz
+      FROM emb CROSS JOIN vb
+    ),
+    px AS (
+      SELECT r1.range AS pi, r2.range AS pj,
+             {SCALE} - (2 * r2.range + 1) * {step} AS qpx,
+             {SCALE} - (2 * r1.range + 1) * {step} AS qpy
+      FROM range({_RAS_IMG_SIZE}) r1 CROSS JOIN range({_RAS_IMG_SIZE}) r2
+    ),
+    tri AS (
+      SELECT v0.vec_id, fc.fid,
+             v0.qx AS x0, v0.qy AS y0, v0.qz AS z0,
+             v1.qx AS x1, v1.qy AS y1, v1.qz AS z1,
+             v2.qx AS x2, v2.qy AS y2, v2.qz AS z2
+      FROM fc
+      JOIN verts v0 ON v0.vid = fc.i0
+      JOIN verts v1 ON v1.vid = fc.i1 AND v1.vec_id = v0.vec_id
+      JOIN verts v2 ON v2.vid = fc.i2 AND v2.vec_id = v0.vec_id
+    ),
+    hit AS (
+      SELECT vec_id, fid, pi, pj, zpx FROM (
+        SELECT t.vec_id, t.fid, p.pi, p.pj,
+               (t.x2-t.x1)*(p.qpy-t.y1) - (t.y2-t.y1)*(p.qpx-t.x1) AS e0,
+               (t.x0-t.x2)*(p.qpy-t.y2) - (t.y0-t.y2)*(p.qpx-t.x2) AS e1,
+               (t.x1-t.x0)*(p.qpy-t.y0) - (t.y1-t.y0)*(p.qpx-t.x0) AS e2,
+               (t.x1-t.x0)*(t.y2-t.y0) - (t.y1-t.y0)*(t.x2-t.x0) AS den,
+               CAST(((t.x2-t.x1)*(p.qpy-t.y1) - (t.y2-t.y1)*(p.qpx-t.x1)) * t.z0
+                  + ((t.x0-t.x2)*(p.qpy-t.y2) - (t.y0-t.y2)*(p.qpx-t.x2)) * t.z1
+                  + ((t.x1-t.x0)*(p.qpy-t.y0) - (t.y1-t.y0)*(p.qpx-t.x0)) * t.z2
+                    AS DOUBLE)
+                 / CAST((t.x1-t.x0)*(t.y2-t.y0) - (t.y1-t.y0)*(t.x2-t.x0)
+                        AS DOUBLE) AS zpx
+        FROM tri t CROSS JOIN px p
+      )
+      WHERE den <> 0 AND ((e0 >= 0 AND e1 >= 0 AND e2 >= 0)
+                       OR (e0 <= 0 AND e1 <= 0 AND e2 <= 0))
+    ),
+    win AS (
+      SELECT vec_id, pi, pj, fid, zpx,
+             row_number() OVER (PARTITION BY vec_id, pi, pj
+                                ORDER BY zpx, fid) AS rn
+      FROM hit
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(count(*) AS BIGINT) AS mask_pixels,
+             CAST(sum(fid) AS BIGINT) AS winner_face_sum,
+             CAST(floor((min(zpx) / {float(SCALE)!r}) * 1000000.0) AS BIGINT)
+               AS zmin_micro,
+             CAST(floor((max(zpx) / {float(SCALE)!r}) * 1000000.0) AS BIGINT)
+               AS zmax_micro
+      FROM win WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(a.mask_pixels, CAST(0 AS BIGINT)) AS mask_pixels,
+           COALESCE(a.winner_face_sum, CAST(0 AS BIGINT)) AS winner_face_sum,
+           a.zmin_micro, a.zmax_micro
+    FROM emb e LEFT JOIN agg a USING (vec_id)
+    """
+
+
+N17_RENDER_MASK_ORACLE = _render_mask_oracle()
+
+
+def n17_render_mask_zbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17 rasterizer tier, value-oracled end-to-end: probe-pose mesh ->
+    orthographic projection -> integer-grid quantization -> exact edge-
+    function coverage + z-buffer over the 16x16 frame; per mesh the mask
+    pixel count, winning-face-id sum, and floor-micro z extrema. See the
+    staging block above for the determinism and scale contract."""
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice("embedding", 1, 16).alias("betas"),
+        F.slice("embedding", 23, 3).alias("cam_code"),
+    )
+
+    def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.rasterize import (
+            quantize_verts,
+            rasterize,
+        )
+
+        aff, faces, scale = model["aff"], model["faces"], model["scale"]
+        rows = []
+        for vec_id, betas, cam in zip(pdf["vec_id"], pdf["betas"], pdf["cam_code"]):
+            e = np.asarray(betas, dtype=np.float64)
+            s, tx, ty = (float(c) for c in np.asarray(cam, dtype=np.float64))
+            # left-to-right affine eval — the SQL's association order
+            acc = aff[..., 0].copy()
+            for k in range(e.shape[0]):
+                acc = acc + aff[..., k + 1] * e[k]
+            screen = np.empty_like(acc)
+            screen[:, 0] = -(s * (acc[:, 0] + tx))
+            screen[:, 1] = s * (acc[:, 1] + ty)
+            screen[:, 2] = (-(s * acc[:, 2])) + 10.0
+            ras = rasterize(quantize_verts(screen), faces, _RAS_IMG_SIZE)
+            mask = ras["mask"]
+            n_cov = int(mask.sum())
+            if n_cov:
+                zcov = ras["zbuf"][mask]
+                zmin = int(np.floor((zcov.min() / float(scale)) * 1000000.0))
+                zmax = int(np.floor((zcov.max() / float(scale)) * 1000000.0))
+                fsum = int(ras["pix_to_face"][mask].sum())
+            else:
+                zmin = zmax = None
+                fsum = 0
+            rows.append(
+                {
+                    "vec_id": vec_id,
+                    "mask_pixels": n_cov,
+                    "winner_face_sum": fsum,
+                    "zmin_micro": zmin,
+                    "zmax_micro": zmax,
+                    "error": None,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "vec_id", "mask_pixels", "winner_face_sum",
+                "zmin_micro", "zmax_micro", "error",
+            ],
+        )
+
+    def factory():
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
+        from talkinghead_datapipeline_spark.operators.rasterize import SCALE
+
+        m = FlameLbsDecoder()
+        return {
+            "aff": m.posed_verts_affine(np.asarray(_PROBE_POSE, dtype=np.float64)),
+            "faces": m.faces,
+            "scale": SCALE,
+        }
+
+    out = batched_inference(
+        emb,
+        output_schema=(
+            "vec_id bigint, mask_pixels bigint, winner_face_sum bigint, "
+            "zmin_micro bigint, zmax_micro bigint, error string"
+        ),
+        model_key="n17_rasterizer",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")

@@ -59,12 +59,12 @@ def test_view_transform_flips_y_and_z():
 
 def test_renderer_consumes_projection():
     # the frame must respond to the camera through the projection: same
-    # verts, different cam → different view tensor → different payload
+    # verts, different cam → different view tensor → different coverage
     X = rng.normal(size=(16, 3))
     r = RendererStub((4, 4))
     cam_a, cam_b = np.array([1.0, 0.0, 0.0]), np.array([2.0, 0.0, 0.0])
-    fa = r.render(view_transform(X, cam_a), cam_a)
-    fb = r.render(view_transform(X, cam_b), cam_b)
+    fa = r.render(X, view_transform(X, cam_a), cam_a)
+    fb = r.render(X, view_transform(X, cam_b), cam_b)
     assert len(fa) == len(fb) == 16
     assert fa != fb
 

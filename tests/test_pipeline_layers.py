@@ -19,6 +19,7 @@ from talkinghead_datapipeline_spark.operators.models import (
     RendererStub,
     Wav2vecStub,
     fake_decode_image,
+    view_transform,
 )
 from talkinghead_datapipeline_spark.plans.graph import NODE_REGISTRY, Pipeline
 from talkinghead_datapipeline_spark.sources.media import scan_binary_dir
@@ -135,7 +136,10 @@ def test_model_stubs_contracts():
     v0, _ = flame.decode(np.zeros(8), np.zeros(8))
     np.testing.assert_allclose(v0, flame.template)
 
-    img = RendererStub((4, 4)).render(verts, np.array([1.0, 0.0, 0.0]))
+    cam = np.array([1.0, 0.0, 0.0])
+    img = RendererStub((4, 4), faces=flame.faces).render(
+        verts, view_transform(verts, cam), cam
+    )
     assert len(img) == 16
 
     arr = fake_decode_image(b"imgbytes", (8, 8))

@@ -33,6 +33,11 @@ _NESTED_LOOP_OK = {
     "tfidf_top_terms",  # 1-row broadcast corpus-size (N) crossJoin
     "bm25_topk_docs",  # 1-row broadcast corpus-stats (N, avgdl, df) crossJoin
     "approx_quantiles_certified",  # 1-row broadcast sketch-result crossJoin
+    "isotonic_calibration_lang",  # PAV minimax sj<=sk over the broadcast
+    # <=100-row distinct-score frame (score = n_chars % 100) — deliberately
+    # non-equi, cardinality-bounded by score cardinality not data size
+    "k_anonymity_audit",  # 1-row broadcast grand-total crossJoin onto the
+    # <=|quasi-identifier classes| ladder frame
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

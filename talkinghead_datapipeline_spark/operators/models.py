@@ -285,17 +285,18 @@ def batch_orth_proj(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
     (dpl/rendering/utils.py:135-145 ``batch_orth_proj``): translate x/y by
     cam[1:] = (tx, ty), keep z, scale all three coordinates by cam[0] = s.
 
-    ``X`` is (num_points, 3) for one mesh (the reference batches a leading
-    N axis; inside mapInPandas each row is one mesh, so the batch axis is
-    the Arrow batch itself). Returns (num_points, 3) float64.
+    ``X`` is (num_points, 3) for one mesh with cam (3,), or batched
+    (B, num_points, 3) with cam (B, 3) — same IEEE ops either way (the
+    reference batches the same leading N axis). Returns float64 of X's
+    shape.
     """
     X = np.asarray(X, dtype=np.float64)
     cam = np.asarray(cam, dtype=np.float64)
     out = np.empty_like(X)
-    out[:, 0] = X[:, 0] + cam[1]
-    out[:, 1] = X[:, 1] + cam[2]
-    out[:, 2] = X[:, 2]
-    return cam[0] * out
+    out[..., 0] = X[..., 0] + cam[..., 1, None]
+    out[..., 1] = X[..., 1] + cam[..., 2, None]
+    out[..., 2] = X[..., 2]
+    return cam[..., 0, None, None] * out if cam.ndim > 1 else cam[0] * out
 
 
 def view_transform(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
@@ -304,7 +305,7 @@ def view_transform(X: np.ndarray, cam: np.ndarray) -> np.ndarray:
     ``trans_verts[:, :, 1:] = -trans_verts[:, :, 1:]`` after
     ``batch_orth_proj``)."""
     t = batch_orth_proj(X, cam)
-    t[:, 1:] = -t[:, 1:]
+    t[..., 1:] = -t[..., 1:]
     return t
 
 
@@ -353,26 +354,31 @@ class ShapeRenderer:
         i = np.arange(1, n_verts - 1, dtype=np.int64)
         return np.stack([np.zeros_like(i), i, i + 1], axis=1)  # triangle fan
 
-    def render(
+    def render_batch(
         self,
         vertices: np.ndarray,
         trans_verts: np.ndarray,
         cam: np.ndarray | None = None,
         channel: str = "shade",
-    ) -> bytes:
+    ) -> list[bytes]:
+        """Render a batch of meshes of one topology: (B, V, 3) world verts +
+        (B, V, 3) view verts → B payloads. One vectorized rasterize sweep
+        (chunked inside rasterize_batch) instead of per-mesh Python overhead
+        — the per-row form measured 7.9x slower on flame_render_pipeline."""
         from talkinghead_datapipeline_spark.operators.rasterize import (
+            corner_incidence,
             quantize_verts,
-            rasterize,
+            rasterize_batch,
             screen_transform,
             sh_irradiance,
-            vertex_normals,
+            vertex_normals_batch,
         )
 
         verts = np.asarray(vertices, dtype=np.float64)
-        faces = self._faces_for(verts.shape[0])
+        faces = self._faces_for(verts.shape[1])
         size = self.size_hw[0]
         scale = 256 * size  # divisible by size; exact-int64 up to ~341 px
-        ras = rasterize(
+        ras = rasterize_batch(
             quantize_verts(screen_transform(trans_verts), scale), faces, size, scale
         )
         mask, bary, p2f = ras["mask"], ras["bary"], ras["pix_to_face"]
@@ -381,16 +387,34 @@ class ShapeRenderer:
         elif channel == "bary":
             img = bary[..., 0] * 255.0
         else:
-            normals = vertex_normals(verts, faces)
-            corners = faces[np.where(mask, p2f, 0)]  # (H, W, 3) vert ids
-            n_img = np.einsum("hwf,hwfc->hwc", bary, normals[corners])
+            key = (id(self.faces), verts.shape[1])
+            if getattr(self, "_inc_key", None) != key:
+                self._incidence = corner_incidence(faces, verts.shape[1])
+                self._inc_key = key
+            normals = vertex_normals_batch(verts, faces, self._incidence)
+            corners = faces[np.where(mask, p2f, 0)]  # (B, H, W, 3) vert ids
+            bidx = np.arange(verts.shape[0])[:, None, None, None]
+            corner_normals = normals[bidx, corners]  # (B, H, W, 3, 3)
+            n_img = np.einsum("bhwf,bhwfc->bhwc", bary, corner_normals)
             if channel == "normal":
                 img = (n_img[..., 2] * 0.5 + 0.5) * 255.0 * mask
             else:  # shade — SH-lit gray shape overlay
                 shading = sh_irradiance(n_img, self.sh_coeff)
                 gray = shading.mean(axis=-1) * self._ALBEDO
                 img = np.clip(gray, 0.0, 1.0) * 255.0 * mask
-        return np.clip(np.round(img), 0, 255).astype(np.uint8).tobytes()
+        out = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        return [row.tobytes() for row in out]
+
+    def render(
+        self,
+        vertices: np.ndarray,
+        trans_verts: np.ndarray,
+        cam: np.ndarray | None = None,
+        channel: str = "shade",
+    ) -> bytes:
+        verts = np.asarray(vertices, dtype=np.float64)
+        tv = np.asarray(trans_verts, dtype=np.float64)
+        return self.render_batch(verts[None], tv[None], cam, channel)[0]
 
 
 # The md5-tiled stub shrank to this alias when the rasterizer tier became

@@ -298,10 +298,13 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     textured-albedo tier stays out of scope (licensed FLAME uv space). The
     frame bytes are pinned by unit tests; the rasterizer itself is
     value-oracled cross-engine by the staged n17_render_mask_zbuffer."""
+    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
     from talkinghead_datapipeline_spark.functions.geometry import orth_project
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # compute-dense per-row work (LBS decode + rasterize + SH): spread the
+    # single-file local input across cores before the mapInPandas stage
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.slice("embedding", 1, 8).alias("shape_code"),
         F.slice("embedding", 9, 8).alias("exp_code"),
@@ -326,25 +329,33 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_base, probe_coefs = flame.posed_landmark_affine(
             0, np.asarray(_PROBE_POSE, dtype=np.float64)
         )
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "vec_id", "n_bytes", "cam_norm", "posed_lmk_x",
+                    "posed_lmk_y", "posed_lmk_z", "cam_s", "cam_tx",
+                    "cam_ty", "error",
+                ]
+            )
+        sh = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["shape_code"]])
+        ex = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["exp_code"]])
+        po = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["pose_code"]])
+        cams = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["cam_code"]])
+        # per-row pose drives the rendered frames (the real N15/N17 shape);
+        # decode + projection + rasterize/SH run as ONE vectorized batch —
+        # the per-row form measured 7.9x slower at sf0.1
+        verts, _ = flame.decode_batch(sh, ex, po)
+        frames = renderer.render_batch(verts, view_transform(verts, cams), cams)
         rows = []
-        for vec_id, sh, ex, po, cam in zip(
-            pdf["vec_id"], pdf["shape_code"], pdf["exp_code"],
-            pdf["pose_code"], pdf["cam_code"],
-        ):
-            sh = np.asarray(sh, dtype=np.float64)
-            ex = np.asarray(ex, dtype=np.float64)
-            # per-row pose drives the rendered frame (the real N15/N17 shape)
-            verts, _ = flame.decode(sh, ex, np.asarray(po, dtype=np.float64))
-            cam = np.asarray(cam, dtype=np.float64)
-            # REAL projection feeds the REAL rasterizer/SH tier, like the
-            # reference's model(verts, trans_verts, ...) call
-            frame = renderer.render(verts, view_transform(verts, cam), cam)
-            # fixed probe pose drives the oracle-checked landmark
-            probe_lmk = probe_base + probe_coefs @ np.concatenate([sh, ex])
+        for i, (vec_id, cam) in enumerate(zip(pdf["vec_id"], cams)):
+            # fixed probe pose drives the oracle-checked landmark; kept as
+            # the per-row matvec so the certified round(,6) displays ride
+            # the exact same reduction order as every prior round
+            probe_lmk = probe_base + probe_coefs @ np.concatenate([sh[i], ex[i]])
             rows.append(
                 {
                     "vec_id": vec_id,
-                    "n_bytes": len(frame),
+                    "n_bytes": len(frames[i]),
                     "cam_norm": round(float(np.linalg.norm(cam)), 6),
                     "posed_lmk_x": round(float(probe_lmk[0]), 6),
                     "posed_lmk_y": round(float(probe_lmk[1]), 6),
@@ -590,9 +601,12 @@ def n17_render_mask_zbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     function coverage + z-buffer over the 16x16 frame; per mesh the mask
     pixel count, winning-face-id sum, and floor-micro z extrema. See the
     staging block above for the determinism and scale contract."""
+    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # compute-dense per-row rasterization: spread the single-file local
+    # input across cores before the mapInPandas stage
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.slice("embedding", 1, 16).alias("betas"),
         F.slice("embedding", 23, 3).alias("cam_code"),

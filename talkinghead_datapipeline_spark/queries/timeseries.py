@@ -1419,3 +1419,269 @@ def seasonal_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r13 registration — mann_kendall_daily_trend: the
+# non-parametric monotone-trend test (Mann-Kendall) over the daily
+# order-revenue series. Pairs with changepoint_daily_revenue ("where did it
+# break") and seasonal_dow_backtest ("is it calendar structure"): this one
+# answers "is there a monotone drift at all", the test monitoring runs
+# BEFORE segmenting. Public formulas: S = sum_{i<j} sign(x_j - x_i);
+# Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 over value-tie groups
+# t; z = (S -/+ 1)/sqrt(Var) with the standard continuity correction.
+#
+# Exactness: S and the x18 variance numerator are exact BIGINTs (signs and
+# tie counts of exact daily cent totals); z is ONE fixed IEEE chain over
+# them — var18/18.0, sqrt (IEEE-754 correctly rounded, hence portable),
+# one divide — so z_micro needs no rounding-boundary argument. The
+# significance flag compares identical doubles to the same literal on
+# both engines.
+#
+# Scale shape: one date-grain aggregation of orders (the only data-sized
+# shuffle), then an all-pairs d1 < d2 self-join of the DISTINCT-DAY frame
+# — calendar-bounded (~2.4k days -> ~2.9M pairs at every SF; days do not
+# grow with rows), broadcast on purpose. Registration must whitelist the
+# deliberate nested-loop in tests/test_plans.py (same class as the
+# isotonic minimax pair frame). Verified by tests/test_mann_kendall_staged.py.
+# ---------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)
+  WHERE t > 1
+),
+stat AS (
+  SELECT n.n_days, s.n_pairs, s.s_stat,
+         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term
+           AS var18
+  FROM n, s, ties
+),
+z AS (
+  SELECT n_days, n_pairs, s_stat, var18,
+         CASE WHEN s_stat > 0 THEN
+                CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              WHEN s_stat < 0 THEN
+                CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS zval
+  FROM stat
+)
+SELECT n_days, n_pairs, s_stat, var18,
+       CAST(floor(zval * 1000000.0) AS BIGINT) AS z_micro,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing' ELSE 'flat' END AS trend,
+       abs(zval) >= 1.959964 AS significant_95
+FROM z
+"""
+
+
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order revenue: the exact
+    pairwise sign statistic S, the tie-corrected x18 variance numerator,
+    the continuity-corrected z (floor-micro), the trend direction, and a
+    95% two-sided significance flag. See the staging block above for the
+    determinism and scale contract."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = persist_once(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("x2") > F.col("x1"), 1)
+                .when(F.col("x2") < F.col("x1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    stat = (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .withColumn(
+            "var18",
+            F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+            - F.col("tie_term"),
+        )
+    )
+    zval = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double")
+            / F.sqrt(F.col("var18").cast("double") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double")
+            / F.sqrt(F.col("var18").cast("double") / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "var18",
+        F.floor(zval * 1000000.0).cast("bigint").alias("z_micro"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("flat")
+        .alias("trend"),
+        (F.abs(zval) >= 1.959964).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r13 registration — theil_sen_daily_slope: the robust
+# (median-of-pairwise-slopes) trend estimator over the same daily revenue
+# series — the magnitude companion to mann_kendall_daily_trend's direction
+# test (the classical Theil-Sen / Kendall pairing), robust to the outlier
+# days an OLS slope (q6_forecast_revenue's regression class) is dragged by.
+#
+# Exactness: every pairwise slope is ONE IEEE division of exact integers
+# (cent diff / day diff, both < 2^53) — bit-identical cross-engine; the
+# median of an even pair count is sum/2 of two identical doubles. Rank
+# selection orders by slope value alone: duplicate values make the k-th
+# row ambiguous but its VALUE unique, which is all the median reads. The
+# 2.5%/97.5% rank order statistics give a distribution-free slope band
+# (floor-micro like the point estimate).
+#
+# Scale shape: identical to Mann-Kendall — date-grain aggregation, then
+# the calendar-bounded pair frame (~2.9M rows at every SF); the rank
+# window over pairs is a single sort of a frame that does NOT grow with
+# data. Registration must whitelist the deliberate nested-loop join.
+# Verified by tests/test_mann_kendall_staged.py.
+# ---------------------------------------------------------------------------
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT CAST(b.x - a.x AS DOUBLE)
+           / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM slopes
+),
+med AS (
+  SELECT m,
+         avg(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                  THEN slope END) AS med_slope,
+         min(CASE WHEN rn = greatest(1, (m * 25) // 1000 + 1)
+                  THEN slope END) AS lo_slope,
+         min(CASE WHEN rn = (m * 975) // 1000
+                  THEN slope END) AS hi_slope
+  FROM ranked GROUP BY m
+)
+SELECT m AS n_pairs,
+       CAST(floor(med_slope * 1000000.0) AS BIGINT) AS slope_micro_per_day,
+       CAST(floor(lo_slope * 1000000.0) AS BIGINT) AS slope_lo_micro,
+       CAST(floor(hi_slope * 1000000.0) AS BIGINT) AS slope_hi_micro
+FROM med
+"""
+
+
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily order revenue (cents/day): the
+    median pairwise slope, floor-micro, with distribution-free 2.5%/97.5%
+    rank-band endpoints. See the staging block above for the determinism
+    and scale contract."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = persist_once(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    slopes = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope")
+    )
+    w = W.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("m"),
+    )
+    med = ranked.groupBy("m").agg(
+        F.avg(
+            F.when(
+                (F.col("rn") == F.expr("(m + 1) div 2"))
+                | (F.col("rn") == F.expr("(m + 2) div 2")),
+                F.col("slope"),
+            )
+        ).alias("med_slope"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("greatest(1, (m * 25) div 1000 + 1)"),
+                F.col("slope"),
+            )
+        ).alias("lo_slope"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(m * 975) div 1000"), F.col("slope"))
+        ).alias("hi_slope"),
+    )
+    return med.select(
+        F.col("m").alias("n_pairs"),
+        F.floor(F.col("med_slope") * 1000000.0)
+        .cast("bigint")
+        .alias("slope_micro_per_day"),
+        F.floor(F.col("lo_slope") * 1000000.0)
+        .cast("bigint")
+        .alias("slope_lo_micro"),
+        F.floor(F.col("hi_slope") * 1000000.0)
+        .cast("bigint")
+        .alias("slope_hi_micro"),
+    )

@@ -324,8 +324,13 @@ class ShapeRenderer:
     verts drive the rasterization. Channels — all real rasterizer outputs:
     ``shade`` (SH-lit gray, the default), ``mask`` (coverage 0/255),
     ``normal`` (winner-interpolated normal z, [-1,1] → [0,255]), ``bary``
-    (winner's first barycentric weight — the uv-interpolant analog).
-    Payload stays H·W uint8 bytes: the sink contract is unchanged.
+    (winner's first barycentric weight — the uv interpolant), ``texture``
+    (the FULL forward: barycentric uv → bilinear grid_sample of the albedo
+    map → × SH shading × alpha, renderer.py:186-218 — uv coords and albedo
+    are synthetic seeded stand-ins for the licensed FLAME assets, which
+    drop in field-for-field), and ``pos_mask`` (view-space normal z <
+    −0.05, renderer.py:193-194). Payload stays H·W uint8 bytes: the sink
+    contract is unchanged.
 
     Topology: pass ``faces`` (e.g. ``FlameLbsDecoder().faces``) or let it
     default to a deterministic triangle fan over however many verts the
@@ -353,6 +358,19 @@ class ShapeRenderer:
             return self.faces
         i = np.arange(1, n_verts - 1, dtype=np.int64)
         return np.stack([np.zeros_like(i), i, i + 1], axis=1)  # triangle fan
+
+    # Synthetic stand-ins for the licensed FLAME texture assets (same
+    # pattern as the seeded LBS bases): per-vertex uv in [0,1] keyed by
+    # mesh size, and one 3x64x64 albedo map. The real obj/texture drop in
+    # field-for-field; the sampling math is real either way.
+    albedo = None  # class-level lazy default
+
+    def _uv_for(self, n_verts: int) -> np.ndarray:
+        if getattr(self, "_uv", None) is None or len(self._uv) != n_verts:
+            self._uv = _seeded_rng(f"uv_{n_verts}").random((n_verts, 2))
+        if self.albedo is None:
+            self.albedo = _seeded_rng("albedo_map").random((3, 64, 64))
+        return self._uv
 
     def render_batch(
         self,
@@ -391,17 +409,52 @@ class ShapeRenderer:
             if getattr(self, "_inc_key", None) != key:
                 self._incidence = corner_incidence(faces, verts.shape[1])
                 self._inc_key = key
-            normals = vertex_normals_batch(verts, faces, self._incidence)
             corners = faces[np.where(mask, p2f, 0)]  # (B, H, W, 3) vert ids
             bidx = np.arange(verts.shape[0])[:, None, None, None]
-            corner_normals = normals[bidx, corners]  # (B, H, W, 3, 3)
-            n_img = np.einsum("bhwf,bhwfc->bhwc", bary, corner_normals)
-            if channel == "normal":
-                img = (n_img[..., 2] * 0.5 + 0.5) * 255.0 * mask
-            else:  # shade — SH-lit gray shape overlay
-                shading = sh_irradiance(n_img, self.sh_coeff)
-                gray = shading.mean(axis=-1) * self._ALBEDO
-                img = np.clip(gray, 0.0, 1.0) * 255.0 * mask
+
+            def interp(per_vert):  # (B, V, D) -> (B, H, W, D) via winner bary
+                return np.einsum("bhwf,bhwfd->bhwd", bary, per_vert[bidx, corners])
+
+            if channel == "pos_mask":
+                # visibility mask for pixels whose VIEW-SPACE normal faces
+                # the camera (renderer.py:193-194: transformed normal z
+                # < -0.05; translation-invariant, so pre/post z-shift agree)
+                tn = vertex_normals_batch(
+                    np.asarray(trans_verts, dtype=np.float64), faces,
+                    self._incidence,
+                )
+                tz = interp(tn)[..., 2]
+                img = np.where((tz < -0.05) & mask, 255.0, 0.0)
+            else:
+                n_img = interp(vertex_normals_batch(verts, faces, self._incidence))
+                if channel == "normal":
+                    img = (n_img[..., 2] * 0.5 + 0.5) * 255.0 * mask
+                elif channel == "texture":
+                    # full textured forward (renderer.py:186-218): uv grid
+                    # from barycentric uv interpolation (uv*2-1, y flipped,
+                    # renderer.py:95-99) -> bilinear albedo sample -> x SH
+                    # shading x alpha; gray payload = RGB mean
+                    from talkinghead_datapipeline_spark.operators.rasterize import (
+                        grid_sample_bilinear,
+                    )
+
+                    uv = self._uv_for(verts.shape[1])  # (V, 2) in [0, 1]
+                    uv_ndc = uv * 2.0 - 1.0
+                    uv_ndc[:, 1] = -uv_ndc[:, 1]
+                    grid = interp(np.broadcast_to(
+                        uv_ndc[None], (verts.shape[0],) + uv_ndc.shape
+                    ))
+                    shading = sh_irradiance(n_img, self.sh_coeff)
+                    imgs = []
+                    for bi in range(verts.shape[0]):
+                        alb = grid_sample_bilinear(self.albedo, grid[bi])
+                        rgb = alb.transpose(1, 2, 0) * shading[bi]
+                        imgs.append(rgb.mean(axis=-1))
+                    img = np.clip(np.stack(imgs), 0.0, 1.0) * 255.0 * mask
+                else:  # shade — SH-lit gray shape overlay
+                    shading = sh_irradiance(n_img, self.sh_coeff)
+                    gray = shading.mean(axis=-1) * self._ALBEDO
+                    img = np.clip(gray, 0.0, 1.0) * 255.0 * mask
         out = np.clip(np.round(img), 0, 255).astype(np.uint8)
         return [row.tobytes() for row in out]
 

@@ -258,6 +258,43 @@ def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return normals / np.maximum(norm, 1e-6)
 
 
+def grid_sample_bilinear(image: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """``torch.nn.functional.grid_sample(..., mode='bilinear',
+    padding_mode='zeros', align_corners=False)`` in numpy — the albedo
+    lookup of the reference's texture tier (renderer.py:188
+    ``F.grid_sample(albedos, grid, align_corners=False)``).
+
+    ``image`` is (C, H, W); ``grid`` is (h, w, 2) with grid[..., 0] = x
+    (width axis) and grid[..., 1] = y in [-1, 1]. align_corners=False maps
+    x → ((x + 1)·W − 1)/2 so the corners of the [-1,1] square hit pixel
+    EDGES, not centers; out-of-range taps read zero. Returns (C, h, w).
+    """
+    img = np.asarray(image, dtype=np.float64)
+    g = np.asarray(grid, dtype=np.float64)
+    C, H, W = img.shape
+    ix = ((g[..., 0] + 1.0) * W - 1.0) / 2.0
+    iy = ((g[..., 1] + 1.0) * H - 1.0) / 2.0
+    x0 = np.floor(ix).astype(np.int64)
+    y0 = np.floor(iy).astype(np.int64)
+    x1, y1 = x0 + 1, y0 + 1
+    wx1 = ix - x0
+    wy1 = iy - y0
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+    out = np.zeros((C,) + g.shape[:-1])
+    for xi, yi, wgt in (
+        (x0, y0, wx0 * wy0),
+        (x1, y0, wx1 * wy0),
+        (x0, y1, wx0 * wy1),
+        (x1, y1, wx1 * wy1),
+    ):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xs = np.clip(xi, 0, W - 1)
+        ys = np.clip(yi, 0, H - 1)
+        tap = img[:, ys, xs]  # (C, h, w)
+        out += tap * (wgt * valid)[None]
+    return out
+
+
 def corner_incidence(faces: np.ndarray, n_verts: int) -> np.ndarray:
     """(V, 3F) accumulation matrix for ``vertex_normals_batch``: column
     blocks are the per-face corner crosses in the reference's add order

@@ -126,10 +126,22 @@ _MODULES = (
 #     makes it 13 drained — the remaining 30 lead the r13 drain).
 #
 # r13 rotation (write the final comment the day the r12 artifacts land):
-# (1) r13 changed-code canaries; (2) any queries staged in r12, WITH
-# seats and HEADLINE entries in the same change; (3) the remaining 30
-# r8-era keys (e7_memoization_anti, emb_covariance_upper first); (4)
-# r9-era oldest-first with leftover seats.
+# (1) r13 changed-code canaries — flame_render_pipeline MUST take one: its
+#     renderer gained the real rasterizer/SH tier + batched decode in r12
+#     (operators/rasterize.py), and flame_decode_landmarks defensively (its
+#     module's posed_landmark_affine was refactored through
+#     posed_verts_affine, proven bit-identical in tests);
+# (2) the six r12-staged queries, WITH seats and HEADLINE entries in the
+#     same change: cuped_adjusted_lift, conformal_coverage_lang,
+#     seasonal_dow_backtest, n17_render_mask_zbuffer,
+#     mann_kendall_daily_trend, theil_sen_daily_slope (the last two need
+#     tests/test_plans.py nested-loop whitelist entries for their
+#     deliberate calendar-bounded d1<d2 pair joins — see their staging
+#     blocks; do NOT repeat r12's miss where isotonic/k-anon registered
+#     without whitelist entries and broke the plan net);
+# (3) the remaining 30 r8-era keys (e7_memoization_anti,
+#     emb_covariance_upper first); (4) r9-era oldest-first with leftover
+#     seats.
 _DRIVER_PRIORITY = (
     # --- 0. round-12 changed-code canaries (streaming/incremental.py) ---
     "incremental_recompute_equivalence",  # replay watermark added (ADVICE r11)

@@ -278,3 +278,62 @@ def test_shape_renderer_default_fan_topology():
     tv = rng.normal(size=(5, 3)) * 0.5
     out = r.render(tv, tv, None, channel="mask")
     assert len(out) == 16  # 3 fan faces over 5 verts, any vert count works
+
+
+def test_grid_sample_bilinear_matches_manual():
+    from talkinghead_datapipeline_spark.operators.rasterize import (
+        grid_sample_bilinear,
+    )
+
+    img = np.arange(2 * 4 * 4, dtype=np.float64).reshape(2, 4, 4)
+    # align_corners=False: x_ndc -> ((x+1)*W - 1)/2; the exact center of
+    # pixel (1, 2) is ndc x = (2*2+1)/4 - 1 = 0.25, y = (2*1+1)/4 - 1 = -0.25
+    grid = np.array([[[0.25, -0.25]]])
+    out = grid_sample_bilinear(img, grid)
+    np.testing.assert_allclose(out[:, 0, 0], img[:, 1, 2])
+    # midpoint between pixel centers (0,0) and (0,1): average
+    grid = np.array([[[(-0.75 + -0.25) / 2, -0.75]]])
+    out = grid_sample_bilinear(img, grid)
+    np.testing.assert_allclose(out[:, 0, 0], (img[:, 0, 0] + img[:, 0, 1]) / 2)
+    # far outside -> zeros padding
+    grid = np.array([[[-5.0, 5.0]]])
+    np.testing.assert_array_equal(grid_sample_bilinear(img, grid)[:, 0, 0], 0.0)
+    # edge of the [-1,1] square (align_corners=False): half-weight with the
+    # zero pad: ndc x=-1 -> ix=-0.5 -> 0.5*img[:, y, 0]
+    grid = np.array([[[-1.0, -0.75]]])
+    np.testing.assert_allclose(
+        grid_sample_bilinear(img, grid)[:, 0, 0], 0.5 * img[:, 0, 0]
+    )
+
+
+def test_shape_renderer_texture_and_pos_mask_channels():
+    from talkinghead_datapipeline_spark.operators.models import (
+        FlameLbsDecoder,
+        ShapeRenderer,
+        view_transform,
+    )
+
+    m = FlameLbsDecoder()
+    verts, _ = m.decode(
+        rng.normal(size=8), rng.normal(size=8), np.zeros(6)
+    )
+    cam = np.array([1.1, 0.05, -0.02])
+    tv = view_transform(verts, cam)
+    r = ShapeRenderer((16, 16), faces=m.faces)
+    tex = np.frombuffer(r.render(verts, tv, cam, "texture"), dtype=np.uint8)
+    pos = np.frombuffer(r.render(verts, tv, cam, "pos_mask"), dtype=np.uint8)
+    msk = np.frombuffer(r.render(verts, tv, cam, "mask"), dtype=np.uint8)
+    assert len(tex) == len(pos) == 256
+    # both live strictly inside the coverage mask
+    assert (tex[msk == 0] == 0).all() and (pos[msk == 0] == 0).all()
+    # pos_mask is a strict subset of the coverage mask and binary
+    assert set(np.unique(pos)) <= {0, 255}
+    assert (pos == 255).sum() <= (msk == 255).sum()
+    # texture responds to the albedo map: zero albedo -> black frame
+    r0 = ShapeRenderer((16, 16), faces=m.faces)
+    r0.albedo = np.zeros((3, 8, 8))
+    assert np.frombuffer(
+        r0.render(verts, tv, cam, "texture"), dtype=np.uint8
+    ).max() == 0
+    # deterministic
+    assert r.render(verts, tv, cam, "texture") == r.render(verts, tv, cam, "texture")

@@ -131,14 +131,16 @@ _MODULES = (
 #     (operators/rasterize.py), and flame_decode_landmarks defensively (its
 #     module's posed_landmark_affine was refactored through
 #     posed_verts_affine, proven bit-identical in tests);
-# (2) the six r12-staged queries, WITH seats and HEADLINE entries in the
+# (2) the eight r12-staged queries, WITH seats and HEADLINE entries in the
 #     same change: cuped_adjusted_lift, conformal_coverage_lang,
 #     seasonal_dow_backtest, n17_render_mask_zbuffer,
-#     mann_kendall_daily_trend, theil_sen_daily_slope (the last two need
-#     tests/test_plans.py nested-loop whitelist entries for their
-#     deliberate calendar-bounded d1<d2 pair joins — see their staging
-#     blocks; do NOT repeat r12's miss where isotonic/k-anon registered
-#     without whitelist entries and broke the plan net);
+#     mann_kendall_daily_trend, theil_sen_daily_slope,
+#     basket_association_rules, gini_revenue_concentration
+#     (mann-kendall/theil-sen need tests/test_plans.py nested-loop
+#     whitelist entries for their deliberate calendar-bounded d1<d2 pair
+#     joins — see their staging blocks; do NOT repeat r12's miss where
+#     isotonic/k-anon registered without whitelist entries and broke the
+#     plan net);
 # (3) the remaining 30 r8-era keys (e7_memoization_anti,
 #     emb_covariance_upper first); (4) r9-era oldest-first with leftover
 #     seats.

@@ -1275,3 +1275,241 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r13 registration — basket_association_rules: market-basket
+# association-rule mining (the Apriori/FP-growth OUTPUT contract: support /
+# confidence / lift over co-purchased item pairs) at brand grain. The class
+# the registry lacked: rfm_segments profiles customers and
+# session_funnel_conversion orders event types, but nothing certified
+# co-occurrence rules, the classic recommendation/curation primitive ("what
+# co-occurs with what" also drives topic-pair pruning in corpus curation).
+#
+# Exactness (NO floats anywhere): N (orders with line items), per-brand
+# basket counts n_a, and pair counts n_ab are exact BIGINTs; support,
+# the two directional confidences, and lift are integer floor divisions —
+# lift_micro = n_ab*N*1e6 // (n_a*n_b), with n_ab*N*1e6 <= ~2.3e16 at
+# sf0.1 (int64 headroom to ~sf30 at TPC-H rates; document the bound). A
+# deterministic min-support gate (n_ab*1000 >= N, i.e. support >= 0.1%)
+# keeps singleton-noise pairs out of the lift ranking; top-20 by
+# (lift desc, pair asc) is fully tiebroken.
+#
+# Scale shape: lineitem joins the broadcast part dimension (brand lookup),
+# one DISTINCT to (order, brand) — order-keyed shuffle — then the pair
+# expansion is an order-keyed self-join (co-partitioned, <=C(25,2)=300
+# pairs per order at 25 brands) and two combinable aggs over frames bounded
+# by brand cardinality squared (300 rows), not data. At 100 TB: one
+# broadcast, two order-keyed shuffles, brand-bounded reduce.
+# Verified by tests/test_basket_gini_staged.py; registration takes an r13
+# seat per the house staging rule.
+# ---------------------------------------------------------------------------
+
+BASKET_RULES_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+singles AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY b
+),
+pairs AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY a.b, c.b
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       sa.n_b AS n_a, sb.n_b AS n_b,
+       (p.n_ab * 1000000) // n.n_orders AS support_ppm,
+       (p.n_ab * 1000000) // sa.n_b AS conf_a_to_b_ppm,
+       (p.n_ab * 1000000) // sb.n_b AS conf_b_to_a_ppm,
+       (p.n_ab * n.n_orders * 1000000) // (sa.n_b * sb.n_b) AS lift_micro
+FROM pairs p
+JOIN singles sa ON sa.b = p.brand_a
+JOIN singles sb ON sb.b = p.brand_b
+CROSS JOIN n
+WHERE p.n_ab * 1000 >= n.n_orders
+ORDER BY lift_micro DESC, p.brand_a ASC, p.brand_b ASC
+LIMIT 20
+"""
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at brand grain: for co-purchased
+    brand pairs past a 0.1% support gate, the exact integer support,
+    directional confidences, and lift (all floor-ppm/micro), top-20 by
+    lift. See the staging block above for the determinism and scale
+    contract."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = persist_once(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    singles = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    a = ob.select(F.col("o"), F.col("b").alias("brand_a"))
+    c = ob.select(F.col("o").alias("o2"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, (F.col("o") == F.col("o2")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("b").alias("brand_a"), F.col("n_b").alias("n_a"))
+    sb = singles.select(F.col("b").alias("brand_b"), F.col("n_b").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") * 1000 >= F.col("n_orders"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * 1000000) div n_orders").alias("support_ppm"),
+            F.expr("(n_ab * 1000000) div n_a").alias("conf_a_to_b_ppm"),
+            F.expr("(n_ab * 1000000) div n_b").alias("conf_b_to_a_ppm"),
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r13 registration — gini_revenue_concentration: Gini
+# coefficient + Lorenz decile table of customer revenue — the
+# inequality/concentration class (how concentrated is the order book on few
+# customers; the identical machinery measures source concentration when
+# curating a corpus). The registry had per-entity rollups and equi-depth
+# deciles of VALUES but no concentration certificate over the entity mass
+# distribution.
+#
+# Exactness: per-customer revenue reduces to exact BIGINT dollars (cents
+# summed exactly, one floor division by 100); ranks come from a fully
+# tiebroken (dollars, custkey) row_number so tied values cannot move mass
+# across decile boundaries; decile shares are integer floor-ppm
+# (decile_dollars*1e6 <= ~2e16 at sf0.1 — int64 headroom through ~sf100);
+# the Gini closed form G = (2*S1 - (n+1)*S0) / (n*S0) over S1 = sum
+# rank*dollars uses int64-exact operands that stay under 2^53 through
+# ~sf3 (documented; the numerator is ONE IEEE division cross-engine; S1
+# is rank-order-invariant within tied values since tie blocks sum the
+# same rank set either way).
+#
+# Scale shape: one customer-keyed combinable agg over orders (the only
+# data-sized shuffle), then a global sort/rank of the customer frame — a
+# distributed SortExec; the single-partition window is the local[32]
+# realization of rank assignment — and a 10-row decile rollup.
+# Verified by tests/test_basket_gini_staged.py; registration takes an r13
+# seat per the house staging rule.
+# ---------------------------------------------------------------------------
+
+GINI_CONCENTRATION_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           // 100 AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(x) OVER () AS BIGINT) AS s0
+  FROM cust
+),
+g AS (
+  SELECT max(n) AS n, max(s0) AS s0,
+         CAST(sum(r * x) AS BIGINT) AS s1
+  FROM ranked
+),
+dec AS (
+  SELECT ((r - 1) * 10) // n AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(x) AS BIGINT) AS revenue_dollars
+  FROM ranked GROUP BY 1
+)
+SELECT d.decile, d.n_customers, d.revenue_dollars,
+       (d.revenue_dollars * 1000000) // g.s0 AS share_ppm,
+       (CAST(sum(d.revenue_dollars) OVER (ORDER BY d.decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          * 1000000) // g.s0 AS cum_share_ppm,
+       CAST(floor(CAST(2 * g.s1 - (g.n + 1) * g.s0 AS DOUBLE)
+                  / CAST(g.n * g.s0 AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS gini_ppm
+FROM dec d CROSS JOIN g
+ORDER BY d.decile
+"""
+
+
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration: the Lorenz decile table (exact
+    dollar mass, floor-ppm share and cumulative share per rank decile) and
+    the Gini coefficient (floor-ppm) of the per-customer revenue
+    distribution. See the staging block above for the determinism and
+    scale contract."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("x")
+    )
+    wr = W.orderBy("x", "o_custkey")
+    wall = W.partitionBy()
+    ranked = persist_once(
+        cust.select(
+            "x",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+            F.sum("x").over(wall).cast("bigint").alias("s0"),
+        )
+    )
+    g = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("s0").alias("s0"),
+        F.sum(F.col("r") * F.col("x")).cast("bigint").alias("s1"),
+    )
+    dec = ranked.groupBy(
+        F.expr("((r - 1) * 10) div n").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").cast("bigint").alias("revenue_dollars"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dec.crossJoin(F.broadcast(g))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_dollars",
+            F.expr("(revenue_dollars * 1000000) div s0").alias("share_ppm"),
+            (
+                F.sum("revenue_dollars").over(wc).cast("bigint") * 1000000
+            ).alias("_cum"),
+            F.col("s0"),
+            F.floor(
+                (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("s0")).cast("double")
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_dollars",
+            "share_ppm",
+            F.expr("_cum div s0").alias("cum_share_ppm"),
+            "gini_ppm",
+        )
+        .orderBy("decile")
+    )

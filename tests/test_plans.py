@@ -38,6 +38,18 @@ _NESTED_LOOP_OK = {
     # non-equi, cardinality-bounded by score cardinality not data size
     "k_anonymity_audit",  # 1-row broadcast grand-total crossJoin onto the
     # <=|quasi-identifier classes| ladder frame
+    # --- pre-added for the r13 registrations (entries are inert until the
+    # --- query name joins the registry; added at STAGING time so the r12
+    # --- isotonic/k-anon miss cannot repeat) ---
+    "mann_kendall_daily_trend",  # calendar-bounded d1<d2 daily pair join
+    # (~2.9M pairs at EVERY SF) + 1-row stat crossJoins
+    "theil_sen_daily_slope",  # same calendar-bounded pair join
+    "seasonal_dow_backtest",  # 1-row grand-mean crossJoin onto the 7-row
+    # weekday frame
+    "basket_association_rules",  # 1-row order-count crossJoin onto the
+    # brand-pair frame (<= C(|brands|, 2) rows)
+    "gini_revenue_concentration",  # 1-row (n, s0, s1) stats crossJoin onto
+    # the 10-row decile frame
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

@@ -1159,6 +1159,20 @@ def streaming_session_late_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     (1) above: session-window late drops count raw rows, each judged by
     its own ts + gap horizon against the one-batch-lagged watermark.
 
+    MODELED DOMAIN (r12 x4 finding): the raw-row unit is proven on the
+    certified fixtures by the oracle match itself (green at sf0.001/0.01/
+    0.1 across rounds). Under heavy late-row COLLISIONS the engine's
+    counter deviates from raw rows in ways no simple merged-unit model
+    reproduces either — probed directly in
+    tests/test_session_late_drop_units.py: 4 exact-duplicate late rows ->
+    1 drop, two separate late sessions of one user -> 1 drop, a fully-late
+    two-row merged session -> 0 drops, 4 distinct users -> 4. The x4
+    replication regime manufactures exactly those collisions (4 duplicates
+    of every late row), so THIS query is outside its oracle's modeled
+    domain there (engine 324 vs raw-model 1296 on the x4 tables); the
+    probe test pins the engine behaviors so an engine upgrade that changes
+    them is caught first.
+
     Scale shape: the metrics ride the session state operator the
     aggregation already runs — no extra pass; the frame is
     O(micro-batches).

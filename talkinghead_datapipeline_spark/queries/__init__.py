@@ -119,18 +119,24 @@ _MODULES = (
 #     invariance pinned (tests/test_{reliability,isotonic,ks,kanon,
 #     attribution}_staged.py) before this registration, per the house
 #     staging rule.
+#  1b. LATE-r12 changed-code canaries, seated mid-round when
+#     operators/rasterize.py landed: flame_render_pipeline (renderer now
+#     real rasterizer/normals/SH math, batched decode+render,
+#     rebalance_for_compute input) and flame_decode_landmarks (shared-
+#     module affine refactor, proven bit-identical). Verified vs their
+#     oracles at three SFs + x4 this round before seating.
 #  2. r7-era drain: the full remaining 31-key tier (alphabetical) — after
 #     r12 no key's latest green row predates r8.
-#  3. r8-era drain, oldest-first alphabetical, with the leftover 12 seats
+#  3. r8-era drain, oldest-first alphabetical, with the leftover 10 seats
 #     (43 keys in the tier; streaming_foreachbatch_upsert's canary seat
-#     makes it 13 drained — the remaining 30 lead the r13 drain).
+#     makes it 11 drained — the remaining 32, led by doc_fingerprint and
+#     e3_key_intersection_semi displaced by the late canaries, lead the
+#     r13 drain).
 #
 # r13 rotation (write the final comment the day the r12 artifacts land):
-# (1) r13 changed-code canaries — flame_render_pipeline MUST take one: its
-#     renderer gained the real rasterizer/SH tier + batched decode in r12
-#     (operators/rasterize.py), and flame_decode_landmarks defensively (its
-#     module's posed_landmark_affine was refactored through
-#     posed_verts_affine, proven bit-identical in tests);
+# (1) r13 changed-code canaries — the flame pair already took LATE-r12
+#     seats for the rasterizer work (section 1b above), so r13 canaries
+#     are only whatever r13 itself changes;
 # (2) the eight r12-staged queries, WITH seats and HEADLINE entries in the
 #     same change: cuped_adjusted_lift, conformal_coverage_lang,
 #     seasonal_dow_backtest, n17_render_mask_zbuffer,
@@ -148,6 +154,17 @@ _DRIVER_PRIORITY = (
     # --- 0. round-12 changed-code canaries (streaming/incremental.py) ---
     "incremental_recompute_equivalence",  # replay watermark added (ADVICE r11)
     "streaming_foreachbatch_upsert",  # shared-module canary (also r8-stale)
+    # --- 0b. late-r12 changed-code canaries (operators/rasterize.py landed
+    #     mid-round: flame_render_pipeline's renderer became REAL
+    #     rasterizer/SH math, its decode+render path batched, and its input
+    #     gained rebalance_for_compute; flame_decode_landmarks is seated
+    #     defensively for the posed_landmark_affine -> posed_verts_affine
+    #     refactor in the shared module, proven bit-identical in tests.
+    #     Changed-code beats drain staleness (house rule) — the two
+    #     displaced r8-drain seats (doc_fingerprint,
+    #     e3_key_intersection_semi) lead the r13 drain instead. ---
+    "flame_render_pipeline",
+    "flame_decode_landmarks",
     # --- 1. round-12 registrations (staged r11) ---
     "reliability_bins_lang",  # Murphy/Brier calibration decile bins
     "isotonic_calibration_lang",  # PAV monotone calibration (minimax identity)
@@ -197,8 +214,6 @@ _DRIVER_PRIORITY = (
     "decontaminate_against_benchmark",
     "dedup_cluster_assignments",
     "dedup_exact_keep_first",
-    "doc_fingerprint",
-    "e3_key_intersection_semi",
 )
 
 # Overflow queue: never-driver-certified queries registered after the

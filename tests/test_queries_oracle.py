@@ -157,6 +157,11 @@ def test_driver_priority_rotation_policy():
         # r12 changed-code: foreachBatch replay idempotency (ADVICE r11)
         "incremental_recompute_equivalence",
         "streaming_foreachbatch_upsert",
+        # late-r12 changed-code: the N17 rasterizer/SH tier became real
+        # math and the decode+render path batched (operators/rasterize.py);
+        # the decode query is seated for the shared affine refactor
+        "flame_render_pipeline",
+        "flame_decode_landmarks",
         # r12 registrations (staged r11, three-SF oracle + invariance)
         "reliability_bins_lang",
         "isotonic_calibration_lang",

@@ -223,6 +223,26 @@ HEADLINE = (
     "ks_two_sample_chars",
     "k_anonymity_audit",
     "attribution_first_last_touch",
+    # Round-13 additions with their registrations (the eight r12-staged
+    # operator classes plus the bootstrap production twin; per
+    # test_session_config they join HEADLINE in the same change as their
+    # registration). The trend pair and the render query carry real data
+    # signals (calendar-bounded pair frames; the batched rasterize sweep);
+    # the rest are one-data-pass plans with bounded post-scan frames.
+    # bootstrap_ci_order_value_prod exists precisely to be benched
+    # (VERDICT r12 #5a): the xxhash64 production cost printed next to the
+    # deliberately-slow md5 certification cost, so the headline total's
+    # biggest line item is readable as a certification artifact, not a
+    # plan cost.
+    "cuped_adjusted_lift",
+    "conformal_coverage_lang",
+    "seasonal_dow_backtest",
+    "n17_render_mask_zbuffer",
+    "mann_kendall_daily_trend",
+    "theil_sen_daily_slope",
+    "basket_association_rules",
+    "gini_revenue_concentration",
+    "bootstrap_ci_order_value_prod",
 )
 
 
@@ -250,6 +270,51 @@ def _reps_from_args() -> int:
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
     return max(1, reps)
+
+
+def _measure_anchors(spark, reps: int) -> dict:
+    """Machine-state anchor pair (VERDICT r12 #3): two fixed microbenchmarks
+    recorded with every bench run so cross-round drift can be priced per
+    WORKLOAD CLASS instead of against the single scan-weighted subtotal —
+    r12's residual concentrated entirely in hash/string-CPU-bound queries
+    on untouched code, which the scan anchor cannot price.
+
+    - ``hash_md5_1m_sec``: 1M JVM md5s over generated strings, no I/O —
+      the same portable-md5 primitive that dominates the bootstrap /
+      ngram-jaccard / text-quality class.
+    - ``scan_lineitem_sec``: one-column parquet scan + aggregate over
+      lineitem at SF_DIR — the scan-bound class (compare only at equal sf).
+
+    tools/bench_compare.py divides each query's cross-round ratio by its
+    class anchor's ratio; a mover that disappears under its anchor is
+    machine state, one that survives is code."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from talkinghead_datapipeline_spark.catalog import load_table  # noqa: PLC0415
+
+    def hash_job() -> None:
+        spark.range(0, 1_000_000, 1, 8).select(
+            F.md5(
+                F.concat(F.lit("anchor|"), F.col("id").cast("string"))
+            ).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+
+    def scan_job() -> None:
+        load_table(spark, SF_DIR, "lineitem").agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for name, job in (("hash_md5_1m_sec", hash_job), ("scan_lineitem_sec", scan_job)):
+        job()  # warm-up, same steady-state protocol as the queries
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            job()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 4)
+    return out
 
 
 def main() -> None:
@@ -304,7 +369,9 @@ def main() -> None:
     # FIRST and every summary scalar LAST, so tail capture always retains
     # the totals; (b) a second, compact summary-only JSON line is printed
     # after the full one — whatever the capture window, the last line parses.
+    anchors = _measure_anchors(spark, reps)
     summary = {
+        "anchors": anchors,
         "metric": "headline_queries_total_sec",
         # A total over a PARTIAL query set is not comparable across rounds
         # (a missing query reads as a speed-up): null it when anything

@@ -314,9 +314,11 @@ class ShapeRenderer:
     (operators.rasterize — point-in-triangle + z-buffer on quantized view
     coords, dpl/rendering/renderer.py:28-70; vertex normals, utils.py:80-132;
     SH irradiance, renderer.py:232-262). What it emits is the reference's
-    gray "shape overlay" mode (renderer.py:107-117: constant 180/255
-    face_colors albedo times SH shading) — the only tier still out of scope
-    is the textured-albedo path, which needs the licensed FLAME uv space.
+    FORWARD path run on the constant gray 180/255 face_colors albedo
+    (renderer.py:107-117) — see "Mode semantics" below for how this
+    differs from the separate ``render_shape`` mode. The only tier still
+    out of scope is the licensed FLAME uv/albedo assets (synthetic seeded
+    stand-ins) and pytorch3d bit-parity.
 
     ``render(vertices, trans_verts, cam, channel)`` mirrors
     ``SRenderY.forward(vertices, transformed_vertices, ...)``: world-space
@@ -331,6 +333,17 @@ class ShapeRenderer:
     drop in field-for-field), and ``pos_mask`` (view-space normal z <
     −0.05, renderer.py:193-194). Payload stays H·W uint8 bytes: the sink
     contract is unchanged.
+
+    Mode semantics (ADVICE r12): every channel follows ``SRenderY.forward``
+    semantics APPLIED TO the gray 180/255 albedo — NOT the reference's
+    separate ``render_shape`` mode. The two reference modes differ in
+    exactly two places and this class deliberately keeps the forward-path
+    choice for both: ``pos_mask`` thresholds the transformed normal z at
+    −0.05 (renderer.py:190) where render_shape uses 0 (renderer.py:355),
+    and ``shade`` uses SH lighting (renderer.py:232-262) where
+    render_shape uses fixed directional lights (renderer.py:340-352). A
+    future pytorch3d bit-parity check must therefore target
+    ``SRenderY.forward`` with constant gray albedo, not ``render_shape``.
 
     Topology: pass ``faces`` (e.g. ``FlameLbsDecoder().faces``) or let it
     default to a deterministic triangle fan over however many verts the
@@ -395,7 +408,9 @@ class ShapeRenderer:
         verts = np.asarray(vertices, dtype=np.float64)
         faces = self._faces_for(verts.shape[1])
         size = self.size_hw[0]
-        scale = 256 * size  # divisible by size; exact-int64 up to ~341 px
+        # divisible by size; admitted up to ~341 px — bit-exact float64
+        # tier through ~33 px, exact-int64 z tier above (rasterize.py)
+        scale = 256 * size
         ras = rasterize_batch(
             quantize_verts(screen_transform(trans_verts), scale), faces, size, scale
         )

@@ -40,10 +40,26 @@ functions, argmin window).
 Bounds (clamps make them unconditional; all scale-relative so any image
 size with scale = 256·size stays exact):
 - |qx|, |qy| ≤ 8·scale; qz ∈ [0, 16·scale]; pixel centers ≤ scale.
-- |edge function| ≤ 2·(16·scale)·(9·scale) = 288·scale².
-- |z numerator| = |Σ₃ E·z| ≤ 3·288·scale²·16·scale = 13824·scale³
-  → < 2^53 at the default scale 4096 (oracle exact-double domain), and
-  < 2^63 for any scale ≤ 87k, i.e. image sizes up to ~341 px (asserted).
+- |edge function| ≤ 2·(16·scale)·(9·scale) = 288·scale² — < 2^53 for every
+  admitted scale (≤ ~87k), so edges, den, coverage, and bary are EXACT in
+  float64 across the whole range.
+- |z numerator| = |Σ₃ E·z| ≤ 3·288·scale²·16·scale = 13824·scale³. This is
+  the quantity that picks the arithmetic tier (ADVICE r12):
+  * 13824·scale³ < 2^53 (scale ≤ 8663, image ≤ ~33 px at the 256·size
+    convention — covers the default scale 4096 and every oracle-certified
+    query): the whole chunk runs in float64, every intermediate exact, and
+    the ONE num/den division is an IEEE op on exactly-representable
+    operands — bit-identical in numpy and DuckDB SQL. This is the
+    bit-exact oracle domain.
+  * 2^53 ≤ 13824·scale³ < 2^63 (scale ≤ ~87k, image ≤ ~341 px): the z
+    numerator is accumulated in EXACT int64, then one int64→double
+    conversion (round-half-even) and one division, both correctly rounded
+    — deterministic on any IEEE-754 platform. The nearest-z winner is
+    selected on this correctly-rounded z, so two faces whose true rational
+    z's agree to within 1 ulp resolve as a rounded-z tie (lowest face id)
+    rather than by infinite-precision order; coverage/mask/bary remain
+    exact.
+  * 13824·scale³ ≥ 2^63: rejected (int64 would overflow).
 
 Screen-space convention (documented, matching the reference composition):
 ``view_transform`` (models.py) already applied batch_orth_proj and the
@@ -125,14 +141,20 @@ def pixel_centers(size: int, scale: int = SCALE) -> tuple[np.ndarray, np.ndarray
     return c.copy(), c.copy()  # (x per column j, y per row i)
 
 
-def _rasterize_chunk(q: np.ndarray, f: np.ndarray, size: int, scale: int) -> dict:
+def _rasterize_chunk(
+    q: np.ndarray, f: np.ndarray, size: int, scale: int, exact53: bool
+) -> dict:
     """Batched core: q is (B, V, 3) int64; returns (B, size, size[, ·]).
 
-    Arithmetic runs in float64 throughout: every intermediate is an integer
-    bounded by 3·288·scale³ < 2^53 (module docstring), so double ops on them
-    are EXACT — identical to int64 — while skipping the astype passes and
-    using the faster SIMD float pipeline (the int64 form measured ~1.5x
-    slower on the flame batch)."""
+    ``exact53`` is ``13824·scale³ < 2^53`` (computed once by the caller).
+    When True, arithmetic runs in float64 throughout: every intermediate is
+    an integer under 2^53, so double ops on them are EXACT — identical to
+    int64 — while skipping the astype passes and using the faster SIMD
+    float pipeline (the int64 form measured ~1.5x slower on the flame
+    batch). When False (scale > 8663, admitted up to the int64 bound), only
+    the z numerator leaves the exact-double range, so it alone is
+    accumulated in exact int64 and rounded once at the division — the
+    deterministic-but-rounded tier the module docstring documents."""
     qf = q.astype(np.float64)  # exact: |q| ≤ 16·scale ≪ 2^53
     v0, v1, v2 = qf[:, f[:, 0]], qf[:, f[:, 1]], qf[:, f[:, 2]]  # (B, F, 3)
     px, py = pixel_centers(size, scale)
@@ -155,11 +177,23 @@ def _rasterize_chunk(q: np.ndarray, f: np.ndarray, size: int, scale: int) -> dic
     covered = (den != 0) & (
         ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
     )
-    num = (
-        e0 * v0[..., 2][..., None, None]
-        + e1 * v1[..., 2][..., None, None]
-        + e2 * v2[..., 2][..., None, None]
-    )
+    if exact53:
+        num = (
+            e0 * v0[..., 2][..., None, None]
+            + e1 * v1[..., 2][..., None, None]
+            + e2 * v2[..., 2][..., None, None]
+        )
+    else:
+        # Exact int64 tier: e_i < 2^53 are integer-valued doubles (exact
+        # astype), each product ≤ 4608·scale³ and the sum ≤ 13824·scale³ <
+        # 2^63 (guarded in rasterize_batch) — no overflow. One rounding at
+        # the astype back to float64, then the correctly-rounded division.
+        z_i64 = q[..., 2]  # (B, V) int64
+        num = (
+            e0.astype(np.int64) * z_i64[:, f[:, 0], None, None]
+            + e1.astype(np.int64) * z_i64[:, f[:, 1], None, None]
+            + e2.astype(np.int64) * z_i64[:, f[:, 2], None, None]
+        ).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         zpx = num / den
     z_masked = np.where(covered, zpx, np.inf)
@@ -200,16 +234,23 @@ def rasterize_batch(
     size, size) int64 intermediates stay under ``max_chunk_elems`` elements
     — one vectorized sweep per chunk instead of per-mesh Python overhead
     (measured 7.9x on flame_render_pipeline at sf0.1 when this was
-    per-row)."""
+    per-row).
+
+    Arithmetic tier (module docstring, ADVICE r12): scales with
+    13824·scale³ < 2^53 run the all-float64 bit-exact path; larger scales
+    up to the 2^63 int64 bound accumulate the z numerator in exact int64
+    (deterministic correctly-rounded z, rounded-z tie semantics); beyond
+    that the scale is rejected."""
     if 13824 * scale**3 >= 2**63:
         raise ValueError(f"scale {scale} overflows the exact-int64 z bound")
+    exact53 = 13824 * scale**3 < 2**53
     q = np.asarray(q_verts, dtype=np.int64)
     f = np.asarray(faces, dtype=np.int64)
     B = q.shape[0]
     per_mesh = max(1, len(f) * size * size)
     chunk = max(1, max_chunk_elems // per_mesh)
     parts = [
-        _rasterize_chunk(q[i : i + chunk], f, size, scale)
+        _rasterize_chunk(q[i : i + chunk], f, size, scale, exact53)
         for i in range(0, B, chunk)
     ]
     return {
@@ -227,7 +268,8 @@ def rasterize(
     - ``pix_to_face`` (size, size) int64 — nearest-z face id (ties → lowest
       id), -1 where uncovered
     - ``zbuf``   (size, size) float64 — interpolated z of the winner, +inf
-      where uncovered (num/den division of exact <2^53 int64s: bit-portable)
+      where uncovered (bit-portable: exact-double division below the 2^53
+      tier, correctly-rounded int64 division above it — module docstring)
     - ``bary``   (size, size, 3) float64 — barycentric weights of the winner
       (E_i/den, same exact-operand divisions), 0 where uncovered
 

@@ -90,134 +90,122 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-12 WINDOW. Cumulative certification entering r12 is 222/222
-# (r11 registered six: the five r10-staged operator classes plus
-# incremental_recompute_equivalence, registry 216 -> 222 — this corrects
-# the prior comment's "-> 221" miscount, ADVICE r11) with staleness tiers
-# r7=31, r8=43, r9=49, r10=49, r11=50 (recomputed from the raw
-# CORRECTNESS artifacts 2026-08-15; the r6 tier drained fully in r11).
-# r12 registers the five queries staged in r11 (registry 222 -> 227),
-# each joining bench.HEADLINE in the same change per the
-# test_session_config rule. Seat order (changed-code beats stale, per the
-# house rule):
-#  0. r12 changed-code canaries: incremental_recompute_equivalence — its
-#     merge sink gained the _applied_batch_id replay watermark (ADVICE
-#     r11: foreachBatch is at-least-once; the additive merge now skips
-#     replayed batch ids) — and streaming_foreachbatch_upsert, the other
-#     consumer of streaming/incremental.py (its upsert body is unchanged,
-#     seated defensively for the shared-module edit; it is also r8-tier
-#     stale, so the seat does double duty).
-#  1. Round-12 registrations, never driver-certified (the governor allows
-#     up to 50 - backlog; backlog entering r12 is 0): the calibration
-#     pair reliability_bins_lang + isotonic_calibration_lang
-#     (queries/mlstats.py — Murphy/Brier decile bins; PAV via the minimax
-#     identity), ks_two_sample_chars (queries/stats_tests.py — exact
-#     integer KS sup-distance), k_anonymity_audit (queries/dataops.py —
-#     privacy governance), attribution_first_last_touch
-#     (queries/behavior.py — sessionized first/last-touch cents). All
-#     staged in r11 with three-SF + x4 oracle verification and three-axis
-#     invariance pinned (tests/test_{reliability,isotonic,ks,kanon,
-#     attribution}_staged.py) before this registration, per the house
-#     staging rule.
-#  1b. LATE-r12 changed-code canaries, seated mid-round when
-#     operators/rasterize.py landed: flame_render_pipeline (renderer now
-#     real rasterizer/normals/SH math, batched decode+render,
-#     rebalance_for_compute input) and flame_decode_landmarks (shared-
-#     module affine refactor, proven bit-identical). Verified vs their
-#     oracles at three SFs + x4 this round before seating.
-#  2. r7-era drain: the full remaining 31-key tier (alphabetical) — after
-#     r12 no key's latest green row predates r8.
-#  3. r8-era drain, oldest-first alphabetical, with the leftover 10 seats
-#     (43 keys in the tier; streaming_foreachbatch_upsert's canary seat
-#     makes it 11 drained — the remaining 32, led by doc_fingerprint and
-#     e3_key_intersection_semi displaced by the late canaries, lead the
-#     r13 drain).
+# ROUND-13 WINDOW. Cumulative certification entering r13 is 227/227
+# (r12 registered the five r11-staged queries, registry 222 -> 227) with
+# staleness tiers r8=32, r9=48, r10=49, r11=48, r12=50 (recomputed from
+# the raw CORRECTNESS artifacts 2026-08-16; the r7 tier drained fully in
+# r12). r13 registers the eight queries staged in r12 PLUS the bootstrap
+# production twin (registry 227 -> 236), each joining bench.HEADLINE in
+# the same change per the test_session_config rule; their plan-net
+# whitelist entries were pre-added at staging time (commit 42d419c).
+# Seat order (changed-code beats stale, per the house rule):
+#  0. r13 changed-code canaries: flame_render_pipeline +
+#     flame_decode_landmarks — operators/rasterize.py gained the
+#     two-tier exact-arithmetic guard (ADVICE r12 medium: the float64
+#     path is bit-exact only under 13824*scale^3 < 2^53; larger admitted
+#     scales now run an exact-int64 z numerator) — the default-scale
+#     flame path is bit-unchanged (pinned by the forced-fallback
+#     equality test) but both consumers re-seat for the shared-module
+#     edit. bootstrap_ci_order_value re-seats for the _bootstrap_ci_plan
+#     refactor that threads the weight source (plan identical, seated
+#     defensively).
+#  1. Round-13 registrations, never driver-certified (the governor allows
+#     up to 50 - backlog; backlog entering r13 is 0): the eight
+#     r12-staged operator classes — cuped_adjusted_lift
+#     (queries/behavior.py — CUPED variance-reduced A/B lift),
+#     conformal_coverage_lang (queries/mlstats.py — split-conformal
+#     interval calibration), seasonal_dow_backtest
+#     (queries/timeseries.py — day-of-week seasonal index backtest),
+#     n17_render_mask_zbuffer (queries/inference_nodes.py — the
+#     rasterizer mask/z-buffer channel value-oracled via relational
+#     re-rasterization), mann_kendall_daily_trend + theil_sen_daily_slope
+#     (queries/timeseries.py — the classical trend pair over
+#     calendar-bounded pair frames; theil-sen's 97.5% band rank gained
+#     the greatest(1, ·) m=1 guard, ADVICE r12, before registration),
+#     basket_association_rules + gini_revenue_concentration
+#     (queries/behavior.py — market-basket rules; Lorenz/Gini
+#     concentration). All staged in r12 with three-SF + x4 oracle
+#     verification and dedicated staged tests before this registration,
+#     per the house staging rule. PLUS bootstrap_ci_order_value_prod
+#     (VERDICT r12 #5a): the xxhash64 production path of the bootstrap,
+#     rows-only by design (Spark-native hash has no DuckDB twin; plan
+#     equality + weight moments pinned in test_bootstrap_staged.py) —
+#     registered so the bench HEADLINE publishes the production cost
+#     next to the md5 certification cost.
+#  2. r8-era drain: the full remaining 32-key tier (alphabetical, led by
+#     doc_fingerprint and e3_key_intersection_semi, displaced from r12 by
+#     the late flame canaries) — after r13 no key's latest green row
+#     predates r9.
+#  3. r9-era drain, oldest-first alphabetical, with the leftover 6 seats
+#     (48 keys in the tier; the remaining 42, led by lang_id_heuristic,
+#     lead the r14 drain).
 #
-# r13 rotation (write the final comment the day the r12 artifacts land):
-# (1) r13 changed-code canaries — the flame pair already took LATE-r12
-#     seats for the rasterizer work (section 1b above), so r13 canaries
-#     are only whatever r13 itself changes;
-# (2) the eight r12-staged queries, WITH seats and HEADLINE entries in the
-#     same change: cuped_adjusted_lift, conformal_coverage_lang,
-#     seasonal_dow_backtest, n17_render_mask_zbuffer,
-#     mann_kendall_daily_trend, theil_sen_daily_slope,
-#     basket_association_rules, gini_revenue_concentration
-#     (mann-kendall/theil-sen need tests/test_plans.py nested-loop
-#     whitelist entries for their deliberate calendar-bounded d1<d2 pair
-#     joins — see their staging blocks; do NOT repeat r12's miss where
-#     isotonic/k-anon registered without whitelist entries and broke the
-#     plan net);
-# (3) the remaining 30 r8-era keys (e7_memoization_anti,
-#     emb_covariance_upper first); (4) r9-era oldest-first with leftover
-#     seats.
+# r14 rotation (write the final comment the day the r13 artifacts land):
+# (1) r14 changed-code canaries — whatever r14 itself changes;
+# (2) any r13-staged registrations WITH seats and HEADLINE entries in the
+#     same change (whitelist entries at staging time, per the r12 rule);
+# (3) the remaining 42 r9-era keys (lang_id_heuristic,
+#     multimodal_binary_features first); (4) r10-era oldest-first with
+#     leftover seats.
 _DRIVER_PRIORITY = (
-    # --- 0. round-12 changed-code canaries (streaming/incremental.py) ---
-    "incremental_recompute_equivalence",  # replay watermark added (ADVICE r11)
-    "streaming_foreachbatch_upsert",  # shared-module canary (also r8-stale)
-    # --- 0b. late-r12 changed-code canaries (operators/rasterize.py landed
-    #     mid-round: flame_render_pipeline's renderer became REAL
-    #     rasterizer/SH math, its decode+render path batched, and its input
-    #     gained rebalance_for_compute; flame_decode_landmarks is seated
-    #     defensively for the posed_landmark_affine -> posed_verts_affine
-    #     refactor in the shared module, proven bit-identical in tests.
-    #     Changed-code beats drain staleness (house rule) — the two
-    #     displaced r8-drain seats (doc_fingerprint,
-    #     e3_key_intersection_semi) lead the r13 drain instead. ---
-    "flame_render_pipeline",
-    "flame_decode_landmarks",
-    # --- 1. round-12 registrations (staged r11) ---
-    "reliability_bins_lang",  # Murphy/Brier calibration decile bins
-    "isotonic_calibration_lang",  # PAV monotone calibration (minimax identity)
-    "ks_two_sample_chars",  # exact integer KS two-sample sup-distance
-    "k_anonymity_audit",  # quasi-identifier k-anonymity / privacy audit
-    "attribution_first_last_touch",  # sessionized first/last-touch revenue
-    # --- 2. r7-era drain (the full remaining tier, alphabetical) ---
-    "event_transition_matrix",
-    "fk_integrity_audit",
-    "frequent_event_trigrams",
-    "fuzzy_blocking_recall_certified",
-    "fuzzy_name_clusters",
-    "fuzzy_part_match_pairs",
-    "gopher_quality_filter",
-    "group_split_no_leakage",
-    "hard_negative_mining",
-    "histogram_fixed_width",
-    "kcenter_coreset_selection",
-    "keyword_domain_tags",
-    "knn_mutual_edges",
-    "llm_curation_pipeline",
-    "minhash_estimate_error",
-    "mode_nation_per_segment",
-    "nb_lang_classifier_scores",
-    "nb_lang_margin",
-    "order_interarrival_by_segment",
-    "psi_snapshot_drift",
-    "retention_cohorts",
-    "rfm_segments",
-    "rolling_mad_anomalies",
-    "rrf_hybrid_topk",
-    "semdedup_prune_stats",
-    "sim_lsh_recall_certified",
-    "temperature_mixture_weights",
-    "tokenizer_fertility_per_lang",
-    "trailing_zscore_anomalies",
-    "unigram_kl_per_source",
-    "zipf_slope_per_lang",
-    # --- 3. r8-era drain (oldest-first alphabetical, 12 seats) ---
-    "array_hof_suite",
-    "asof_prior_view_value",
-    "class_balanced_downsample",
-    "corpus_clean_pipeline",
-    "cube_flag_status",
-    "date_functions_suite",
-    "date_orders_by_month",
-    "decontaminate_against_benchmark",
-    "dedup_cluster_assignments",
-    "dedup_exact_keep_first",
+    # --- 0. round-13 changed-code canaries ---
+    "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)
+    "flame_decode_landmarks",  # shared-module canary
+    "bootstrap_ci_order_value",  # _bootstrap_ci_plan source-thread refactor
+    # --- 1. round-13 registrations (staged r12 + the bootstrap prod twin) ---
+    "cuped_adjusted_lift",  # CUPED variance-reduced A/B lift
+    "conformal_coverage_lang",  # split-conformal interval calibration
+    "seasonal_dow_backtest",  # day-of-week seasonal index backtest
+    "n17_render_mask_zbuffer",  # rasterizer mask/z-buffer value oracle
+    "mann_kendall_daily_trend",  # exact pairwise-sign trend test
+    "theil_sen_daily_slope",  # robust median-slope estimator
+    "basket_association_rules",  # market-basket support/confidence/lift
+    "gini_revenue_concentration",  # Lorenz deciles + Gini ppm
+    "bootstrap_ci_order_value_prod",  # xxhash64 path, rows-only (VERDICT #5a)
+    # --- 2. r8-era drain (the full remaining tier, alphabetical) ---
+    "doc_fingerprint",
+    "e3_key_intersection_semi",
+    "e6_exists_filter",
+    "e7_memoization_anti",
+    "emb_covariance_upper",
+    "emb_norms_per_label",
+    "grouping_sets_order_stats",
+    "incremental_dedup_against_index",
+    "lag_delta_per_user",
+    "minhash_lsh_near_dups",
+    "minhash_signatures",
+    "n11_group_extent",
+    "n7_argmax_per_group",
+    "ngram_jaccard_exact_pairs",
+    "ols_normal_equations",
+    "rollup_nation_revenue",
+    "s10_quantile_per_flag",
+    "s8_savgol_exact_w7",
+    "set_except_keys",
+    "set_intersect_keys",
+    "shingle_containment_pairs",
+    "streaming_dedup_event_keys",
+    "streaming_enrich_static_dim",
+    "streaming_hourly_event_counts",
+    "streaming_purchase_view_full",
+    "streaming_purchase_view_join",
+    "streaming_purchase_view_left",
+    "streaming_sliding_event_counts",
+    "streaming_stateful_user_extents",
+    "streaming_user_sessions",
+    "topk_per_group",
+    "unpivot_part_measures",
+    # --- 3. r9-era drain (oldest-first alphabetical, 6 seats) ---
+    "a2en_feature_assembly",
+    "bpe_apply_merges",
+    "dedup_keep_best_quality",
+    "equi_depth_deciles",
+    "gopher_repetition_signals",
+    "json_props_extract",
 )
 
 # Overflow queue: never-driver-certified queries registered after the
-# current window filled its 50 seats. EMPTY for round 12 — the five r12
+# current window filled its 50 seats. EMPTY for round 13 — the nine r13
 # registrations all hold seats in the window above (section 1), so every
 # never-certified query is inside the driver prefix (policy test asserts
 # len(never_certified) <= 50).

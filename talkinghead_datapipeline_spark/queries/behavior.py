@@ -1192,6 +1192,11 @@ FROM d
 """
 
 
+@register(
+    "cuped_adjusted_lift",
+    oracle=CUPED_ORACLE,
+    tags=("behavior", "abtest", "cuped", "variance-reduction"),
+)
 def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B lift: per-user pre-period purchase cents
     (covariate X) adjust the experiment-period cents (metric Y) via the
@@ -1335,6 +1340,11 @@ LIMIT 20
 """
 
 
+@register(
+    "basket_association_rules",
+    oracle=BASKET_RULES_ORACLE,
+    tags=("behavior", "market-basket", "association-rules"),
+)
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules at brand grain: for co-purchased
     brand pairs past a 0.1% support gate, the exact integer support,
@@ -1447,6 +1457,11 @@ ORDER BY d.decile
 """
 
 
+@register(
+    "gini_revenue_concentration",
+    oracle=GINI_CONCENTRATION_ORACLE,
+    tags=("behavior", "concentration", "gini", "lorenz"),
+)
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-revenue concentration: the Lorenz decile table (exact
     dollar mass, floor-ppm share and cumulative share per rank decile) and

@@ -457,15 +457,16 @@ def flame_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAS_IMG_SIZE = 16
 
 
-def _render_mask_oracle() -> str:
+def _flame_affine_parts() -> dict:
+    """Shared oracle-text fragments for the N17 raster-tier oracles: the
+    per-vertex affine-in-betas literals of the seeded FLAME basis at the
+    probe pose (vb), the topology literals (fc), the embedding projection
+    (emb_cols), and the affine expression builder — used by both
+    ``_render_mask_oracle`` (mask/z-buffer) and ``_render_shade_oracle``
+    (SH-shaded gray overlay)."""
     import numpy as np
 
     from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
-    from talkinghead_datapipeline_spark.operators.rasterize import (
-        COORD_CLAMP,
-        SCALE,
-        Z_CLAMP,
-    )
 
     m = FlameLbsDecoder()
     aff = m.posed_verts_affine(np.asarray(_PROBE_POSE, dtype=np.float64))
@@ -495,10 +496,26 @@ def _render_mask_oracle() -> str:
     emb_cols = ",\n         ".join(
         f"CAST(embedding[{k}] AS DOUBLE) AS e{k}" for k in range(1, nb + 1)
     )
-    vb_cols_sql = ", ".join(vb_cols)
-    vb_values = ",\n      ".join(vb_rows)
-    fc_values = ",\n      ".join(fc_rows)
-    step = SCALE // _RAS_IMG_SIZE
+    return {
+        "affine": affine,
+        "emb_cols": emb_cols,
+        "vb_cols_sql": ", ".join(vb_cols),
+        "vb_values": ",\n      ".join(vb_rows),
+        "fc_values": ",\n      ".join(fc_rows),
+    }
+
+
+def _screen_quant_exprs() -> tuple[str, str, str]:
+    """The screen-space quantization expression texts (identical IEEE chain
+    to the query's numpy path — projection, flips, z+10 shift, floor·SCALE,
+    clamp)."""
+    from talkinghead_datapipeline_spark.operators.rasterize import (
+        COORD_CLAMP,
+        SCALE,
+        Z_CLAMP,
+    )
+
+    affine = _flame_affine_parts()["affine"]
     hi, zhi = float(COORD_CLAMP), float(Z_CLAMP)
     qx = (
         f"CAST(GREATEST({-hi!r}, LEAST({hi!r}, "
@@ -512,6 +529,19 @@ def _render_mask_oracle() -> str:
         f"CAST(GREATEST(0.0, LEAST({zhi!r}, "
         f"floor(((-(s * ({affine('z')}))) + 10.0) * {float(SCALE)!r}))) AS BIGINT)"
     )
+    return qx, qy, qz
+
+
+def _render_mask_oracle() -> str:
+    from talkinghead_datapipeline_spark.operators.rasterize import SCALE
+
+    parts = _flame_affine_parts()
+    emb_cols = parts["emb_cols"]
+    vb_cols_sql = parts["vb_cols_sql"]
+    vb_values = parts["vb_values"]
+    fc_values = parts["fc_values"]
+    step = SCALE // _RAS_IMG_SIZE
+    qx, qy, qz = _screen_quant_exprs()
     return f"""
     WITH emb AS (
       SELECT vec_id,
@@ -595,6 +625,11 @@ def _render_mask_oracle() -> str:
 N17_RENDER_MASK_ORACLE = _render_mask_oracle()
 
 
+@register(
+    "n17_render_mask_zbuffer",
+    oracle=N17_RENDER_MASK_ORACLE,
+    tags=("inference", "N17", "rasterizer", "zbuffer"),
+)
 def n17_render_mask_zbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N17 rasterizer tier, value-oracled end-to-end: probe-pose mesh ->
     orthographic projection -> integer-grid quantization -> exact edge-

@@ -615,6 +615,36 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     no longer oracle-replicable (the exact-percentile vs
     percentile_approx adjudication pattern, SCALING.md round 10).
     """
+    return _bootstrap_ci_plan(spark, sf_dir, source="md5")
+
+
+@register(
+    "bootstrap_ci_order_value_prod",
+    oracle=None,  # xxhash64 weights are not DuckDB-replicable — rows-only
+    tags=("mlstats", "bootstrap", "resampling", "production"),
+)
+def bootstrap_ci_order_value_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION path of ``bootstrap_ci_order_value`` — identical plan
+    with ``poisson_bootstrap_weight(source="xxhash64")`` (VERDICT r12 #5a:
+    publish BOTH timings in the bench HEADLINE so the headline total stops
+    being dominated by the deliberately-slow md5 certification artifact;
+    measured ~95x faster at sf0.1 because the md5 string hash IS the md5
+    query's cost).
+
+    Certification story (why rows-only is the honest gate here): the
+    xxhash64 uniform source is Spark-native and has no DuckDB twin, so the
+    replicate means cannot be value-hash certified — instead
+    tests/test_bootstrap_staged.py pins (a) PLAN-SHAPE EQUALITY between
+    the two sources (the swap changes one projection expression, nothing
+    else) and (b) the Poisson(1) weight moments of the xxhash64 path. The
+    md5 twin above carries the full value certification for the shared
+    plan."""
+    return _bootstrap_ci_plan(spark, sf_dir, source="xxhash64")
+
+
+def _bootstrap_ci_plan(
+    spark: SparkSession, sf_dir: str, source: str
+) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderkey",
@@ -623,7 +653,10 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
     means = (
         rep.withColumn(
-            "wgt", poisson_bootstrap_weight(F.col("b"), F.col("o_orderkey"))
+            "wgt",
+            poisson_bootstrap_weight(
+                F.col("b"), F.col("o_orderkey"), source=source
+            ),
         )
         .groupBy("o_orderpriority", "b")
         .agg(
@@ -1447,6 +1480,11 @@ ORDER BY p.lang
 """
 
 
+@register(
+    "conformal_coverage_lang",
+    oracle=CONFORMAL_ORACLE,
+    tags=("mlstats", "conformal", "calibration", "uncertainty"),
+)
 def conformal_coverage_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang split-conformal interval calibration: calibration-half
     floor-mean predictor, exact conformal quantile q̂ at α = 0.1 via the

@@ -1340,6 +1340,11 @@ ORDER BY idx.dow
 """
 
 
+@register(
+    "seasonal_dow_backtest",
+    oracle=SEASONAL_DOW_ORACLE,
+    tags=("timeseries", "seasonality", "backtest"),
+)
 def seasonal_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal index (floor ppm of dow mean vs grand mean)
     plus a walk-forward MAE backtest of the seasonal-naive forecast
@@ -1490,6 +1495,11 @@ FROM z
 """
 
 
+@register(
+    "mann_kendall_daily_trend",
+    oracle=MANN_KENDALL_ORACLE,
+    tags=("timeseries", "trend", "mann-kendall", "nonparametric"),
+)
 def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test on daily order revenue: the exact
     pairwise sign statistic S, the tie-corrected x18 variance numerator,
@@ -1584,7 +1594,12 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selection orders by slope value alone: duplicate values make the k-th
 # row ambiguous but its VALUE unique, which is all the median reads. The
 # 2.5%/97.5% rank order statistics give a distribution-free slope band
-# (floor-micro like the point estimate).
+# (floor-micro like the point estimate). Both band endpoints carry the
+# same greatest(1, ·) degenerate-count guard (ADVICE r12): at m=1 the
+# unguarded hi rank (m*975) div 1000 = 0 selected no row and returned an
+# asymmetric NULL band — with the guard both endpoints collapse to the
+# single slope, matching the lo endpoint's semantics. Inactive at every
+# certified SF (m ≈ 2.9M pairs).
 #
 # Scale shape: identical to Mann-Kendall — date-grain aggregation, then
 # the calendar-bounded pair frame (~2.9M rows at every SF); the rank
@@ -1616,7 +1631,7 @@ med AS (
                   THEN slope END) AS med_slope,
          min(CASE WHEN rn = greatest(1, (m * 25) // 1000 + 1)
                   THEN slope END) AS lo_slope,
-         min(CASE WHEN rn = (m * 975) // 1000
+         min(CASE WHEN rn = greatest(1, (m * 975) // 1000)
                   THEN slope END) AS hi_slope
   FROM ranked GROUP BY m
 )
@@ -1628,6 +1643,11 @@ FROM med
 """
 
 
+@register(
+    "theil_sen_daily_slope",
+    oracle=THEIL_SEN_ORACLE,
+    tags=("timeseries", "trend", "theil-sen", "robust"),
+)
 def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust slope of daily order revenue (cents/day): the
     median pairwise slope, floor-micro, with distribution-free 2.5%/97.5%
@@ -1670,7 +1690,10 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lo_slope"),
         F.min(
-            F.when(F.col("rn") == F.expr("(m * 975) div 1000"), F.col("slope"))
+            F.when(
+                F.col("rn") == F.expr("greatest(1, (m * 975) div 1000)"),
+                F.col("slope"),
+            )
         ).alias("hi_slope"),
     )
     return med.select(

@@ -81,7 +81,7 @@ def test_matches_numpy_recompute(spark, sf_dir):
     assert trow["n_pairs"] == m
     assert trow["slope_micro_per_day"] == int(np.floor(med * 1_000_000.0))
     lo = slopes[max(1, (m * 25) // 1000 + 1) - 1]
-    hi = slopes[(m * 975) // 1000 - 1]
+    hi = slopes[max(1, (m * 975) // 1000) - 1]
     assert trow["slope_lo_micro"] == int(np.floor(lo * 1_000_000.0))
     assert trow["slope_hi_micro"] == int(np.floor(hi * 1_000_000.0))
 
@@ -132,6 +132,19 @@ def test_crafted_series_exact(spark, tmp_path):
     assert trow["n_pairs"] == 10
     med = ((100.0 / 3.0) + 50.0) / 2.0
     assert trow["slope_micro_per_day"] == int(np.floor(med * 1_000_000.0))
+
+
+def test_ts_degenerate_single_pair_band_not_null(spark, tmp_path):
+    # ADVICE r12: at m=1 the unguarded hi rank (m*975)//1000 = 0 selected
+    # no row and returned an asymmetric NULL 97.5% endpoint; with the
+    # greatest(1, ·) guard both band endpoints collapse to the single
+    # slope, mirroring the lo endpoint.
+    _write_orders(spark, tmp_path, [(1, 100), (3, 500)])  # one pair: 200/day
+    trow = theil_sen_daily_slope(spark, str(tmp_path)).collect()[0]
+    assert trow["n_pairs"] == 1
+    assert trow["slope_micro_per_day"] == 200_000_000
+    assert trow["slope_lo_micro"] == 200_000_000
+    assert trow["slope_hi_micro"] == 200_000_000
 
 
 def test_mk_split_invariance_bit_exact(spark, sf_dir, tmp_path):

@@ -37,9 +37,16 @@ def test_rows_only_queries_run(spark, sf_dir):
 
 def test_all_queries_oracled():
     """Every registered query carries a DuckDB oracle — the strong driver
-    check. A rows-only registration would silently downgrade the driver's
-    verdict for that key; keep the set empty on purpose."""
-    assert _ROWS_ONLY == [], f"queries without an oracle: {_ROWS_ONLY}"
+    check. A rows-only registration silently downgrades the driver's
+    verdict for that key, so the exception list is PINNED, not open: the
+    only entry is the bootstrap's xxhash64 production twin (VERDICT r12
+    #5a — registered to publish the production cost in the bench HEADLINE;
+    Spark-native xxhash64 has no DuckDB twin, and its value certification
+    rides the md5 twin's oracle via the plan-shape-equality and
+    weight-moment pins in tests/test_bootstrap_staged.py)."""
+    assert _ROWS_ONLY == ["bootstrap_ci_order_value_prod"], (
+        f"rows-only queries outside the pinned exception: {_ROWS_ONLY}"
+    )
 
 
 def test_output_schemas_are_scalar_only(spark, sf_dir):
@@ -145,51 +152,54 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-12 canaries: every query whose implementation (or output
+    # round-13 canaries: every query whose implementation (or output
     # contract) changed after its last green driver row holds a seat —
-    # the five r11-staged registrations (never certified yet, so they
-    # lead their section of the window per the governor above) plus the
-    # r12 changed-code pair (streaming/incremental.py gained the
-    # _applied_batch_id replay watermark, ADVICE r11: the merge consumer
-    # changed behavior; the upsert consumer is seated defensively for the
-    # shared-module edit).
+    # the nine r13 registrations (never certified yet, so they lead their
+    # section of the window per the governor above) plus the r13
+    # changed-code set (operators/rasterize.py gained the two-tier
+    # exact-arithmetic guard, ADVICE r12 medium — default-scale output
+    # bit-unchanged, consumers seated defensively; mlstats' bootstrap
+    # body refactored into _bootstrap_ci_plan to thread the weight
+    # source).
     canaries = {
-        # r12 changed-code: foreachBatch replay idempotency (ADVICE r11)
-        "incremental_recompute_equivalence",
-        "streaming_foreachbatch_upsert",
-        # late-r12 changed-code: the N17 rasterizer/SH tier became real
-        # math and the decode+render path batched (operators/rasterize.py);
-        # the decode query is seated for the shared affine refactor
+        # r13 changed-code: rasterize.py tier guard (ADVICE r12)
         "flame_render_pipeline",
         "flame_decode_landmarks",
-        # r12 registrations (staged r11, three-SF oracle + invariance)
-        "reliability_bins_lang",
-        "isotonic_calibration_lang",
-        "ks_two_sample_chars",
-        "k_anonymity_audit",
-        "attribution_first_last_touch",
+        # r13 changed-code: bootstrap source-thread refactor
+        "bootstrap_ci_order_value",
+        # r13 registrations (staged r12, three-SF oracle + invariance)
+        "cuped_adjusted_lift",
+        "conformal_coverage_lang",
+        "seasonal_dow_backtest",
+        "n17_render_mask_zbuffer",
+        "mann_kendall_daily_trend",
+        "theil_sen_daily_slope",
+        "basket_association_rules",
+        "gini_revenue_concentration",
+        # r13 registration: the bootstrap production twin (VERDICT r12 #5a)
+        "bootstrap_ci_order_value_prod",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor: the full remaining r7-era tier is seated, so after
-    # r12 no key's latest green row predates r8.
-    r7_era = {
-        "event_transition_matrix", "fk_integrity_audit",
-        "frequent_event_trigrams", "fuzzy_blocking_recall_certified",
-        "fuzzy_name_clusters", "fuzzy_part_match_pairs",
-        "gopher_quality_filter", "group_split_no_leakage",
-        "hard_negative_mining", "histogram_fixed_width",
-        "kcenter_coreset_selection", "keyword_domain_tags",
-        "knn_mutual_edges", "llm_curation_pipeline",
-        "minhash_estimate_error", "mode_nation_per_segment",
-        "nb_lang_classifier_scores", "nb_lang_margin",
-        "order_interarrival_by_segment", "psi_snapshot_drift",
-        "retention_cohorts", "rfm_segments", "rolling_mad_anomalies",
-        "rrf_hybrid_topk", "semdedup_prune_stats",
-        "sim_lsh_recall_certified", "temperature_mixture_weights",
-        "tokenizer_fertility_per_lang", "trailing_zscore_anomalies",
-        "unigram_kl_per_source", "zipf_slope_per_lang",
+    # Staleness floor: the full remaining r8-era tier is seated, so after
+    # r13 no key's latest green row predates r9.
+    r8_era = {
+        "doc_fingerprint", "e3_key_intersection_semi", "e6_exists_filter",
+        "e7_memoization_anti", "emb_covariance_upper",
+        "emb_norms_per_label", "grouping_sets_order_stats",
+        "incremental_dedup_against_index", "lag_delta_per_user",
+        "minhash_lsh_near_dups", "minhash_signatures", "n11_group_extent",
+        "n7_argmax_per_group", "ngram_jaccard_exact_pairs",
+        "ols_normal_equations", "rollup_nation_revenue",
+        "s10_quantile_per_flag", "s8_savgol_exact_w7", "set_except_keys",
+        "set_intersect_keys", "shingle_containment_pairs",
+        "streaming_dedup_event_keys", "streaming_enrich_static_dim",
+        "streaming_hourly_event_counts", "streaming_purchase_view_full",
+        "streaming_purchase_view_join", "streaming_purchase_view_left",
+        "streaming_sliding_event_counts", "streaming_stateful_user_extents",
+        "streaming_user_sessions", "topk_per_group",
+        "unpivot_part_measures",
     }
-    assert r7_era <= prefix, f"unseated r7-era keys: {sorted(r7_era - prefix)}"
+    assert r8_era <= prefix, f"unseated r8-era keys: {sorted(r8_era - prefix)}"
 
 
 

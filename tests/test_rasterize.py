@@ -337,3 +337,79 @@ def test_shape_renderer_texture_and_pos_mask_channels():
     ).max() == 0
     # deterministic
     assert r.render(verts, tv, cam, "texture") == r.render(verts, tv, cam, "texture")
+
+
+# --- arithmetic-tier guard (ADVICE r12 medium) -----------------------------
+
+
+def test_int64_tier_matches_python_int_reference():
+    """Scales between the 2^53 exact-double bound and the 2^63 int64 bound
+    (e.g. image_size=224 at the 256·size convention → scale=57344) must
+    accumulate the z numerator in exact int64 — a float64 accumulation
+    there rounds intermediates and can flip nearest-z ties. The reference
+    below recomputes the documented tier semantics independently: exact
+    python-int numerator, ONE correctly-rounded float conversion, one
+    division, winner = min (rounded z, face id)."""
+    from talkinghead_datapipeline_spark.operators.rasterize import rasterize_batch
+
+    scale = 256 * 224
+    assert 2**53 <= 13824 * scale**3 < 2**63
+    size = 8
+    q = rng.integers(-6 * scale, 6 * scale, size=(12, 3)).astype(np.int64)
+    q[:, 2] = scale + (np.abs(q[:, 2]) % (10 * scale))
+    faces = rng.integers(0, 12, size=(10, 3)).astype(np.int64)
+    out = rasterize_batch(q[None], faces, size, scale)
+
+    px, py = pixel_centers(size, scale)
+    for i in range(size):
+        for j in range(size):
+            x, y = int(px[j]), int(py[i])
+            best = None
+            for fid, (a, b, c) in enumerate(faces):
+                ax, ay, az = (int(t) for t in q[a])
+                bx, by, bz = (int(t) for t in q[b])
+                cx, cy, cz = (int(t) for t in q[c])
+                e0 = (cx - bx) * (y - by) - (cy - by) * (x - bx)
+                e1 = (ax - cx) * (y - cy) - (ay - cy) * (x - cx)
+                e2 = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                den = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                if den == 0:
+                    continue
+                if not (
+                    (e0 >= 0 and e1 >= 0 and e2 >= 0)
+                    or (e0 <= 0 and e1 <= 0 and e2 <= 0)
+                ):
+                    continue
+                z = float(e0 * az + e1 * bz + e2 * cz) / float(den)
+                if best is None or (z, fid) < best:
+                    best = (z, fid)
+            if best is None:
+                assert not out["mask"][0, i, j]
+            else:
+                assert out["mask"][0, i, j]
+                assert out["pix_to_face"][0, i, j] == best[1]
+                assert out["zbuf"][0, i, j] == best[0]
+
+
+def test_int64_tier_agrees_with_float_tier_below_2e53():
+    """Below the 2^53 bound both tiers are exact, so forcing the int64
+    fallback must reproduce the certified float64 path bit-for-bit."""
+    from talkinghead_datapipeline_spark.operators.rasterize import _rasterize_chunk
+
+    q = rng.integers(-8000, 8000, size=(1, 10, 3)).astype(np.int64)
+    q[:, :, 2] = 30000 + (np.abs(q[:, :, 2]) % 20000)
+    faces = rng.integers(0, 10, size=(8, 3)).astype(np.int64)
+    fast = _rasterize_chunk(q, faces, 8, SCALE, True)
+    slow = _rasterize_chunk(q, faces, 8, SCALE, False)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k])
+
+
+def test_scale_guard_rejects_int64_overflow():
+    from talkinghead_datapipeline_spark.operators.rasterize import rasterize_batch
+
+    scale = 90_000  # 13824·scale³ ≈ 1.0e19 > 2^63
+    assert 13824 * scale**3 >= 2**63
+    q = np.zeros((1, 3, 3), dtype=np.int64)
+    with pytest.raises(ValueError, match="overflows"):
+        rasterize_batch(q, np.array([[0, 1, 2]]), 8, scale)

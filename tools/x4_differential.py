@@ -40,6 +40,31 @@ def build_tables(spark, sf_dir: str, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    # Fixture provenance manifest (ADVICE r12): the skip-if-exists reuse
+    # below is only valid while the cached tables came from the SAME source
+    # sf_dir and replication scheme — a rerun with a different sf_dir must
+    # rebuild, not silently adjudicate against the wrong fixture.
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    manifest = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "scheme": {"shift": SHIFT, "offset": OFFSET, "replicas": 4},
+    }
+    stale = True
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                stale = json.load(fh) != manifest
+        except (json.JSONDecodeError, OSError):
+            stale = True
+    if stale:
+        for name in TPCH_TABLES:
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            if os.path.exists(dst):
+                import shutil
+
+                shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh, indent=1)
     for name in TPCH_TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):

@@ -377,6 +377,101 @@ def vertex_normals_batch(
     return normals / np.maximum(norm, 1e-6)
 
 
+def quantize_symmetric(verts: np.ndarray, scale: int = SCALE) -> np.ndarray:
+    """Quantize WORLD-space verts (no z shift) to the integer grid:
+    floor(v·scale) with the symmetric ±COORD_CLAMP_UNITS clamp on all three
+    axes. scale is a power of two, so v·scale is an EXACT float op and the
+    floor/clamp chain is bit-identical to the SQL twin
+    ``CAST(GREATEST(-hi, LEAST(hi, floor(v * scale))) AS BIGINT)``. Feeds
+    the quantized-normal tier of the shaded-channel oracle
+    (n17_render_shaded_checksum): normals of the quantized world mesh."""
+    f = np.floor(np.asarray(verts, dtype=np.float64) * float(scale))
+    hi = float(COORD_CLAMP_UNITS * scale)
+    return np.maximum(-hi, np.minimum(hi, f)).astype(np.int64)
+
+
+def quantized_vertex_normals_batch(
+    q_verts: np.ndarray, faces: np.ndarray
+) -> np.ndarray:
+    """``vertex_normals`` accumulation on a QUANTIZED integer mesh, exact:
+    the per-corner cross products of int64 edge vectors are exact int64
+    (|component| ≤ 2·(16·scale)² = 512·scale², summed over a vertex's
+    incident corners — asserted < 2^53 so the float64 view is exact), and
+    integer addition is order-free, so a SQL ``SUM`` over an unnest of the
+    same three corner contributions reproduces these values bit-for-bit —
+    no accumulation-order argument, unlike the float ``vertex_normals``
+    whose einsum/BLAS sum order SQL cannot pin. Same corner order as the
+    reference (utils.py:104-127): at corner 1 cross(v2−v1, v0−v1), at
+    corner 2 cross(v0−v2, v1−v2), at corner 0 cross(v1−v0, v2−v0).
+
+    ``q_verts`` is (B, V, 3) int64; returns UNNORMALIZED (B, V, 3) int64.
+    """
+    q = np.asarray(q_verts, dtype=np.int64)
+    f = np.asarray(faces, dtype=np.int64)
+    vf = q[:, f]  # (B, F, 3, 3) int64
+    out = np.zeros(q.shape, dtype=np.int64)
+    np.add.at(
+        out, (slice(None), f[:, 1]),
+        np.cross(vf[:, :, 2] - vf[:, :, 1], vf[:, :, 0] - vf[:, :, 1]),
+    )
+    np.add.at(
+        out, (slice(None), f[:, 2]),
+        np.cross(vf[:, :, 0] - vf[:, :, 2], vf[:, :, 1] - vf[:, :, 2]),
+    )
+    np.add.at(
+        out, (slice(None), f[:, 0]),
+        np.cross(vf[:, :, 1] - vf[:, :, 0], vf[:, :, 2] - vf[:, :, 0]),
+    )
+    assert np.abs(out).max(initial=0) < 2**53, "normal sum left exact-double range"
+    return out
+
+
+def normalize_int_vectors(n_int: np.ndarray) -> np.ndarray:
+    """Fixed-order L2 normalization of exact-integer vectors — every op is a
+    single correctly-rounded IEEE operation in a pinned association order,
+    so DuckDB's ``x / GREATEST(sqrt((x·x + y·y) + z·z), 1e-6)`` (with the
+    same left parenthesisation) is bit-identical. The 1e-6 guard mirrors
+    ``vertex_normals``'s eps (torch F.normalize semantics)."""
+    nd = np.asarray(n_int, dtype=np.float64)  # exact: asserted < 2^53
+    x, y, z = nd[..., 0], nd[..., 1], nd[..., 2]
+    norm = np.sqrt((x * x + y * y) + z * z)
+    return nd / np.maximum(norm, 1e-6)[..., None]
+
+
+def shade_gray_weights(sh_coeff: np.ndarray | None = None) -> np.ndarray:
+    """The 9 gray-channel SH weights of the shaded overlay: constant factor
+    × channel-mean coefficient. Irradiance is linear in the coefficients,
+    so the RGB-mean of ``sh_irradiance`` equals the contraction against
+    these folded weights — ONE shared source for the query factory and the
+    SQL oracle literals (repr round-trips exactly)."""
+    if sh_coeff is None:
+        from talkinghead_datapipeline_spark.operators.models import _seeded_rng
+
+        sh = _seeded_rng("sh_lighting").normal(size=(9, 3)) * 0.3
+        sh[0] += 2.0  # ShapeRenderer's default: dominant ambient
+        sh_coeff = sh
+    return SH_CONSTANT_FACTOR * np.asarray(sh_coeff, dtype=np.float64).mean(axis=1)
+
+
+def sh_gray_chain(nx: np.ndarray, ny: np.ndarray, nz: np.ndarray, w) -> np.ndarray:
+    """The gray SH shade as a PINNED-ORDER scalar chain (the sh_irradiance
+    basis contracted against ``shade_gray_weights``): nine successive
+    ``acc = acc + w_k·term_k`` steps, each term a fixed product tree —
+    bit-identical to the SQL oracle's left-associated expression text.
+    ``sh_irradiance``'s einsum computes the same value up to association;
+    this form is the cross-engine-exact twin."""
+    acc = np.full(np.shape(nx), float(w[0]))
+    acc = acc + w[1] * nx
+    acc = acc + w[2] * ny
+    acc = acc + w[3] * nz
+    acc = acc + w[4] * (nx * ny)
+    acc = acc + w[5] * (nx * nz)
+    acc = acc + w[6] * (ny * nz)
+    acc = acc + w[7] * ((nx * nx) - (ny * ny))
+    acc = acc + w[8] * ((3.0 * (nz * nz)) - 1.0)
+    return acc
+
+
 def sh_irradiance(normals: np.ndarray, sh_coeff: np.ndarray) -> np.ndarray:
     """SH-lit shading — renderer.py:232-262 ``add_SHlight``: the 9 basis
     functions [1, nx, ny, nz, nx·ny, nx·nz, ny·nz, nx²−ny², 3nz²−1] of the

@@ -721,3 +721,354 @@ def n17_render_mask_zbuffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_fn=infer,
     )
     return out.filter(F.col("error").isNull()).drop("error")
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — n17_render_shaded_checksum (VERDICT r12 #4).
+#
+# The SH-SHADED gray-overlay channel as a value-oracled query — the one N17
+# value tier n17_render_mask_zbuffer leaves uncertified. Per embedding:
+# decode the mesh at _PROBE_POSE (the same left-to-right affine eval), then
+#   * rasterize the VIEW mesh exactly as the mask query does (identical
+#     projection/quantization text, exact int64 edge functions, nearest-z
+#     lowest-id winner), and
+#   * shade each covered pixel with the reference's SH irradiance
+#     (renderer.py:232-262) of the barycentric-interpolated vertex normal
+#     (utils.py:80-132 corner-cross accumulation), on the gray 180/255
+#     albedo (renderer.py:107-117) with ShapeRenderer's seeded sh_coeff
+#     folded to gray weights (irradiance is linear in the coefficients).
+# Emits per mesh the covered-pixel count and the floor-micro sum/min/max of
+# the UNCLIPPED shaded gray value — a checksum over every lit pixel.
+#
+# Cross-engine exactness (the new argument this tier needed): the float
+# ``vertex_normals`` accumulates per-vertex cross products in einsum/BLAS
+# order, which SQL cannot pin — so the certified statistic computes normals
+# on the QUANTIZED WORLD mesh (floor(v·4096), symmetric clamp): the corner
+# crosses are then exact int64 and integer addition is ORDER-FREE, so
+# DuckDB's SUM over an unnest of the same three corner contributions is
+# bit-identical by construction. Everything downstream — sqrt-normalize
+# with the 1e-6 guard, barycentric weights E_i/den on exact operands, the
+# nine-term SH chain against literal gray weights, ×(180/255), ×1e6, floor
+# — is a pinned-association sequence of single correctly-rounded IEEE ops
+# (+ − × ÷ sqrt only, no libm-divergent ln/exp), so the WHOLE shade value
+# is bit-identical cross-engine and the floor needs no rounding-boundary
+# argument. tests/test_render_shade_staged.py additionally fuzzes the
+# numpy chain against DuckDB evaluating the same expression text on random
+# integer normals, and pins the quantized-normal shade against the float-
+# normal ShapeRenderer semantics within quantization tolerance.
+#
+# Scale shape: ONE mapInPandas over embeddings (map-only, no shuffle, no
+# join) — meshes rasterize and shade in vectorized numpy; at 100 TB this is
+# embarrassingly parallel and Arrow-batched. The oracle's pixel×face join
+# and per-vertex corner unnest are oracle-side only (DuckDB at sf≤0.1).
+# Whitelist: not needed (map-only — no join of any kind in the plan).
+# ---------------------------------------------------------------------------
+
+
+def _render_shade_oracle() -> str:
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.operators.rasterize import (
+        COORD_CLAMP,
+        SCALE,
+        shade_gray_weights,
+    )
+
+    parts = _flame_affine_parts()
+    emb_cols = parts["emb_cols"]
+    vb_cols_sql = parts["vb_cols_sql"]
+    vb_values = parts["vb_values"]
+    fc_values = parts["fc_values"]
+    affine = parts["affine"]
+    step = SCALE // _RAS_IMG_SIZE
+    qx, qy, qz = _screen_quant_exprs()
+    hi = float(COORD_CLAMP)
+    w = [repr(float(v)) for v in shade_gray_weights()]
+    alb = repr(180.0 / 255.0)
+
+    def wq(axis: str) -> str:
+        # world-mesh quantization: floor(v * 4096) — ·2^12 is EXACT — with
+        # the symmetric clamp; twin of rasterize.quantize_symmetric
+        return (
+            f"CAST(GREATEST({-hi!r}, LEAST({hi!r}, "
+            f"floor((({affine(axis)})) * {float(SCALE)!r}))) AS BIGINT)"
+        )
+
+    # corner crosses of the quantized world mesh: at corner 1
+    # cross(v2-v1, v0-v1), corner 2 cross(v0-v2, v1-v2), corner 0
+    # cross(v1-v0, v2-v0) — utils.py:104-127 order (exact int64, order-free)
+    def cross_sql(p: str, b: str, q: str) -> str:
+        ax, ay, az = f"(w{p}.wx-w{b}.wx)", f"(w{p}.wy-w{b}.wy)", f"(w{p}.wz-w{b}.wz)"
+        bx, by, bz = f"(w{q}.wx-w{b}.wx)", f"(w{q}.wy-w{b}.wy)", f"(w{q}.wz-w{b}.wz)"
+        return (
+            f"w{b}.vid, {ay}*{bz} - {az}*{by} AS cx, "
+            f"{az}*{bx} - {ax}*{bz} AS cy, {ax}*{by} - {ay}*{bx} AS cz"
+        )
+
+    shade = (
+        f"(((((((({w[0]} + ({w[1]}*nxp)) + ({w[2]}*nyp)) + ({w[3]}*nzp)) "
+        f"+ ({w[4]}*(nxp*nyp))) + ({w[5]}*(nxp*nzp))) + ({w[6]}*(nyp*nzp))) "
+        f"+ ({w[7]}*((nxp*nxp) - (nyp*nyp)))) "
+        f"+ ({w[8]}*((3.0*(nzp*nzp)) - 1.0)))"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+         CAST(embedding[23] AS DOUBLE) AS s,
+         CAST(embedding[24] AS DOUBLE) AS tx,
+         CAST(embedding[25] AS DOUBLE) AS ty,
+         {emb_cols}
+      FROM embeddings
+    ),
+    vb({vb_cols_sql}) AS (VALUES
+      {vb_values}
+    ),
+    fc(fid, i0, i1, i2) AS (VALUES
+      {fc_values}
+    ),
+    verts AS (
+      SELECT emb.vec_id, vb.vid,
+             {qx} AS qx,
+             {qy} AS qy,
+             {qz} AS qz
+      FROM emb CROSS JOIN vb
+    ),
+    wverts AS (
+      SELECT emb.vec_id, vb.vid,
+             {wq('x')} AS wx,
+             {wq('y')} AS wy,
+             {wq('z')} AS wz
+      FROM emb CROSS JOIN vb
+    ),
+    corner AS (
+      SELECT w1.vec_id, {cross_sql('2', '1', '0')}
+      FROM fc
+      JOIN wverts w0 ON w0.vid = fc.i0
+      JOIN wverts w1 ON w1.vid = fc.i1 AND w1.vec_id = w0.vec_id
+      JOIN wverts w2 ON w2.vid = fc.i2 AND w2.vec_id = w0.vec_id
+      UNION ALL
+      SELECT w2.vec_id, {cross_sql('0', '2', '1')}
+      FROM fc
+      JOIN wverts w0 ON w0.vid = fc.i0
+      JOIN wverts w1 ON w1.vid = fc.i1 AND w1.vec_id = w0.vec_id
+      JOIN wverts w2 ON w2.vid = fc.i2 AND w2.vec_id = w0.vec_id
+      UNION ALL
+      SELECT w0.vec_id, {cross_sql('1', '0', '2')}
+      FROM fc
+      JOIN wverts w0 ON w0.vid = fc.i0
+      JOIN wverts w1 ON w1.vid = fc.i1 AND w1.vec_id = w0.vec_id
+      JOIN wverts w2 ON w2.vid = fc.i2 AND w2.vec_id = w0.vec_id
+    ),
+    vn AS (
+      SELECT vec_id, vid,
+             CAST(SUM(cx) AS BIGINT) AS nx,
+             CAST(SUM(cy) AS BIGINT) AS ny,
+             CAST(SUM(cz) AS BIGINT) AS nz
+      FROM corner GROUP BY vec_id, vid
+    ),
+    un AS (
+      SELECT vec_id, vid,
+             CAST(nx AS DOUBLE) / gn AS ux,
+             CAST(ny AS DOUBLE) / gn AS uy,
+             CAST(nz AS DOUBLE) / gn AS uz
+      FROM (
+        SELECT vec_id, vid, nx, ny, nz,
+               GREATEST(sqrt(((CAST(nx AS DOUBLE)*CAST(nx AS DOUBLE))
+                            + (CAST(ny AS DOUBLE)*CAST(ny AS DOUBLE)))
+                            + (CAST(nz AS DOUBLE)*CAST(nz AS DOUBLE))),
+                        1e-06) AS gn
+        FROM vn
+      )
+    ),
+    px AS (
+      SELECT r1.range AS pi, r2.range AS pj,
+             {SCALE} - (2 * r2.range + 1) * {step} AS qpx,
+             {SCALE} - (2 * r1.range + 1) * {step} AS qpy
+      FROM range({_RAS_IMG_SIZE}) r1 CROSS JOIN range({_RAS_IMG_SIZE}) r2
+    ),
+    tri AS (
+      SELECT v0.vec_id, fc.fid, fc.i0, fc.i1, fc.i2,
+             v0.qx AS x0, v0.qy AS y0, v0.qz AS z0,
+             v1.qx AS x1, v1.qy AS y1, v1.qz AS z1,
+             v2.qx AS x2, v2.qy AS y2, v2.qz AS z2
+      FROM fc
+      JOIN verts v0 ON v0.vid = fc.i0
+      JOIN verts v1 ON v1.vid = fc.i1 AND v1.vec_id = v0.vec_id
+      JOIN verts v2 ON v2.vid = fc.i2 AND v2.vec_id = v0.vec_id
+    ),
+    hit AS (
+      SELECT vec_id, fid, i0, i1, i2, pi, pj, e0, e1, e2, den, zpx FROM (
+        SELECT t.vec_id, t.fid, t.i0, t.i1, t.i2, p.pi, p.pj,
+               (t.x2-t.x1)*(p.qpy-t.y1) - (t.y2-t.y1)*(p.qpx-t.x1) AS e0,
+               (t.x0-t.x2)*(p.qpy-t.y2) - (t.y0-t.y2)*(p.qpx-t.x2) AS e1,
+               (t.x1-t.x0)*(p.qpy-t.y0) - (t.y1-t.y0)*(p.qpx-t.x0) AS e2,
+               (t.x1-t.x0)*(t.y2-t.y0) - (t.y1-t.y0)*(t.x2-t.x0) AS den,
+               CAST(((t.x2-t.x1)*(p.qpy-t.y1) - (t.y2-t.y1)*(p.qpx-t.x1)) * t.z0
+                  + ((t.x0-t.x2)*(p.qpy-t.y2) - (t.y0-t.y2)*(p.qpx-t.x2)) * t.z1
+                  + ((t.x1-t.x0)*(p.qpy-t.y0) - (t.y1-t.y0)*(p.qpx-t.x0)) * t.z2
+                    AS DOUBLE)
+                 / CAST((t.x1-t.x0)*(t.y2-t.y0) - (t.y1-t.y0)*(t.x2-t.x0)
+                        AS DOUBLE) AS zpx
+        FROM tri t CROSS JOIN px p
+      )
+      WHERE den <> 0 AND ((e0 >= 0 AND e1 >= 0 AND e2 >= 0)
+                       OR (e0 <= 0 AND e1 <= 0 AND e2 <= 0))
+    ),
+    win AS (
+      SELECT vec_id, pi, pj, fid, i0, i1, i2, e0, e1, e2, den,
+             row_number() OVER (PARTITION BY vec_id, pi, pj
+                                ORDER BY zpx, fid) AS rn
+      FROM hit
+    ),
+    pxshade AS (
+      SELECT vec_id,
+             CAST(floor(({shade} * {alb}) * 1000000.0) AS BIGINT) AS pix_micro
+      FROM (
+        SELECT w.vec_id,
+               ((b0*u0.ux) + (b1*u1.ux)) + (b2*u2.ux) AS nxp,
+               ((b0*u0.uy) + (b1*u1.uy)) + (b2*u2.uy) AS nyp,
+               ((b0*u0.uz) + (b1*u1.uz)) + (b2*u2.uz) AS nzp
+        FROM (
+          SELECT vec_id, i0, i1, i2,
+                 CAST(e0 AS DOUBLE) / CAST(den AS DOUBLE) AS b0,
+                 CAST(e1 AS DOUBLE) / CAST(den AS DOUBLE) AS b1,
+                 CAST(e2 AS DOUBLE) / CAST(den AS DOUBLE) AS b2
+          FROM win WHERE rn = 1
+        ) w
+        JOIN un u0 ON u0.vec_id = w.vec_id AND u0.vid = w.i0
+        JOIN un u1 ON u1.vec_id = w.vec_id AND u1.vid = w.i1
+        JOIN un u2 ON u2.vec_id = w.vec_id AND u2.vid = w.i2
+      )
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(count(*) AS BIGINT) AS covered_pixels,
+             CAST(SUM(pix_micro) AS BIGINT) AS shade_sum_micro,
+             CAST(MIN(pix_micro) AS BIGINT) AS shade_min_micro,
+             CAST(MAX(pix_micro) AS BIGINT) AS shade_max_micro
+      FROM pxshade GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(a.covered_pixels, CAST(0 AS BIGINT)) AS covered_pixels,
+           COALESCE(a.shade_sum_micro, CAST(0 AS BIGINT)) AS shade_sum_micro,
+           a.shade_min_micro, a.shade_max_micro
+    FROM emb e LEFT JOIN agg a USING (vec_id)
+    """
+
+
+N17_RENDER_SHADE_ORACLE = _render_shade_oracle()
+
+
+def n17_render_shaded_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17 shaded-channel tier, value-oracled end-to-end: probe-pose mesh ->
+    quantized-world-mesh vertex normals (exact int64 corner-cross sums) ->
+    rasterize the view mesh -> barycentric-interpolated normal per covered
+    pixel -> nine-term SH gray shade x 180/255 albedo -> floor-micro
+    count/sum/min/max per mesh. See the staging block above for the
+    cross-engine bit-exactness argument (only correctly-rounded IEEE ops in
+    a pinned association order). STAGED r13 -> registers r14."""
+    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.slice("embedding", 1, 16).alias("betas"),
+        F.slice("embedding", 23, 3).alias("cam_code"),
+    )
+
+    def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.rasterize import (
+            normalize_int_vectors,
+            quantize_symmetric,
+            quantize_verts,
+            quantized_vertex_normals_batch,
+            rasterize_batch,
+            sh_gray_chain,
+        )
+
+        aff, faces, w, alb = (
+            model["aff"], model["faces"], model["weights"], model["albedo"],
+        )
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=[
+                    "vec_id", "covered_pixels", "shade_sum_micro",
+                    "shade_min_micro", "shade_max_micro", "error",
+                ]
+            )
+        e = np.stack([np.asarray(b, dtype=np.float64) for b in pdf["betas"]])
+        cam = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in pdf["cam_code"]]
+        )
+        B = e.shape[0]
+        # left-to-right affine eval — the SQL's association order
+        acc = np.broadcast_to(aff[..., 0], (B,) + aff.shape[:2]).copy()
+        for k in range(e.shape[1]):
+            acc = acc + aff[None, ..., k + 1] * e[:, k, None, None]
+        s = cam[:, 0][:, None]
+        tx, ty = cam[:, 1][:, None], cam[:, 2][:, None]
+        screen = np.empty_like(acc)
+        screen[..., 0] = -(s * (acc[..., 0] + tx))
+        screen[..., 1] = s * (acc[..., 1] + ty)
+        screen[..., 2] = (-(s * acc[..., 2])) + 10.0
+        ras = rasterize_batch(quantize_verts(screen), faces, _RAS_IMG_SIZE)
+        mask, bary, p2f = ras["mask"], ras["bary"], ras["pix_to_face"]
+        # quantized WORLD mesh normals: exact int64 sums, order-free
+        u = normalize_int_vectors(
+            quantized_vertex_normals_batch(quantize_symmetric(acc), faces)
+        )  # (B, V, 3)
+        corners = faces[np.where(mask, p2f, 0)]  # (B, H, W, 3) vert ids
+        bidx = np.arange(B)[:, None, None, None]
+        uc = u[bidx, corners]  # (B, H, W, corner, comp)
+        b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
+        nxp = ((b0 * uc[..., 0, 0]) + (b1 * uc[..., 1, 0])) + (b2 * uc[..., 2, 0])
+        nyp = ((b0 * uc[..., 0, 1]) + (b1 * uc[..., 1, 1])) + (b2 * uc[..., 2, 1])
+        nzp = ((b0 * uc[..., 0, 2]) + (b1 * uc[..., 1, 2])) + (b2 * uc[..., 2, 2])
+        micro = np.floor((sh_gray_chain(nxp, nyp, nzp, w) * alb) * 1000000.0)
+        rows = []
+        for bi, vec_id in enumerate(pdf["vec_id"]):
+            m = mask[bi]
+            n_cov = int(m.sum())
+            if n_cov:
+                pm = micro[bi][m].astype(np.int64)
+                rows.append((vec_id, n_cov, int(pm.sum()),
+                             int(pm.min()), int(pm.max()), None))
+            else:
+                rows.append((vec_id, 0, 0, None, None, None))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "vec_id", "covered_pixels", "shade_sum_micro",
+                "shade_min_micro", "shade_max_micro", "error",
+            ],
+        )
+
+    def factory():
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
+        from talkinghead_datapipeline_spark.operators.rasterize import (
+            shade_gray_weights,
+        )
+
+        m = FlameLbsDecoder()
+        return {
+            "aff": m.posed_verts_affine(np.asarray(_PROBE_POSE, dtype=np.float64)),
+            "faces": m.faces,
+            "weights": shade_gray_weights(),
+            "albedo": 180.0 / 255.0,
+        }
+
+    out = batched_inference(
+        emb,
+        output_schema=(
+            "vec_id bigint, covered_pixels bigint, shade_sum_micro bigint, "
+            "shade_min_micro bigint, shade_max_micro bigint, error string"
+        ),
+        model_key="n17_shaded_rasterizer",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")

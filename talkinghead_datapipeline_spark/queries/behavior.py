@@ -1528,3 +1528,150 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — kaplan_meier_survival (VERDICT r12 #6a).
+#
+# The Kaplan-Meier product-limit survival curve over the SAME risk-set
+# machinery as nelson_aalen_conversion_hazard (time to first purchase in
+# hours; never-buyers right-censored at their last observed event). The
+# nelson_aalen staging block called the KM product "not certifiable
+# bit-exactly" because Π(1 − d_i/n_i) is a sequential fold over rationals;
+# this query certifies it anyway by making the fold ITSELF integer: the
+# survival estimate is DEFINED as the exact integer recurrence
+#     S_0 = 10^9;  S_i = (S_{i-1} · (n_i − d_i)) div n_i
+# over event steps in time order — the classical estimator with a floor at
+# 1e-9 resolution per step, every intermediate an exact BIGINT (bound:
+# 10^9 · max(n_at_risk) < 2^63 holds through ~9.2e9 subjects — documented,
+# asserted cheap in the staged test). Spark evaluates the fold with the
+# SQL higher-order `aggregate` over the sorted steps array (the steps
+# frame is distinct-event-hours-bounded — calendar-scale, NOT data-scale —
+# so collecting it into one broadcast array row is exact and tiny); the
+# DuckDB oracle evaluates the identical recurrence as a recursive CTE.
+# Integer end-to-end: no float op anywhere, no rounding-boundary argument.
+#
+# Scale shape: one user-grain aggregation of the event stream (the only
+# data-sized shuffle, identical to nelson_aalen), then an event-time-grain
+# frame whose array fold is O(T²) on T = distinct event hours (~75 at
+# sf0.01, calendar-bounded at every SF). The 1-row sorted-steps array
+# crossJoin is a broadcast nested-loop by design — whitelist entry
+# pre-added at staging time (test_plans.py), per the r12 house rule.
+# ---------------------------------------------------------------------------
+
+KAPLAN_MEIER_ORACLE = """
+WITH RECURSIVE u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_buy_us
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT (COALESCE(first_buy_us, last_us) - first_us) // 3600000000
+           AS t_hours,
+         CASE WHEN first_buy_us IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM u
+),
+h AS (
+  SELECT t_hours,
+         CAST(count(*) AS BIGINT) AS n_here,
+         CAST(sum(event) AS BIGINT) AS d_events
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t_hours, n_here, d_events,
+         CAST(sum(n_here) OVER () AS BIGINT)
+           - CAST(COALESCE(sum(n_here) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_at_risk
+  FROM h
+),
+ordered AS (
+  SELECT t_hours, d_events, n_at_risk,
+         row_number() OVER (ORDER BY t_hours) AS rn
+  FROM risk WHERE d_events > 0
+),
+km AS (
+  SELECT rn, t_hours, d_events, n_at_risk,
+         (CAST(1000000000 AS BIGINT) * (n_at_risk - d_events)) // n_at_risk
+           AS s
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.t_hours, o.d_events, o.n_at_risk,
+         (km.s * (o.n_at_risk - o.d_events)) // o.n_at_risk
+  FROM km JOIN ordered o ON o.rn = km.rn + 1
+)
+SELECT CAST(t_hours AS BIGINT) AS t_hours, d_events, n_at_risk,
+       CAST(s AS BIGINT) AS km_survival_ppb
+FROM km ORDER BY t_hours
+"""
+
+
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of time to first purchase: per
+    event step (hour grain), the risk set, the events, and the survival
+    estimate as the EXACT integer recurrence S_i = (S_{i-1}·(n_i−d_i)) div
+    n_i at 1e-9 resolution — the sequential product the nelson_aalen block
+    could not certify in doubles, made bit-exact by folding integers (see
+    the staging comment). Pairs with nelson_aalen_conversion_hazard on the
+    identical risk-set machinery. STAGED r13 -> registers r14."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_buy_us"
+        ),
+    )
+    obs = u.select(
+        F.expr(
+            "(COALESCE(first_buy_us, last_us) - first_us) div 3600000000"
+        ).alias("t_hours"),
+        F.col("first_buy_us").isNotNull().cast("bigint").alias("event"),
+    )
+    h = obs.groupBy("t_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_here"),
+        F.sum("event").cast("bigint").alias("d_events"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.orderBy("t_hours").rowsBetween(W.unboundedPreceding, -1)
+    steps = (
+        h.select(
+            "t_hours",
+            "d_events",
+            (
+                F.sum("n_here").over(w_all).cast("bigint")
+                - F.coalesce(F.sum("n_here").over(w_before), F.lit(0)).cast(
+                    "bigint"
+                )
+            ).alias("n_at_risk"),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+    # steps is calendar-bounded (distinct event hours): one sorted broadcast
+    # array row carries every (t, n, d) step; the per-row prefix fold is the
+    # exact integer product-limit recurrence.
+    arr = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t_hours", "d_events", "n_at_risk"))
+        ).alias("all_steps")
+    )
+    return (
+        steps.crossJoin(F.broadcast(arr))
+        .select(
+            F.col("t_hours").cast("bigint").alias("t_hours"),
+            "d_events",
+            "n_at_risk",
+            F.expr(
+                "aggregate("
+                "  filter(all_steps, y -> y.t_hours <= t_hours),"
+                "  CAST(1000000000 AS BIGINT),"
+                "  (acc, y) -> (acc * (y.n_at_risk - y.d_events))"
+                "              div y.n_at_risk)"
+            ).cast("bigint").alias("km_survival_ppb"),
+        )
+        .orderBy("t_hours")
+    )

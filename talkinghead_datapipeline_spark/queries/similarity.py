@@ -1266,3 +1266,186 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vid, r) for i, vid, _, r in centers],
         "sel_idx BIGINT, vec_id BIGINT, radius DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — dbscan_grid_roles (VERDICT r12 #6c).
+#
+# DBSCAN-style density clustering (core / border / noise labeling) over the
+# embedding table via integer-grid bucketing — the density-clustering class
+# the ANN ladder's bucketing machinery was built for. Points are a seeded
+# 2-D JL projection of the 64-dim embeddings (literal weights in both
+# engines, the honest demo config of the sim_lsh family); coordinates are
+# quantized to the 1/1024 integer grid (·2^10 is an EXACT float op), cells
+# are eps-sized (eps_q = 256 quanta = 2^8, so cell = floor(q/256.0) is an
+# exact power-of-two division + floor — NOT an integer `div`, whose
+# truncate-toward-zero semantics would disagree with DuckDB's floored `//`
+# on negatives). Neighborhoods: candidates from the 3×3 adjacent-cell
+# equi-join, accepted by the EXACT integer predicate
+# (Δqx² + Δqy² ≤ 256²) — no float distance, no boundary argument anywhere
+# downstream of the projection floor. Roles: core iff |N_eps(p)| ≥ 8
+# (self-inclusive, classical DBSCAN), border iff non-core with a core
+# neighbor, else noise.
+#
+# Determinism: the projection is a pinned left-assoc 64-term chain of
+# correctly-rounded ops on float32→double-exact inputs with literal
+# weights — bit-identical cross-engine — and everything after the ONE
+# floor is exact integer relational algebra.
+#
+# Scale shape: the candidate join is an equi-join on cell keys (9 probe
+# offsets per point) — density-bounded, never all-pairs; the count and
+# border passes are hash aggregations on the same key layout. At 100 TB:
+# one shuffle to co-locate cells, skew bounded by the densest cell
+# (salting note shared with the LSH family's _MAX_BUCKET analysis).
+# ---------------------------------------------------------------------------
+
+_DBSCAN_Q = 1024  # 2^10 quantization grid
+_DBSCAN_EPS_Q = 256  # eps in quanta (2^8) — also the cell size
+_DBSCAN_MINPTS = 8  # (eps, minPts) picked for a non-degenerate role mix
+# at every SF: sf0.001 330/71/99 core/border/noise, sf0.1 1849/72/79
+
+
+def _dbscan_proj_weights():
+    from talkinghead_datapipeline_spark.operators.models import _seeded_rng
+
+    return _seeded_rng("dbscan_grid_projection").normal(size=(2, _EMB_DIM))
+
+
+def _dbscan_proj_expr(axis: int, base: int) -> str:
+    """Left-assoc 64-term projection chain; ``base`` is the engine's array
+    index origin (Spark 0, DuckDB 1). Identical op order either way."""
+    w = _dbscan_proj_weights()[axis]
+    terms = [
+        f"(CAST(embedding[{k + base}] AS DOUBLE) * {float(w[k])!r})"
+        for k in range(_EMB_DIM)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _dbscan_oracle() -> str:
+    px = _dbscan_proj_expr(0, 1)
+    py = _dbscan_proj_expr(1, 1)
+    q, eq, mp = _DBSCAN_Q, _DBSCAN_EPS_Q, _DBSCAN_MINPTS
+    offs = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH pts0 AS (
+      SELECT vec_id,
+             CAST(floor(({px}) * {float(q)!r}) AS BIGINT) AS qx,
+             CAST(floor(({py}) * {float(q)!r}) AS BIGINT) AS qy
+      FROM embeddings
+    ),
+    pts AS (
+      SELECT vec_id, qx, qy,
+             CAST(floor(qx / {float(eq)!r}) AS BIGINT) AS cellx,
+             CAST(floor(qy / {float(eq)!r}) AS BIGINT) AS celly
+      FROM pts0
+    ),
+    offs(dx, dy) AS (VALUES {offs}),
+    cand AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM pts a
+      CROSS JOIN offs o
+      JOIN pts b ON b.cellx = a.cellx + o.dx AND b.celly = a.celly + o.dy
+      WHERE (a.qx - b.qx)*(a.qx - b.qx) + (a.qy - b.qy)*(a.qy - b.qy)
+            <= {eq * eq}
+    ),
+    cnt AS (
+      SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+      FROM cand GROUP BY va
+    ),
+    core AS (SELECT vec_id FROM cnt WHERE n_neighbors >= {mp}),
+    border AS (
+      SELECT DISTINCT c.va AS vec_id
+      FROM cand c JOIN core k ON k.vec_id = c.vb
+      WHERE c.va NOT IN (SELECT vec_id FROM core)
+    )
+    SELECT p.vec_id, p.qx, p.qy, c.n_neighbors,
+           CASE WHEN c.n_neighbors >= {mp} THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    JOIN cnt c USING (vec_id)
+    LEFT JOIN border b USING (vec_id)
+    """
+
+
+DBSCAN_GRID_ORACLE = _dbscan_oracle()
+
+
+def dbscan_grid_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style core/border/noise labeling on the integer grid: seeded
+    2-D projection -> 1/1024 quantization -> eps-cell bucketing -> 3x3
+    adjacent-cell equi-join with the exact integer distance predicate ->
+    self-inclusive neighbor counts (core >= 8) and core-adjacency border
+    promotion. See the staging comment for determinism and the 100 TB
+    shuffle shape. STAGED r13 -> registers r14."""
+    q, eq, mp = _DBSCAN_Q, _DBSCAN_EPS_Q, _DBSCAN_MINPTS
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = persist_once(
+        emb.select(
+            "vec_id",
+            F.expr(
+                f"CAST(floor(({_dbscan_proj_expr(0, 0)}) * {float(q)!r}) AS BIGINT)"
+            ).alias("qx"),
+            F.expr(
+                f"CAST(floor(({_dbscan_proj_expr(1, 0)}) * {float(q)!r}) AS BIGINT)"
+            ).alias("qy"),
+        ).select(
+            "vec_id",
+            "qx",
+            "qy",
+            F.floor(F.col("qx") / F.lit(float(eq))).cast("bigint").alias("cellx"),
+            F.floor(F.col("qy") / F.lit(float(eq))).cast("bigint").alias("celly"),
+        )
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    cand = persist_once(
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            b,
+            (F.col("b.cellx") == F.col("a.cellx") + F.col("dx"))
+            & (F.col("b.celly") == F.col("a.celly") + F.col("dy")),
+        )
+        .filter(
+            (F.col("a.qx") - F.col("b.qx")) * (F.col("a.qx") - F.col("b.qx"))
+            + (F.col("a.qy") - F.col("b.qy")) * (F.col("a.qy") - F.col("b.qy"))
+            <= F.lit(eq * eq)
+        )
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+    )
+    cnt = cand.groupBy("va").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors")
+    )
+    core = cnt.filter(F.col("n_neighbors") >= mp).select(
+        F.col("va").alias("core_id")
+    )
+    border = (
+        cand.join(core, cand["vb"] == core["core_id"])
+        .select("va")
+        .join(core, cand["va"] == core["core_id"], "left_anti")
+        .distinct()
+        .withColumnRenamed("va", "border_id")
+    )
+    return (
+        pts.join(cnt, pts["vec_id"] == cnt["va"])
+        .join(border, pts["vec_id"] == F.col("border_id"), "left")
+        .select(
+            "vec_id",
+            "qx",
+            "qy",
+            "n_neighbors",
+            F.when(F.col("n_neighbors") >= mp, F.lit("core"))
+            .when(F.col("border_id").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

@@ -637,3 +637,156 @@ def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("at_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — bh_fdr_lang_source (VERDICT r12 #6b).
+#
+# Benjamini-Hochberg FDR correction over a battery of per-cell
+# two-proportion z-tests — the multiple-testing layer every
+# experimentation suite needs on top of ab_test_lift / chi2_lang_source.
+# Battery: for each (lang, source) cell of documents, test the cell's
+# long-doc rate (len(text) > 500) against the rest of the corpus; the
+# two-sided p-value comes from the Abramowitz-Stegun 7.1.26 polynomial
+# normal-tail approximation (|ε| < 7.5e-8 — a published public formula
+# both engines evaluate with the IDENTICAL pinned-association expression
+# text), then BH at q = 0.05: rank p ascending (full (p, lang, source)
+# tiebreak), threshold_ppb = (rank·50,000,000) div m (integer floor —
+# conservative), k* = max rank with p_ppb ≤ threshold, reject rank ≤ k*.
+#
+# Determinism: counts are exact; the z and A&S chains are fixed-order
+# +−×÷ sqrt plus ONE exp per cell (the only libm-divergent op — Spark JVM
+# Math.exp vs DuckDB libm may differ by 1 ulp, ~2e-16 relative, against a
+# 1e-9 display quantum; the staged test asserts every p_ppb sits > 1e-3
+# quanta from a floor boundary at each SF, the house tie-audit pattern).
+# The BH decision itself is exact integer arithmetic given p_ppb.
+#
+# Scale shape: one (lang, source)-keyed count reduction over documents
+# (the only data-sized shuffle), a 1-row totals broadcast crossJoin
+# (whitelist entry pre-added at staging time), then windows over the
+# |langs|×|sources| cell frame (~100 rows at every SF — vocabulary-
+# bounded, not data-bounded).
+# ---------------------------------------------------------------------------
+
+_BH_Z = (
+    "((CAST(k1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    " - (CAST(kr AS DOUBLE)/CAST(nr AS DOUBLE)))"
+    " / sqrt(((CAST(kt AS DOUBLE)/CAST(nt AS DOUBLE))"
+    " * (1.0 - (CAST(kt AS DOUBLE)/CAST(nt AS DOUBLE))))"
+    " * ((1.0/CAST(n1 AS DOUBLE)) + (1.0/CAST(nr AS DOUBLE))))"
+)
+_BH_P_TWO = (
+    "(2.0 * ((exp(-(az*az)*0.5) * 0.3989422804014327)"
+    " * (t*(0.31938153 + t*(-0.356563782 + t*(1.781477937"
+    " + t*(-1.821255978 + t*1.330274429)))))))"
+)
+
+BH_FDR_ORACLE = f"""
+WITH cells AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN len(text) > 500 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k1
+  FROM documents WHERE len(text) > 0
+  GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nt, CAST(sum(k1) AS BIGINT) AS kt
+        FROM cells),
+z AS (
+  SELECT lang, source, n1, k1,
+         {_BH_Z} AS zval
+  FROM (SELECT c.lang, c.source, c.n1, c.k1,
+               t.nt - c.n1 AS nr, t.kt - c.k1 AS kr, t.nt AS nt, t.kt AS kt
+        FROM cells c CROSS JOIN tot t)
+),
+p AS (
+  SELECT lang, source, n1, k1,
+         CAST(floor(zval * 1000000.0) AS BIGINT) AS z_micro,
+         CAST(floor({_BH_P_TWO} * 1000000000.0) AS BIGINT) AS p_ppb
+  FROM (SELECT lang, source, n1, k1, zval, az,
+               1.0/(1.0 + 0.2316419*az) AS t
+        FROM (SELECT lang, source, n1, k1, zval, abs(zval) AS az FROM z))
+),
+ranked AS (
+  SELECT lang, source, n1, k1, z_micro, p_ppb,
+         CAST(row_number() OVER (ORDER BY p_ppb, lang, source) AS BIGINT)
+           AS p_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+thr AS (
+  SELECT *, (p_rank * 50000000) // m AS bh_threshold_ppb FROM ranked
+)
+SELECT lang, source,
+       n1 AS n_docs, k1 AS n_long,
+       z_micro, p_ppb, p_rank, bh_threshold_ppb,
+       p_rank <= COALESCE(max(CASE WHEN p_ppb <= bh_threshold_ppb
+                                   THEN p_rank END) OVER (), 0) AS rejected
+FROM thr
+"""
+
+
+def bh_fdr_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over the (lang, source) two-proportion-test
+    battery: per cell the long-doc-rate z statistic vs the rest of the
+    corpus, the A&S 7.1.26 two-sided p-value (ppb-quantized), the p rank,
+    the BH threshold (rank·q/m as an exact integer floor at q = 0.05),
+    and the step-up rejection flag. See the staging comment for the
+    determinism and scale contract. STAGED r13 -> registers r14."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cells = persist_once(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum((F.length("text") > 500).cast("int"))
+            .cast("bigint")
+            .alias("k1"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("k1").cast("bigint").alias("kt"),
+    )
+    z = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("nr", F.expr("nt - n1"))
+        .withColumn("kr", F.expr("kt - k1"))
+        .withColumn("zval", F.expr(_BH_Z))
+        .withColumn("az", F.expr("abs(zval)"))
+        .withColumn("t", F.expr("1.0/(1.0 + 0.2316419*az)"))
+    )
+    p = z.select(
+        "lang",
+        "source",
+        "n1",
+        "k1",
+        F.expr("CAST(floor(zval * 1000000.0) AS BIGINT)").alias("z_micro"),
+        F.expr(f"CAST(floor({_BH_P_TWO} * 1000000000.0) AS BIGINT)").alias(
+            "p_ppb"
+        ),
+    )
+    w_rank = W.orderBy("p_ppb", "lang", "source")
+    w_all = W.partitionBy()
+    ranked = p.select(
+        "*",
+        F.row_number().over(w_rank).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    ).withColumn("bh_threshold_ppb", F.expr("(p_rank * 50000000) div m"))
+    kstar = F.coalesce(
+        F.max(
+            F.when(
+                F.col("p_ppb") <= F.col("bh_threshold_ppb"), F.col("p_rank")
+            )
+        ).over(w_all),
+        F.lit(0),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        F.col("n1").alias("n_docs"),
+        F.col("k1").alias("n_long"),
+        "z_micro",
+        "p_ppb",
+        "p_rank",
+        "bh_threshold_ppb",
+        (F.col("p_rank") <= kstar).alias("rejected"),
+    )

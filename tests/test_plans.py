@@ -50,6 +50,15 @@ _NESTED_LOOP_OK = {
     # brand-pair frame (<= C(|brands|, 2) rows)
     "gini_revenue_concentration",  # 1-row (n, s0, s1) stats crossJoin onto
     # the 10-row decile frame
+    # --- pre-added for the r14 registrations (staged r13; inert until the
+    # --- name joins the registry, per the staging-time whitelist rule) ---
+    "kaplan_meier_survival",  # 1-row broadcast sorted-steps-array crossJoin
+    # onto the calendar-bounded event-step frame
+    "bh_fdr_lang_source",  # 1-row broadcast (nt, kt) totals crossJoin onto
+    # the |langs|x|sources| cell frame
+    "dbscan_grid_roles",  # 9-row broadcast cell-offset crossJoin fanning
+    # each point to its 3x3 probe neighborhood; the candidate joins are
+    # equi-joins on cell keys
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

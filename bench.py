@@ -306,14 +306,20 @@ def _measure_anchors(spark, reps: int) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     out = {}
+    # Anchors estimate machine CAPABILITY, not workload latency: noise
+    # (GC, scheduling) only ever contaminates samples UPWARD, so the MIN
+    # over a slightly larger sample is the stable estimator — the first
+    # two r13 local runs put the median-of-3 hash anchor at 0.140 vs
+    # 0.0747 (1.9x swing on one machine), which would mis-price every
+    # hash-bound mover it exists to adjudicate.
     for name, job in (("hash_md5_1m_sec", hash_job), ("scan_lineitem_sec", scan_job)):
         job()  # warm-up, same steady-state protocol as the queries
         samples = []
-        for _ in range(reps):
+        for _ in range(max(reps, 5)):
             t0 = time.perf_counter()
             job()
             samples.append(time.perf_counter() - t0)
-        out[name] = round(statistics.median(samples), 4)
+        out[name] = round(min(samples), 4)
     return out
 
 

@@ -1675,3 +1675,200 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — logrank_segment_survival (r13 extension of
+# VERDICT r12 #6a: the two-sample comparison on the same risk-set
+# machinery KM/Nelson-Aalen certify one-sample).
+#
+# Log-rank test of time-to-first-purchase between two customer cohorts
+# (c_mktsegment < 'F' — AUTOMOBILE/BUILDING — vs the rest; a broadcast dim
+# equi-join assigns groups, the first use of the events↔customer key link
+# in the survival family). At each pooled event step: per-group risk sets
+# by the same total-minus-prefix construction, the group-1 expectation
+# E1 += d·n1/n and variance V += d·n1·n2·(n−d)/(n²·(n−1)) each quantized
+# FIRST to exact floor-ppm integers (the nelson_aalen pattern — the sums
+# are then associative BIGINT adds, order-free), and the final chi-square
+# (O1·1e6 − ΣE1_ppm)² / (ΣV_ppm·1e6) is ONE fixed-order IEEE expression
+# over exact integers, emitted floor-micro (NULL when ΣV_ppm = 0 — a
+# degenerate battery, e.g. one cohort empty at every step — since
+# engines disagree on casting the inf). n=1 steps contribute zero
+# variance by the explicit n>1 guard (both engines).
+#
+# Overflow bound (documented + asserted in the staged test): the V-step
+# numerator d·n1·n2·(n−d)·1e6 stays under 2^63 through ~6e4 subjects at
+# the worst split; beyond that the quantization order would need the
+# factored form — the fixture maxes at 1.5e3.
+#
+# Scale shape: one user-grain aggregation of events (the only data-sized
+# shuffle), a broadcast customer-dim join for the cohort, then an
+# event-hour-grain frame (calendar-bounded) reduced to ONE output row in
+# a single combinable aggregation. No crossJoin — no whitelist entry.
+# ---------------------------------------------------------------------------
+
+LOGRANK_ORACLE = """
+WITH u AS (
+  SELECT e.user_id,
+         CASE WHEN c.c_mktsegment < 'F' THEN 1 ELSE 0 END AS grp,
+         min(epoch_us(e.ts)) AS first_us,
+         max(epoch_us(e.ts)) AS last_us,
+         min(CASE WHEN e.event_type = 'purchase' THEN epoch_us(e.ts) END)
+           AS first_buy_us
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY e.user_id, 2
+),
+obs AS (
+  SELECT grp,
+         (COALESCE(first_buy_us, last_us) - first_us) // 3600000000
+           AS t_hours,
+         CASE WHEN first_buy_us IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM u
+),
+h AS (
+  SELECT t_hours,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN grp = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN grp = 0 THEN event ELSE 0 END) AS BIGINT) AS d0
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t_hours, d1, d0,
+         CAST(sum(h1) OVER () AS BIGINT)
+           - CAST(COALESCE(sum(h1) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n1,
+         CAST(sum(h0) OVER () AS BIGINT)
+           - CAST(COALESCE(sum(h0) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n0
+  FROM h
+),
+steps AS (
+  SELECT t_hours, d1, d0, n1, n0, d1 + d0 AS d, n1 + n0 AS n
+  FROM risk WHERE d1 + d0 > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(d0) AS BIGINT) AS o0,
+         CAST(sum((d * n1 * 1000000) // n) AS BIGINT) AS e1_ppm,
+         CAST(sum((d * n0 * 1000000) // n) AS BIGINT) AS e0_ppm,
+         CAST(sum(CASE WHEN n > 1
+                  THEN (d * n1 * n0 * (n - d) * 1000000) // (n * n * (n - 1))
+                  ELSE 0 END) AS BIGINT) AS v_ppm
+  FROM steps
+)
+SELECT n_steps, o1, o0, e1_ppm, e0_ppm, v_ppm,
+       CASE WHEN v_ppm > 0 THEN
+         CAST(floor(((CAST(o1 * 1000000 - e1_ppm AS DOUBLE)
+                      * CAST(o1 * 1000000 - e1_ppm AS DOUBLE))
+                     / (CAST(v_ppm AS DOUBLE) * 1000000.0)) * 1000000.0)
+              AS BIGINT)
+       END AS chi2_micro
+FROM agg
+"""
+
+
+def logrank_segment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-first-purchase between the two
+    c_mktsegment cohorts: per pooled event step the group risk sets,
+    floor-ppm-quantized expectation and variance contributions (exact
+    integer sums), and the final chi-square floor-micro — the two-sample
+    companion of kaplan_meier_survival on identical machinery. See the
+    staging comment for quantization and overflow bounds. STAGED r13 ->
+    registers r14."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_mktsegment") < "F").cast("int").alias("grp"),
+    )
+    us = F.unix_micros("ts")
+    u = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+                "first_buy_us"
+            ),
+        )
+    )
+    obs = u.select(
+        "grp",
+        F.expr(
+            "(COALESCE(first_buy_us, last_us) - first_us) div 3600000000"
+        ).alias("t_hours"),
+        F.col("first_buy_us").isNotNull().cast("bigint").alias("event"),
+    )
+    h = obs.groupBy("t_hours").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("h1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("h0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("event")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+    )
+    w_all = W.partitionBy()
+    w_before = W.orderBy("t_hours").rowsBetween(W.unboundedPreceding, -1)
+
+    def at_risk(col: str):
+        return (
+            F.sum(col).over(w_all).cast("bigint")
+            - F.coalesce(F.sum(col).over(w_before), F.lit(0)).cast("bigint")
+        )
+
+    steps = (
+        h.select(
+            "t_hours",
+            "d1",
+            "d0",
+            at_risk("h1").alias("n1"),
+            at_risk("h0").alias("n0"),
+        )
+        .withColumn("d", F.expr("d1 + d0"))
+        .withColumn("n", F.expr("n1 + n0"))
+        .filter(F.col("d") > 0)
+    )
+    agg = steps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d0").cast("bigint").alias("o0"),
+        F.sum(F.expr("(d * n1 * 1000000) div n")).cast("bigint").alias(
+            "e1_ppm"
+        ),
+        F.sum(F.expr("(d * n0 * 1000000) div n")).cast("bigint").alias(
+            "e0_ppm"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN n > 1 THEN (d * n1 * n0 * (n - d) * 1000000)"
+                " div (n * n * (n - 1)) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("v_ppm"),
+    )
+    return agg.select(
+        "n_steps",
+        "o1",
+        "o0",
+        "e1_ppm",
+        "e0_ppm",
+        "v_ppm",
+        F.expr(
+            "CASE WHEN v_ppm > 0 THEN"
+            " CAST(floor(((CAST(o1 * 1000000 - e1_ppm AS DOUBLE)"
+            " * CAST(o1 * 1000000 - e1_ppm AS DOUBLE))"
+            " / (CAST(v_ppm AS DOUBLE) * 1000000.0)) * 1000000.0) AS BIGINT)"
+            " END"
+        ).alias("chi2_micro"),
+    )

@@ -1638,7 +1638,10 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = W.partitionBy()
     w_before = W.orderBy("t_hours").rowsBetween(W.unboundedPreceding, -1)
-    steps = (
+    # persist: steps feeds BOTH the curve rows and the collected fold array
+    # — without it each branch would re-run the user-grain events
+    # aggregation (the only data-sized stage) from the scan.
+    steps = persist_once(
         h.select(
             "t_hours",
             "d_events",

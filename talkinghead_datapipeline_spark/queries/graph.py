@@ -421,3 +421,126 @@ def item_cf_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("p_partkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — triangle_count_brand_graph (r13: the
+# triangle/motif-counting class — the third classical graph primitive next
+# to PageRank (value iteration) and the dedup clusters (connectivity)).
+#
+# Graph: the brand co-purchase graph — an edge between two brands that
+# appear together in at least 2.2% of orders (the basket machinery with a
+# HIGHER gate: uniform TPC-H co-purchase sits tightly around ~2% per
+# pair, so the basket query's 0.1% gate passes EVERY pair — fine for
+# rule mining, degenerate as a graph topology; 2.2% keeps roughly half
+# the pairs at every SF — 137/149/176 edges at sf0.001/0.01/0.1). Emits ONE row: nodes, edges, exact
+# triangle count (a<b<c edge-join — each triangle counted once), exact
+# wedge count Σ deg·(deg−1)/2, and the global clustering coefficient
+# 3T/W floor-ppm (NULL when W = 0 — no wedges, coefficient undefined).
+#
+# Determinism: every quantity is an exact BIGINT; the one division is an
+# integer floor. Scale shape: the order→brand projection is the only
+# data-sized stage (a broadcast part-dim join + distinct, shared with the
+# basket query); the pair frame is ≤ C(|brands|, 2) rows (vocabulary-
+# bounded), and the triangle join runs over the GATED edge frame —
+# bounded by |brands|³ in the worst case but by Σ deg² in practice,
+# never by data size. The 1-row order-count / aggregate crossJoins are
+# broadcast nested-loops by design — whitelist entry pre-added.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+pairs AS (
+  SELECT a.b AS ba, c.b AS bb, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT ba, bb FROM pairs CROSS JOIN n WHERE n_ab * 1000 >= 22 * n_orders
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT ba AS v FROM edges UNION ALL SELECT bb AS v FROM edges)
+  GROUP BY v
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.ba = e1.bb
+  JOIN edges e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT a.n_nodes, e.n_edges, t.n_triangles, a.n_wedges,
+       CASE WHEN a.n_wedges > 0
+            THEN (3 * t.n_triangles * 1000000) // a.n_wedges
+       END AS clustering_ppm
+FROM agg a CROSS JOIN ecnt e CROSS JOIN tri t
+"""
+
+
+def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count, wedge count, and global clustering coefficient
+    of the support-gated brand co-purchase graph — one a<b<c edge-join per
+    triangle, Σ deg·(deg−1)/2 wedges, 3T/W floor-ppm (NULL when no
+    wedges). See the staging comment for the shared basket machinery and
+    the vocabulary-bounded scale shape. STAGED r13 -> registers r14."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = persist_once(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    a = ob.select("o", F.col("b").alias("ba"))
+    c = ob.select(F.col("o").alias("o2"), F.col("b").alias("bb"))
+    edges = persist_once(
+        a.join(c, (F.col("o") == F.col("o2")) & (F.col("ba") < F.col("bb")))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") * 1000 >= 22 * F.col("n_orders"))
+        .select("ba", "bb")
+    )
+    deg = (
+        edges.select(F.col("ba").alias("v"))
+        .unionAll(edges.select(F.col("bb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    e1 = edges.select(F.col("ba").alias("a1"), F.col("bb").alias("b1"))
+    e2 = edges.select(F.col("ba").alias("a2"), F.col("bb").alias("b2"))
+    e3 = edges.select(F.col("ba").alias("a3"), F.col("bb").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("a2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN (3 * n_triangles * 1000000) div n_wedges END"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -59,6 +59,10 @@ _NESTED_LOOP_OK = {
     "dbscan_grid_roles",  # 9-row broadcast cell-offset crossJoin fanning
     # each point to its 3x3 probe neighborhood; the candidate joins are
     # equi-joins on cell keys
+    "triangle_count_brand_graph",  # 1-row order-count gate crossJoin +
+    # 1-row edge/triangle aggregate crossJoins onto the single output row
+    "logrank_segment_survival",  # no crossJoin of its own, but the single
+    # final-row aggregate can plan as a broadcast nested loop under AQE
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

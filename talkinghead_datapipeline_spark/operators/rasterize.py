@@ -453,6 +453,20 @@ def shade_gray_weights(sh_coeff: np.ndarray | None = None) -> np.ndarray:
     return SH_CONSTANT_FACTOR * np.asarray(sh_coeff, dtype=np.float64).mean(axis=1)
 
 
+def shade_channel_weights(sh_coeff: np.ndarray | None = None) -> np.ndarray:
+    """The (9, 3) PER-CHANNEL SH weights (constant factor × coefficient) of
+    the textured forward path — ``sh_gray_chain`` per channel against
+    column c reproduces ``sh_irradiance``'s channel c up to association.
+    One shared source for the texture query factory and its SQL literals."""
+    if sh_coeff is None:
+        from talkinghead_datapipeline_spark.operators.models import _seeded_rng
+
+        sh = _seeded_rng("sh_lighting").normal(size=(9, 3)) * 0.3
+        sh[0] += 2.0  # ShapeRenderer's default: dominant ambient
+        sh_coeff = sh
+    return SH_CONSTANT_FACTOR[:, None] * np.asarray(sh_coeff, dtype=np.float64)
+
+
 def sh_gray_chain(nx: np.ndarray, ny: np.ndarray, nz: np.ndarray, w) -> np.ndarray:
     """The gray SH shade as a PINNED-ORDER scalar chain (the sh_irradiance
     basis contracted against ``shade_gray_weights``): nine successive

@@ -1072,3 +1072,310 @@ def n17_render_shaded_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_fn=infer,
     )
     return out.filter(F.col("error").isNull()).drop("error")
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — n17_render_texture_checksum (r13: the FULL
+# textured forward pass, closing the last N17 value tier).
+#
+# With mask/z-buffer (registered r13) and the SH-shaded gray overlay
+# (staged above) certified, the one remaining N17 channel is ``texture`` —
+# the reference's complete forward composition (renderer.py:186-218):
+# barycentric uv interpolation (uv·2−1, y flipped, renderer.py:95-99) →
+# bilinear ``grid_sample`` of the albedo map (align_corners=False, zeros
+# padding, renderer.py:188) → per-channel SH shading → RGB mean. This
+# query certifies EXACTLY that composition per covered pixel (on the
+# seeded stand-in uv/albedo assets — the licensed FLAME textures drop in
+# field-for-field), emitting floor-micro count/sum/min/max of the
+# unclipped texel·shade product.
+#
+# Cross-engine exactness extends the shade query's argument: uv literals
+# and per-channel albedo/SH-weight literals are CONSTANTS embedded as
+# repr text (association irrelevant — both engines read the same
+# doubles); the grid_sample chain — ix = ((g+1)·W−1)/2, floor, the exact
+# fractional weights ix−floor(ix), the 4-tap weighted accumulation in the
+# reference's (x0y0, x1y0, x0y1, x1y1) order with zero out-of-range taps
+# (LEFT JOIN miss ≡ the valid mask), per-channel shade chains, and the
+# ((r+g)+b)/3 mean — is again a pinned-association sequence of single
+# correctly-rounded IEEE ops. The oracle REUSES the shade oracle's CTE
+# prefix verbatim (string-sliced from the generated text, so the two
+# staged rasterizer oracles cannot drift apart) and appends the
+# uv/albedo literal tables plus the tap joins.
+#
+# Scale shape: identical to the shade query — ONE map-only mapInPandas
+# over embeddings; the 4096-row albedo and 64-row uv literal tables are
+# oracle-side only. No whitelist entry needed.
+# ---------------------------------------------------------------------------
+
+
+def _texture_assets() -> dict:
+    """The seeded stand-in texture assets + derived constants, shared by
+    the query factory and the oracle builder (ShapeRenderer._uv_for's
+    exact recipe: uv_{V} per-vertex uv, albedo_map 3x64x64, uv_ndc =
+    uv·2−1 with y negated)."""
+    import numpy as np
+
+    from talkinghead_datapipeline_spark.operators.models import (
+        FlameLbsDecoder,
+        _seeded_rng,
+    )
+    from talkinghead_datapipeline_spark.operators.rasterize import (
+        shade_channel_weights,
+    )
+
+    n_verts = FlameLbsDecoder().template.shape[0]
+    uv = _seeded_rng(f"uv_{n_verts}").random((n_verts, 2))
+    uv_ndc = uv * 2.0 - 1.0
+    uv_ndc[:, 1] = -uv_ndc[:, 1]
+    albedo = _seeded_rng("albedo_map").random((3, 64, 64))
+    return {
+        "uv_ndc": uv_ndc,
+        "albedo": albedo,
+        "weights": shade_channel_weights(),  # (9, 3)
+    }
+
+
+def _render_texture_oracle() -> str:
+    assets = _texture_assets()
+    uv_ndc, albedo, w = assets["uv_ndc"], assets["albedo"], assets["weights"]
+    # Reuse the shade oracle's verified CTE prefix VERBATIM: everything up
+    # to the pxshade tail (emb/vb/fc/verts/wverts/corner/vn/un/px/tri/hit/
+    # win) is byte-identical between the two rasterizer oracles.
+    marker = "\n    pxshade AS ("
+    prefix = N17_RENDER_SHADE_ORACLE[: N17_RENDER_SHADE_ORACLE.index(marker)]
+    uv_rows = ",\n      ".join(
+        f"({vid}, {float(uv_ndc[vid, 0])!r}, {float(uv_ndc[vid, 1])!r})"
+        for vid in range(uv_ndc.shape[0])
+    )
+    alb_rows = ",\n      ".join(
+        f"({y}, {x}, {float(albedo[0, y, x])!r}, {float(albedo[1, y, x])!r},"
+        f" {float(albedo[2, y, x])!r})"
+        for y in range(64)
+        for x in range(64)
+    )
+
+    def shade(c: int) -> str:
+        ws = [repr(float(w[k, c])) for k in range(9)]
+        return (
+            f"(((((((({ws[0]} + ({ws[1]}*nxp)) + ({ws[2]}*nyp)) + ({ws[3]}*nzp)) "
+            f"+ ({ws[4]}*(nxp*nyp))) + ({ws[5]}*(nxp*nzp))) + ({ws[6]}*(nyp*nzp))) "
+            f"+ ({ws[7]}*((nxp*nxp) - (nyp*nyp)))) "
+            f"+ ({ws[8]}*((3.0*(nzp*nzp)) - 1.0)))"
+        )
+
+    def tap(c: str) -> str:
+        # the reference's 4-tap order with zero out-of-range taps
+        return (
+            f"((((COALESCE(a00.{c}, 0.0) * ((1.0-wx1)*(1.0-wy1)))"
+            f" + (COALESCE(a10.{c}, 0.0) * (wx1*(1.0-wy1))))"
+            f" + (COALESCE(a01.{c}, 0.0) * ((1.0-wx1)*wy1)))"
+            f" + (COALESCE(a11.{c}, 0.0) * (wx1*wy1)))"
+        )
+
+    texel = (
+        f"((({tap('r')} * {shade(0)}) + ({tap('g')} * {shade(1)}))"
+        f" + ({tap('b')} * {shade(2)})) / 3.0"
+    )
+    return f"""{prefix}
+    uvt(vid, gx, gy) AS (VALUES
+      {uv_rows}
+    ),
+    alb0(ay, ax, r, g, b) AS (VALUES
+      {alb_rows}
+    ),
+    wb AS (
+      SELECT w.vec_id,
+             ((b0*u0.ux) + (b1*u1.ux)) + (b2*u2.ux) AS nxp,
+             ((b0*u0.uy) + (b1*u1.uy)) + (b2*u2.uy) AS nyp,
+             ((b0*u0.uz) + (b1*u1.uz)) + (b2*u2.uz) AS nzp,
+             ((b0*t0.gx) + (b1*t1.gx)) + (b2*t2.gx) AS gxp,
+             ((b0*t0.gy) + (b1*t1.gy)) + (b2*t2.gy) AS gyp
+      FROM (
+        SELECT vec_id, i0, i1, i2,
+               CAST(e0 AS DOUBLE) / CAST(den AS DOUBLE) AS b0,
+               CAST(e1 AS DOUBLE) / CAST(den AS DOUBLE) AS b1,
+               CAST(e2 AS DOUBLE) / CAST(den AS DOUBLE) AS b2
+        FROM win WHERE rn = 1
+      ) w
+      JOIN un u0 ON u0.vec_id = w.vec_id AND u0.vid = w.i0
+      JOIN un u1 ON u1.vec_id = w.vec_id AND u1.vid = w.i1
+      JOIN un u2 ON u2.vec_id = w.vec_id AND u2.vid = w.i2
+      JOIN uvt t0 ON t0.vid = w.i0
+      JOIN uvt t1 ON t1.vid = w.i1
+      JOIN uvt t2 ON t2.vid = w.i2
+    ),
+    taps AS (
+      SELECT vec_id, nxp, nyp, nzp,
+             CAST(floor(ix) AS BIGINT) AS x0,
+             CAST(floor(iy) AS BIGINT) AS y0,
+             ix - floor(ix) AS wx1,
+             iy - floor(iy) AS wy1
+      FROM (
+        SELECT vec_id, nxp, nyp, nzp,
+               (((gxp + 1.0) * 64.0) - 1.0) / 2.0 AS ix,
+               (((gyp + 1.0) * 64.0) - 1.0) / 2.0 AS iy
+        FROM wb
+      )
+    ),
+    texpx AS (
+      SELECT t.vec_id,
+             CAST(floor(({texel}) * 1000000.0) AS BIGINT) AS pix_micro
+      FROM taps t
+      LEFT JOIN alb0 a00 ON a00.ay = t.y0 AND a00.ax = t.x0
+      LEFT JOIN alb0 a10 ON a10.ay = t.y0 AND a10.ax = t.x0 + 1
+      LEFT JOIN alb0 a01 ON a01.ay = t.y0 + 1 AND a01.ax = t.x0
+      LEFT JOIN alb0 a11 ON a11.ay = t.y0 + 1 AND a11.ax = t.x0 + 1
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(count(*) AS BIGINT) AS covered_pixels,
+             CAST(SUM(pix_micro) AS BIGINT) AS tex_sum_micro,
+             CAST(MIN(pix_micro) AS BIGINT) AS tex_min_micro,
+             CAST(MAX(pix_micro) AS BIGINT) AS tex_max_micro
+      FROM texpx GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(a.covered_pixels, CAST(0 AS BIGINT)) AS covered_pixels,
+           COALESCE(a.tex_sum_micro, CAST(0 AS BIGINT)) AS tex_sum_micro,
+           a.tex_min_micro, a.tex_max_micro
+    FROM emb e LEFT JOIN agg a USING (vec_id)
+    """
+
+
+N17_RENDER_TEXTURE_ORACLE = _render_texture_oracle()
+
+
+def n17_render_texture_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17 texture tier, value-oracled end-to-end: the reference's FULL
+    textured forward composition — barycentric uv -> bilinear grid_sample
+    of the (stand-in) albedo -> per-channel SH shading -> RGB mean — per
+    covered pixel, floor-micro count/sum/min/max per mesh. See the staging
+    block above for the exactness argument and asset provenance. STAGED
+    r13 -> registers r14."""
+    from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
+    from talkinghead_datapipeline_spark.operators.inference import batched_inference
+
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.slice("embedding", 1, 16).alias("betas"),
+        F.slice("embedding", 23, 3).alias("cam_code"),
+    )
+
+    def infer(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.rasterize import (
+            normalize_int_vectors,
+            quantize_symmetric,
+            quantize_verts,
+            quantized_vertex_normals_batch,
+            rasterize_batch,
+            sh_gray_chain,
+        )
+
+        aff, faces = model["aff"], model["faces"]
+        uv_ndc, albedo, w = model["uv_ndc"], model["albedo"], model["weights"]
+        cols = [
+            "vec_id", "covered_pixels", "tex_sum_micro",
+            "tex_min_micro", "tex_max_micro", "error",
+        ]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        e = np.stack([np.asarray(b, dtype=np.float64) for b in pdf["betas"]])
+        cam = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in pdf["cam_code"]]
+        )
+        B = e.shape[0]
+        acc = np.broadcast_to(aff[..., 0], (B,) + aff.shape[:2]).copy()
+        for k in range(e.shape[1]):
+            acc = acc + aff[None, ..., k + 1] * e[:, k, None, None]
+        s = cam[:, 0][:, None]
+        tx, ty = cam[:, 1][:, None], cam[:, 2][:, None]
+        screen = np.empty_like(acc)
+        screen[..., 0] = -(s * (acc[..., 0] + tx))
+        screen[..., 1] = s * (acc[..., 1] + ty)
+        screen[..., 2] = (-(s * acc[..., 2])) + 10.0
+        ras = rasterize_batch(quantize_verts(screen), faces, _RAS_IMG_SIZE)
+        mask, bary, p2f = ras["mask"], ras["bary"], ras["pix_to_face"]
+        u = normalize_int_vectors(
+            quantized_vertex_normals_batch(quantize_symmetric(acc), faces)
+        )
+        corners = faces[np.where(mask, p2f, 0)]
+        bidx = np.arange(B)[:, None, None, None]
+        uc = u[bidx, corners]
+        gc = uv_ndc[corners]  # (B, H, W, corner, 2) — constants per vid
+        b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
+
+        def interp(comp):
+            return ((b0 * comp[..., 0]) + (b1 * comp[..., 1])) + (
+                b2 * comp[..., 2]
+            )
+
+        nxp = interp(uc[..., 0])
+        nyp = interp(uc[..., 1])
+        nzp = interp(uc[..., 2])
+        gxp = interp(gc[..., 0])
+        gyp = interp(gc[..., 1])
+        # grid_sample align_corners=False, zeros padding — the pinned twin
+        # of operators.rasterize.grid_sample_bilinear (order-equality is
+        # pinned in tests/test_render_texture_staged.py)
+        ix = (((gxp + 1.0) * 64.0) - 1.0) / 2.0
+        iy = (((gyp + 1.0) * 64.0) - 1.0) / 2.0
+        x0 = np.floor(ix)
+        y0 = np.floor(iy)
+        wx1 = ix - x0
+        wy1 = iy - y0
+        x0i, y0i = x0.astype(np.int64), y0.astype(np.int64)
+        texel = None
+        for c in range(3):
+            img = albedo[c]
+            acc_c = np.zeros_like(ix)
+            for xi, yi, wgt in (
+                (x0i, y0i, (1.0 - wx1) * (1.0 - wy1)),
+                (x0i + 1, y0i, wx1 * (1.0 - wy1)),
+                (x0i, y0i + 1, (1.0 - wx1) * wy1),
+                (x0i + 1, y0i + 1, wx1 * wy1),
+            ):
+                valid = (xi >= 0) & (xi < 64) & (yi >= 0) & (yi < 64)
+                tapv = img[np.clip(yi, 0, 63), np.clip(xi, 0, 63)]
+                acc_c = acc_c + tapv * (wgt * valid)
+            shade_c = sh_gray_chain(nxp, nyp, nzp, w[:, c])
+            term = acc_c * shade_c
+            texel = term if texel is None else texel + term
+        texel = texel / 3.0
+        micro = np.floor(texel * 1000000.0)
+        rows = []
+        for bi, vec_id in enumerate(pdf["vec_id"]):
+            m = mask[bi]
+            n_cov = int(m.sum())
+            if n_cov:
+                pm = micro[bi][m].astype(np.int64)
+                rows.append((vec_id, n_cov, int(pm.sum()),
+                             int(pm.min()), int(pm.max()), None))
+            else:
+                rows.append((vec_id, 0, 0, None, None, None))
+        return pd.DataFrame(rows, columns=cols)
+
+    def factory():
+        import numpy as np
+
+        from talkinghead_datapipeline_spark.operators.models import FlameLbsDecoder
+
+        m = FlameLbsDecoder()
+        return {
+            "aff": m.posed_verts_affine(np.asarray(_PROBE_POSE, dtype=np.float64)),
+            "faces": m.faces,
+            **_texture_assets(),
+        }
+
+    out = batched_inference(
+        emb,
+        output_schema=(
+            "vec_id bigint, covered_pixels bigint, tex_sum_micro bigint, "
+            "tex_min_micro bigint, tex_max_micro bigint, error string"
+        ),
+        model_key="n17_texture_rasterizer",
+        model_factory=factory,
+        batch_fn=infer,
+    )
+    return out.filter(F.col("error").isNull()).drop("error")

@@ -142,17 +142,20 @@ _MODULES = (
 #
 # r14 rotation (write the final comment the day the r13 artifacts land):
 # (1) r14 changed-code canaries — whatever r14 itself changes;
-# (2) the SIX r13-staged registrations WITH seats and HEADLINE entries in
-#     the same change (whitelist entries already added at staging time):
-#     n17_render_shaded_checksum (inference_nodes.py — the SH-shaded pixel
-#     tier via order-free integer-mesh normals), kaplan_meier_survival +
-#     logrank_segment_survival (behavior.py — exact-integer product-limit
-#     fold; two-sample chi-square on the same risk sets),
-#     bh_fdr_lang_source (stats_tests.py — BH step-up over the z-test
-#     battery), dbscan_grid_roles (similarity.py — grid-density
-#     core/border/noise), triangle_count_brand_graph (graph.py — exact
-#     triangles + clustering coefficient). All six are 3-SF + x4 verified
-#     with dedicated staged tests (shade and dbscan additionally x16).
+# (2) the SEVEN r13-staged registrations WITH seats and HEADLINE entries
+#     in the same change (whitelist entries already added at staging time):
+#     n17_render_shaded_checksum + n17_render_texture_checksum
+#     (inference_nodes.py — the SH-shaded pixel tier via order-free
+#     integer-mesh normals, and the FULL textured forward: uv interp →
+#     bilinear grid_sample → per-channel SH → RGB mean),
+#     kaplan_meier_survival + logrank_segment_survival (behavior.py —
+#     exact-integer product-limit fold; two-sample chi-square on the same
+#     risk sets), bh_fdr_lang_source (stats_tests.py — BH step-up over
+#     the z-test battery), dbscan_grid_roles (similarity.py —
+#     grid-density core/border/noise), triangle_count_brand_graph
+#     (graph.py — exact triangles + clustering coefficient). All seven
+#     are 3-SF + x4 verified with dedicated staged tests (shade, texture
+#     and dbscan additionally x16).
 # (3) the remaining 42 r9-era keys (lang_id_heuristic,
 #     multimodal_binary_features first) with the leftover ~41 seats — the
 #     displaced tail (one or two keys, plus canary displacement) leads the

@@ -475,7 +475,7 @@ tri AS (
 ),
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+         CAST(COALESCE(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
   FROM deg
 ),
 ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
@@ -519,7 +519,9 @@ def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("n_wedges"),
+        F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     e1 = edges.select(F.col("ba").alias("a1"), F.col("bb").alias("b1"))
     e2 = edges.select(F.col("ba").alias("a2"), F.col("bb").alias("b2"))

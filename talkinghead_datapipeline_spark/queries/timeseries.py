@@ -1708,3 +1708,210 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_hi_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r14 registration — acf_ljung_box_daily (r13: the
+# autocorrelation class — nothing in the registry measures serial
+# dependence; pairs with changepoint_daily_revenue / seasonal_dow_backtest
+# / mann_kendall_daily_trend on the same daily-revenue series).
+#
+# Sample autocorrelation r_k (lags 1..7) of daily order revenue on the
+# COMPLETE calendar grid (missing days are zero-revenue days — both
+# engines generate the inclusive day sequence), plus the Ljung-Box
+# portmanteau statistic accumulated the nelson_aalen way.
+#
+# Determinism (documented tier, not full rational exactness): the series
+# is exact BIGINT dollars (cents div 100); the mean is the FLOORED
+# integer mean m = S div n (a deterministic quantization of x̄ — the
+# classical estimator to < 1 dollar); deviations and the lag-k product
+# sums num_k = Σ d_t·d_{t−k} and den = Σ d_t² are EXACT int64
+# (bound documented below); r_k = floor(1e6·(num_k/den)) is computed as
+# one int64→double conversion per operand (correctly rounded, identical
+# cross-engine even past 2^53) and one division — deterministic with no
+# accumulation-order argument anywhere. The Ljung-Box terms quantize
+# FIRST at pico resolution (t_k = floor(1e12·(r_k/1e6)²/(n−k)) — the
+# raw terms are ~1e-7, far under a 1e-6 quantum) so the cumulative sum
+# is an associative BIGINT prefix — lb_q_scaled = n·(n+2)·Σ t_j in
+# exact integers (units 1e-12 of the classical Q; Q ≈ lb_q_scaled/1e12).
+#
+# Overflow bound (asserted in the staged test): n·max|d|² < 2^63 holds
+# through max daily |deviation| ≈ 6.2e7 dollars at n≈2400 (sf0.1
+# measures 7.5e6 — 8x headroom; a larger corpus moves the unit to k$,
+# one constant).
+#
+# Scale shape: ONE data-sized aggregation (orders → daily cents), then
+# everything lives on the calendar-bounded grid (~2.4k rows): the lag
+# windows are single-partition by construction (same as nelson_aalen),
+# the 1-row stats crossJoin is a broadcast nested loop by design —
+# whitelist entry pre-added at staging time.
+# ---------------------------------------------------------------------------
+
+ACF_LJUNG_BOX_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+grid AS (
+  -- DuckDB 1.0 table functions reject subquery/lateral args; DATE + 1
+  -- steps a day, so the inclusive grid is a recursive walk of the span
+  -- (calendar-bounded depth, the dedup-cluster oracle's pattern)
+  SELECT (SELECT d0 FROM span) AS day
+  UNION ALL
+  SELECT day + 1 FROM grid WHERE day < (SELECT d1 FROM span)
+),
+series AS (
+  SELECT g.day, COALESCE(d.cents, 0) // 100 AS dollars
+  FROM grid g LEFT JOIN daily d USING (day)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dollars) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+  FROM series
+),
+dev AS (
+  SELECT day, dollars - (SELECT m FROM stats) AS d
+  FROM series
+),
+lagged AS (
+  SELECT d,
+         lag(d, 1) OVER w AS l1, lag(d, 2) OVER w AS l2,
+         lag(d, 3) OVER w AS l3, lag(d, 4) OVER w AS l4,
+         lag(d, 5) OVER w AS l5, lag(d, 6) OVER w AS l6,
+         lag(d, 7) OVER w AS l7
+  FROM dev WINDOW w AS (ORDER BY day)
+),
+mom AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS den,
+         CAST(sum(d * l1) AS BIGINT) AS num1,
+         CAST(sum(d * l2) AS BIGINT) AS num2,
+         CAST(sum(d * l3) AS BIGINT) AS num3,
+         CAST(sum(d * l4) AS BIGINT) AS num4,
+         CAST(sum(d * l5) AS BIGINT) AS num5,
+         CAST(sum(d * l6) AS BIGINT) AS num6,
+         CAST(sum(d * l7) AS BIGINT) AS num7
+  FROM lagged
+),
+rk AS (
+  SELECT k.lag, s.n, m.den,
+         CASE k.lag WHEN 1 THEN m.num1 WHEN 2 THEN m.num2 WHEN 3 THEN m.num3
+                    WHEN 4 THEN m.num4 WHEN 5 THEN m.num5 WHEN 6 THEN m.num6
+                    ELSE m.num7 END AS num
+  FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) k(lag)
+  CROSS JOIN mom m CROSS JOIN stats s
+),
+quant AS (
+  SELECT CAST(lag AS BIGINT) AS lag, n AS n_days, num,
+         CASE WHEN den > 0 THEN
+           CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                      * 1000000.0) AS BIGINT)
+         END AS r_ppm,
+         den
+  FROM rk
+),
+terms AS (
+  SELECT lag, n_days, num, r_ppm,
+         CASE WHEN r_ppm IS NOT NULL THEN
+           CAST(floor((((CAST(r_ppm AS DOUBLE) / 1000000.0)
+                        * (CAST(r_ppm AS DOUBLE) / 1000000.0))
+                       / CAST(n_days - lag AS DOUBLE))
+                      * 1000000000000.0) AS BIGINT)
+         END AS t_pico
+  FROM quant
+)
+SELECT lag, n_days, num, r_ppm,
+       CASE WHEN t_pico IS NOT NULL THEN
+         (n_days * (n_days + 2))
+           * CAST(sum(t_pico) OVER (ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       END AS lb_q_scaled
+FROM terms ORDER BY lag
+"""
+
+
+def acf_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue (lags 1..7, zero-filled
+    calendar grid, floored-integer mean) with the Ljung-Box portmanteau
+    accumulated over pre-quantized integer terms — exact int64 moment
+    sums, one correctly-rounded division per lag. See the staging comment
+    for the determinism tier and the overflow bound. STAGED r13 ->
+    registers r14."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = (
+        grid.join(daily, "day", "left")
+        .select("day", F.expr("COALESCE(cents, 0) div 100").alias("dollars"))
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(dollars) AS BIGINT) div count(*)").alias("m"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "day", "n", (F.col("dollars") - F.col("m")).alias("d")
+    )
+    w = W.orderBy("day")
+    lagged = dev.select(
+        "n",
+        "d",
+        *[F.lag("d", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    mom = lagged.groupBy("n").agg(
+        F.sum(F.expr("d * d")).cast("bigint").alias("den"),
+        *[
+            F.sum(F.expr(f"d * l{k}")).cast("bigint").alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rk = mom.select(
+        "n",
+        "den",
+        F.expr(
+            "stack(7, 1, num1, 2, num2, 3, num3, 4, num4, 5, num5,"
+            " 6, num6, 7, num7) AS (lag, num)"
+        ),
+    )
+    quant = rk.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        "num",
+        F.expr(
+            "CASE WHEN den > 0 THEN"
+            " CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+            " * 1000000.0) AS BIGINT) END"
+        ).alias("r_ppm"),
+    )
+    terms = quant.withColumn(
+        "t_pico",
+        F.expr(
+            "CASE WHEN r_ppm IS NOT NULL THEN"
+            " CAST(floor((((CAST(r_ppm AS DOUBLE) / 1000000.0)"
+            " * (CAST(r_ppm AS DOUBLE) / 1000000.0))"
+            " / CAST(n_days - lag AS DOUBLE)) * 1000000000000.0) AS BIGINT)"
+            " END"
+        ),
+    )
+    w_cum = W.orderBy("lag").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return terms.select(
+        "lag",
+        "n_days",
+        "num",
+        "r_ppm",
+        F.when(
+            F.col("t_pico").isNotNull(),
+            (F.col("n_days") * (F.col("n_days") + 2))
+            * F.sum("t_pico").over(w_cum).cast("bigint"),
+        ).alias("lb_q_scaled"),
+    ).orderBy("lag")

@@ -63,6 +63,8 @@ _NESTED_LOOP_OK = {
     # 1-row edge/triangle aggregate crossJoins onto the single output row
     "logrank_segment_survival",  # no crossJoin of its own, but the single
     # final-row aggregate can plan as a broadcast nested loop under AQE
+    "acf_ljung_box_daily",  # 1-row span/stats broadcast crossJoins onto
+    # the calendar-bounded day grid
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

@@ -142,7 +142,7 @@ _MODULES = (
 #
 # r14 rotation (write the final comment the day the r13 artifacts land):
 # (1) r14 changed-code canaries — whatever r14 itself changes;
-# (2) the SEVEN r13-staged registrations WITH seats and HEADLINE entries
+# (2) the EIGHT r13-staged registrations WITH seats and HEADLINE entries
 #     in the same change (whitelist entries already added at staging time):
 #     n17_render_shaded_checksum + n17_render_texture_checksum
 #     (inference_nodes.py — the SH-shaded pixel tier via order-free
@@ -153,9 +153,11 @@ _MODULES = (
 #     risk sets), bh_fdr_lang_source (stats_tests.py — BH step-up over
 #     the z-test battery), dbscan_grid_roles (similarity.py —
 #     grid-density core/border/noise), triangle_count_brand_graph
-#     (graph.py — exact triangles + clustering coefficient). All seven
-#     are 3-SF + x4 verified with dedicated staged tests (shade, texture
-#     and dbscan additionally x16).
+#     (graph.py — exact triangles + clustering coefficient), and
+#     acf_ljung_box_daily (timeseries.py — serial-dependence class: ACF
+#     lags 1..7 + the Ljung-Box portmanteau). All eight are 3-SF + x4
+#     verified with dedicated staged tests (shade, texture and dbscan
+#     additionally x16).
 # (3) the remaining 42 r9-era keys (lang_id_heuristic,
 #     multimodal_binary_features first) with the leftover ~41 seats — the
 #     displaced tail (one or two keys, plus canary displacement) leads the

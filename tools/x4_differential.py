@@ -8,7 +8,11 @@ user ids so per-user streams quadruple; embeddings shift vec ids) and runs
 EVERY registered query's Spark plan against its DuckDB oracle on those
 tables, reporting hash mismatches.
 
-Usage: python tools/x4_differential.py [sf_dir] [out_dir] [prefix]
+Usage: python tools/x4_differential.py [sf_dir] [out_dir] [prefix] [replicas]
+
+replicas defaults to 4 (the canonical regime); any N >= 2 builds an xN
+fixture with the same key-shift scheme (manifest records it, so mixing
+regimes in one out_dir forces a rebuild).
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ SHIFT = {
 OFFSET = 1_000_000_000
 
 
-def build_tables(spark, sf_dir: str, out_dir: str) -> None:
+def build_tables(spark, sf_dir: str, out_dir: str, replicas: int = 4) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -47,7 +51,7 @@ def build_tables(spark, sf_dir: str, out_dir: str) -> None:
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
     manifest = {
         "sf_dir": os.path.abspath(sf_dir),
-        "scheme": {"shift": SHIFT, "offset": OFFSET, "replicas": 4},
+        "scheme": {"shift": SHIFT, "offset": OFFSET, "replicas": replicas},
     }
     stale = True
     if os.path.exists(manifest_path):
@@ -77,7 +81,7 @@ def build_tables(spark, sf_dir: str, out_dir: str) -> None:
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         if name in SHIFT:
             parts = []
-            for i in range(4):
+            for i in range(replicas):
                 d = df
                 for col in SHIFT[name]:
                     d = d.withColumn(col, F.col(col) + F.lit(i * OFFSET))
@@ -100,10 +104,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/x4_differential"
     prefix = sys.argv[3] if len(sys.argv) > 3 else ""
+    replicas = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    build_tables(spark, sf_dir, out_dir)
+    build_tables(spark, sf_dir, out_dir, replicas)
 
     import duckdb
 

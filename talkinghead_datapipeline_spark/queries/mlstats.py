@@ -1565,3 +1565,134 @@ def conformal_coverage_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — oof_target_encoding_segment (r13
+# continuation: the leakage-free feature-engineering class —
+# group_split_no_leakage certifies the SPLIT and kfold_linreg_cv the
+# cross-validated FIT, but nothing in the registry computes a
+# leakage-free derived FEATURE; out-of-fold target encoding is the
+# canonical one: encode a categorical by the target mean computed on
+# every fold EXCEPT the row's own).
+#
+# Orders are joined to their customer's market segment (broadcast dim
+# equi-join), folds assigned by the kfold family's portable 32-bit md5
+# hash ('te' || o_orderkey, mod 5 — non-negative in both engines). For
+# each (segment, fold) cell the encoding is trained on the OTHER four
+# folds of that segment:
+#   oof_mean_micro     = (s_tr · 10^4) div n_tr          [micro-dollars]
+#   prior_micro        = leakage-free global mean, same fold excluded
+#   oof_smoothed_micro = (s_tr·10^4 + M·prior_micro) div (n_tr + M), M=20
+# where s/n are exact BIGINT cent sums/counts and train-side stats are
+# segment-total-minus-cell via windows over the 25-row cell frame (the
+# kfold total-minus-fold pattern). Integer end-to-end: the only
+# divisions are floor divs of non-negative BIGINTs — deterministic
+# cross-engine, no rounding-boundary argument.
+#
+# Overflow bound (asserted in the staged test): max cent sum · 10^4 —
+# 3.76e12 · 10^4 = 3.8e16 at sf0.1 and rows-linear in replication (×4 →
+# 1.5e17), 61× inside int64.
+#
+# Scale shape: ONE data-sized aggregation (orders ⋈ broadcast customer →
+# 25 (segment, fold) cells with map-side partial aggregation); the
+# exclusion windows live on the 25-row frame. The DuckDB oracle
+# evaluates the leave-fold-out definition LITERALLY — correlated
+# self-exclusion subqueries per cell — a genuinely independent
+# formulation of "trained on everything except this fold".
+# ---------------------------------------------------------------------------
+
+OOF_TARGET_ENCODING_ORACLE = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         ('0x' || substr(md5('te' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+           ::BIGINT % 5 AS fold,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (
+  SELECT DISTINCT segment, fold FROM base
+)
+SELECT a.segment, CAST(a.fold AS BIGINT) AS fold,
+       (SELECT CAST(count(*) AS BIGINT) FROM base b
+         WHERE b.segment = a.segment AND b.fold <> a.fold) AS n_train,
+       -- NULL when the training side is empty (degenerate crafted corpus:
+       -- a segment living in a single fold) — matches Spark's div-by-zero
+       (SELECT CASE WHEN count(*) > 0 THEN
+                 (CAST(sum(b.cents) AS BIGINT) * 10000)
+                 // CAST(count(*) AS BIGINT) END FROM base b
+         WHERE b.segment = a.segment AND b.fold <> a.fold) AS oof_mean_micro,
+       (SELECT (CAST(COALESCE(sum(b.cents), 0) AS BIGINT) * 10000
+                + 20 * ((SELECT (CAST(sum(g.cents) AS BIGINT) * 10000)
+                                // CAST(count(*) AS BIGINT) FROM base g
+                          WHERE g.fold <> a.fold))
+               ) // (CAST(count(*) AS BIGINT) + 20) FROM base b
+         WHERE b.segment = a.segment AND b.fold <> a.fold)
+         AS oof_smoothed_micro
+FROM cells a
+ORDER BY a.segment, a.fold
+"""
+
+
+def oof_target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding of customer market segment
+    against order value: per (segment, fold) cell, the mean and the
+    M=20-smoothed mean of cents over the OTHER four folds, in exact
+    floor-micro-dollar integers — train-side stats are total-minus-cell
+    windows over the 25-row cell frame; the oracle evaluates the
+    leave-fold-out definition literally via correlated self-exclusion
+    subqueries. See the staging comment for the overflow bound. STAGED
+    r13 -> registers r15 (the r14 window is full)."""
+    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "segment",
+        (
+            portable_hash32(
+                F.concat(F.lit("te"), F.col("o_orderkey").cast("string"))
+            )
+            % 5
+        ).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sf"),
+        F.sum("cents").cast("bigint").alias("s_sf"),
+    )
+    w_seg = W.partitionBy("segment")
+    w_fold = W.partitionBy("fold")
+    w_all = W.partitionBy()
+    cells = per.select(
+        "segment",
+        "fold",
+        (F.sum("n_sf").over(w_seg) - F.col("n_sf")).alias("n_tr"),
+        (F.sum("s_sf").over(w_seg) - F.col("s_sf")).alias("s_tr"),
+        (F.sum("n_sf").over(w_all) - F.sum("n_sf").over(w_fold)).alias(
+            "n_gtr"
+        ),
+        (F.sum("s_sf").over(w_all) - F.sum("s_sf").over(w_fold)).alias(
+            "s_gtr"
+        ),
+    )
+    return cells.select(
+        "segment",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_tr").alias("n_train"),
+        # CASE guards: ANSI div raises on zero; NULL mean when the
+        # training side is empty (degenerate single-fold segment), NULL
+        # smoothing only when the whole prior side is empty too
+        F.expr(
+            "CASE WHEN n_tr > 0 THEN (s_tr * 10000) div n_tr END"
+        ).alias("oof_mean_micro"),
+        F.expr(
+            "CASE WHEN n_gtr > 0 THEN"
+            " (s_tr * 10000 + 20 * ((s_gtr * 10000) div n_gtr))"
+            " div (n_tr + 20) END"
+        ).alias("oof_smoothed_micro"),
+    ).orderBy("segment", "fold")

@@ -65,6 +65,12 @@ _NESTED_LOOP_OK = {
     # final-row aggregate can plan as a broadcast nested loop under AQE
     "acf_ljung_box_daily",  # 1-row span/stats broadcast crossJoins onto
     # the calendar-bounded day grid
+    # --- pre-added for the r15 registrations (staged r13 continuation;
+    # --- inert until the name joins the registry) ---
+    "cusum_drift_daily",  # 1-row (m, slack, h) params crossJoin onto the
+    # calendar-bounded day grid
+    "hits_hubs_authorities",  # 1-row per-half-step max crossJoins (the
+    # exact-integer max-normalization); adjacency joins are equi-joins
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

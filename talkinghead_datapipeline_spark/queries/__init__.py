@@ -162,6 +162,22 @@ _MODULES = (
 #     multimodal_binary_features first) with the leftover ~41 seats — the
 #     displaced tail (one or two keys, plus canary displacement) leads the
 #     r15 drain; (4) r10-era oldest-first thereafter.
+#
+# r15 staging tranche (staged in the r13 continuation session; the r14
+# window is full, so these register in r15 after its drain tail):
+# pareto_skyline_parts (relational.py — dominance/skyline class: 2-D
+# per-brand skyline via the running-max window identity vs a NOT EXISTS
+# dominance oracle), cusum_drift_daily (timeseries.py — sequential
+# process-control: two-sided Page CUSUM via the reflected-prefix closed
+# form vs the textbook recursive recurrence), oof_target_encoding_segment
+# (mlstats.py — leakage-free feature engineering: out-of-fold target
+# encoding vs literal self-exclusion subqueries),
+# hits_hubs_authorities (graph.py — Kleinberg HITS, exact-integer
+# max-normalized sweeps, unrolled-CTE oracle), bfs_hops_trade_network
+# (graph.py — multi-source BFS hop layers, frontier/anti-join iteration
+# vs (node, dist) set recursion). All 3-SF + x4 verified at staging time
+# (tools/verify_staged.py) with dedicated staged tests; whitelist
+# entries pre-added for the two that plan 1-row crossJoins (cusum, hits).
 _DRIVER_PRIORITY = (
     # --- 0. round-13 changed-code canaries ---
     "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)

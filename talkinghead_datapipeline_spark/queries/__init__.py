@@ -175,9 +175,15 @@ _MODULES = (
 # hits_hubs_authorities (graph.py — Kleinberg HITS, exact-integer
 # max-normalized sweeps, unrolled-CTE oracle), bfs_hops_trade_network
 # (graph.py — multi-source BFS hop layers, frontier/anti-join iteration
-# vs (node, dist) set recursion). All 3-SF + x4 verified at staging time
-# (tools/verify_staged.py) with dedicated staged tests; whitelist
-# entries pre-added for the two that plan 1-row crossJoins (cusum, hits).
+# vs (node, dist) set recursion), spearman_rank_corr_lang
+# (stats_tests.py — rank-correlation class: tie-corrected Spearman via
+# the exact-BIGINT doubled-rank identity), ndcg_mrr_retrieval_eval
+# (similarity.py — retrieval-evaluation class: NDCG@10 + MRR vs the
+# brute-force ground truth with BUILD-time-quantized integer discount
+# literals, composed from the registered top-k pair). All 3-SF + x4
+# verified at staging time (tools/verify_staged.py) with dedicated
+# staged tests; whitelist entries pre-added for the three that plan
+# 1-row/tiny crossJoins (cusum, hits, ndcg).
 _DRIVER_PRIORITY = (
     # --- 0. round-13 changed-code canaries ---
     "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)

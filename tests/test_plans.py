@@ -71,6 +71,9 @@ _NESTED_LOOP_OK = {
     # calendar-bounded day grid
     "hits_hubs_authorities",  # 1-row per-half-step max crossJoins (the
     # exact-integer max-normalization); adjacency joins are equi-joins
+    "ndcg_mrr_retrieval_eval",  # <=10-row ann/exact frames composed from
+    # the two registered top-k queries (the recall-certified pattern):
+    # 1-row aggregate crossJoins + the 10x10 hit join
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

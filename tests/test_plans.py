@@ -74,6 +74,9 @@ _NESTED_LOOP_OK = {
     "ndcg_mrr_retrieval_eval",  # <=10-row ann/exact frames composed from
     # the two registered top-k queries (the recall-certified pattern):
     # 1-row aggregate crossJoins + the 10x10 hit join
+    "decision_stump_split_scores",  # 9-row broadcast decile-rank probe
+    # (cum_cnt >= r_need) against the cardinality-bounded cumulative
+    # distinct-x frame — deliberately non-equi, bounded by the 9 ranks
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

@@ -180,10 +180,17 @@ _MODULES = (
 # the exact-BIGINT doubled-rank identity), ndcg_mrr_retrieval_eval
 # (similarity.py — retrieval-evaluation class: NDCG@10 + MRR vs the
 # brute-force ground truth with BUILD-time-quantized integer discount
-# literals, composed from the registered top-k pair). All 3-SF + x4
-# verified at staging time (tools/verify_staged.py) with dedicated
-# staged tests; whitelist entries pre-added for the three that plan
-# 1-row/tiny crossJoins (cusum, hits, ndcg).
+# literals, composed from the registered top-k pair),
+# decision_stump_split_scores (mlstats.py — tree-learner split scoring:
+# Gini gain over decile thresholds, exact BIGINT quantize-first
+# impurities, no IEEE op anywhere), holt_linear_forecast_daily
+# (timeseries.py — trend-aware forecaster: Holt smoothing over integer
+# micro-dollar state, trunc-div agreement measured for the negative
+# trend tier). All 3-SF + x4 verified at staging time
+# (tools/verify_staged.py) AND re-verified on a x16 replication;
+# dedicated staged tests throughout; whitelist entries pre-added for the
+# four that plan 1-row/tiny crossJoins or bounded non-equi probes
+# (cusum, hits, ndcg, stump).
 _DRIVER_PRIORITY = (
     # --- 0. round-13 changed-code canaries ---
     "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)

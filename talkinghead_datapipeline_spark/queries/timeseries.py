@@ -2079,3 +2079,158 @@ def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_up_dollars") > F.col("h")).cast("bigint").alias("alarm_up"),
         (F.col("s_dn_dollars") > F.col("h")).cast("bigint").alias("alarm_dn"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — holt_linear_forecast_daily (r13
+# continuation: the exponential-smoothing forecaster class —
+# seasonal_dow_backtest scores a seasonal-NAIVE forecaster and
+# ewma_user_values certifies single smoothing per user, but nothing in
+# the registry runs a trend-aware forecaster, the Holt half of the
+# Holt-Winters family every monitoring/forecast stack ships).
+#
+# Holt's linear (double-exponential) smoothing over the zero-filled
+# daily-dollars grid, α = 0.2, β = 0.1, made bit-exact by running the
+# classical recurrence over INTEGER micro-dollar state with per-step
+# truncating division by 1000 (the quantization IS the definition):
+#   l_1 = 10^6·x_1,  b_1 = 0
+#   l_t = (200·10^6·x_t + 800·(l_{t−1} + b_{t−1})) div 1000
+#   b_t = (100·(l_t − l_{t−1}) + 900·b_{t−1}) div 1000
+# with the one-step-ahead forecast f_t = l_{t−1} + b_{t−1} and residual
+# e_t = 10^6·x_t − f_t. The trend state b_t (and the residual) go
+# NEGATIVE on downswings — safe cross-engine because Spark's `div` and
+# DuckDB's `//` were MEASURED to agree on truncation toward zero for
+# BIGINTs (−7 div 2 = −3 in both; SCALING.md note), and the staged
+# test's Python fold uses an explicit trunc-div (Python `//` floors,
+# the one engine-local pitfall).
+#
+# Spark formulation: a sequential recurrence with a division per step
+# has no prefix-reducible closed form (contrast cusum) and no broadcast-
+# array identity worth O(n²) HOF steps at 2.4k days (contrast KM's 75) —
+# so the engine runs the fold as ONE applyInPandas over the calendar-
+# bounded grid grouped to a single key (exact Python ints, no float
+# anywhere), the rolling.py kernel pattern; everything upstream (the
+# only data-sized stage: orders → daily cents) is the shared grid
+# construction. The DuckDB oracle walks the identical recurrence as a
+# recursive CTE over MATERIALIZED inputs (the cusum lesson).
+#
+# Overflow bound (asserted in the staged test): state ≈ 10^6·(max daily
+# dollars) — ~6e13 at sf0.1; 200·10^6·x_t ≤ 1.2e16, ×16 → 1.9e17, 48×
+# inside int64.
+# ---------------------------------------------------------------------------
+
+HOLT_FORECAST_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+grid AS (
+  SELECT (SELECT d0 FROM span) AS day
+  UNION ALL
+  SELECT day + 1 FROM grid WHERE day < (SELECT d1 FROM span)
+),
+ordered AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (the cusum lesson): the recursive walk
+  -- below probes this frame every step; inlined, DuckDB re-runs the
+  -- recursive grid per step
+  SELECT g.day, COALESCE(d.cents, 0) // 100 AS dollars,
+         row_number() OVER (ORDER BY g.day) AS rn
+  FROM grid g LEFT JOIN daily d USING (day)
+),
+walk AS (
+  SELECT rn, day, dollars,
+         1000000 * dollars AS l,
+         CAST(0 AS BIGINT) AS b,
+         CAST(NULL AS BIGINT) AS f
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.dollars,
+         (200 * 1000000 * o.dollars + 800 * (w.l + w.b)) // 1000,
+         (100 * ((200 * 1000000 * o.dollars + 800 * (w.l + w.b)) // 1000
+                 - w.l)
+          + 900 * w.b) // 1000,
+         w.l + w.b
+  FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dollars,
+       l AS level_micro, b AS trend_micro, f AS forecast_micro,
+       CASE WHEN f IS NOT NULL THEN 1000000 * dollars - f END
+         AS err_micro
+FROM walk ORDER BY day
+"""
+
+
+def holt_linear_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of zero-filled daily revenue (α=0.2,
+    β=0.1) over exact integer micro-dollar state with per-step truncating
+    division — the quantization is the definition, measured identical
+    between Spark `div` and DuckDB `//` including negative trend state.
+    The fold runs as one applyInPandas over the calendar-bounded grid;
+    the oracle walks the identical recurrence recursively. See the
+    staging comment. STAGED r13 -> registers r15 (the r14 window is
+    full)."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = grid.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr("COALESCE(cents, 0) div 100").alias("dollars"),
+        F.lit(1).alias("g"),
+    )
+
+    def _trunc_div(a: int, b: int) -> int:
+        # Spark div / DuckDB // truncate toward zero; Python // floors
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def _fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out_l, out_b, out_f, out_e = [], [], [], []
+        l = b = None
+        for x in pdf.dollars.astype(object):  # exact Python ints
+            x = int(x)
+            if l is None:
+                l, b, f = 1_000_000 * x, 0, None
+            else:
+                f = l + b
+                l_new = _trunc_div(200 * 1_000_000 * x + 800 * (l + b), 1000)
+                b = _trunc_div(100 * (l_new - l) + 900 * b, 1000)
+                l = l_new
+            out_l.append(l)
+            out_b.append(b)
+            out_f.append(f)
+            out_e.append(None if f is None else 1_000_000 * x - f)
+        return pd.DataFrame(
+            {
+                "day": pdf.day,
+                "dollars": pdf.dollars,
+                "level_micro": pd.array(out_l, dtype="Int64"),
+                "trend_micro": pd.array(out_b, dtype="Int64"),
+                "forecast_micro": pd.array(out_f, dtype="Int64"),
+                "err_micro": pd.array(out_e, dtype="Int64"),
+            }
+        )
+
+    out_schema = (
+        "day string, dollars bigint, level_micro bigint, trend_micro bigint,"
+        " forecast_micro bigint, err_micro bigint"
+    )
+    return (
+        series.groupBy("g")
+        .applyInPandas(_fold, schema=out_schema)
+        .orderBy("day")
+    )

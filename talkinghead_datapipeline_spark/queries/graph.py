@@ -695,7 +695,11 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
-    hubs = h2.select(
+    # top-20 FIRST via distributed TakeOrderedAndProject, THEN the rank
+    # window over the 20-row result — a global row_number over every
+    # customer would funnel the full hub frame through one partition
+    top_hubs = h2.orderBy(F.desc("h"), F.asc("cust")).limit(20)
+    hubs = top_hubs.select(
         F.lit("hub").alias("role"),
         F.col("cust").cast("string").alias("node"),
         F.col("h").alias("score_ppm"),
@@ -703,7 +707,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("h"), F.asc("cust")))
         .cast("bigint")
         .alias("rnk"),
-    ).filter(F.col("rnk") <= 20)
+    )
     return auth.unionByName(hubs).orderBy("role", "rnk")
 
 
@@ -788,7 +792,7 @@ ORDER BY dist, node_kind
 
 def bfs_hops_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS layers on the customer↔supplier trade network
-    (seeds: region-ASIA suppliers, {_BFS_MAX_HOPS} frontier expansions):
+    (seeds: region-ASIA suppliers, _BFS_MAX_HOPS = 4 frontier expansions):
     histogram of min-hop distance per node kind over the FULL node
     universe, unreached nodes at distance −1. Pregel-shaped frontier
     joins + visited anti-joins; the oracle recurses in (node, dist) space

@@ -186,11 +186,13 @@ _MODULES = (
 # impurities, no IEEE op anywhere), holt_linear_forecast_daily
 # (timeseries.py — trend-aware forecaster: Holt smoothing over integer
 # micro-dollar state, trunc-div agreement measured for the negative
-# trend tier). All 3-SF + x4 verified at staging time
-# (tools/verify_staged.py) AND re-verified on a x16 replication;
-# dedicated staged tests throughout; whitelist entries pre-added for the
-# four that plan 1-row/tiny crossJoins or bounded non-equi probes
-# (cusum, hits, ndcg, stump).
+# trend tier), kmv_distinct_intersection (sketches.py — the sketch
+# family's set-operation gap: KMV union/Jaccard/intersection estimates,
+# all BIGINT, true counts alongside as the accuracy certificate). All
+# 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
+# re-verified on a x16 replication; dedicated staged tests throughout;
+# whitelist entries pre-added for the five that plan 1-row/tiny
+# crossJoins or bounded non-equi probes (cusum, hits, ndcg, stump, kmv).
 _DRIVER_PRIORITY = (
     # --- 0. round-13 changed-code canaries ---
     "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)

@@ -166,3 +166,189 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — kmv_distinct_intersection (r13
+# continuation: completes the sketch family's SET-OPERATION gap — HLL
+# certifies per-set distinct counts and CMS heavy hitters, but neither
+# sketch supports INTERSECTION estimates; KMV (k-minimum-values,
+# Bar-Yossef et al. 2002 / Beyer et al. 2007) is the classical sketch
+# whose union is the k smallest of the merged samples and whose
+# intersection estimate is the Jaccard-scaled union — the primitive
+# behind audience-overlap and join-size estimation).
+#
+# KMV sketches (k = 256) of the distinct VIEW users and distinct
+# PURCHASE users from events, in the portable 32-bit md5 hash domain
+# ('kmv|' || user_id — engine-portable, non-negative, the kfold hash
+# family). Everything is exact BIGINT:
+#   est(S)          = ((k−1) · 2^32) div kth_min(S)        [k-th order
+#                     statistic estimator; (k−1)·2^32 ≈ 1.1e12 — no
+#                     overflow anywhere near int64]
+#   union sketch    = k smallest of the merged value sets (dedup first:
+#                     KMV is a DISTINCT-value sketch)
+#   jaccard_ppm     = (|union_sketch ∩ A ∩ B| · 10^6) div k
+#   est_intersection = (n_common · est(A∪B)) div k
+# The certified columns are the raw integer kth-minima, the exact
+# counts, and the floor-div estimates — plus the TRUE distinct counts
+# and true intersection from an exact pass, so the driver row also
+# certifies the sketch's accuracy envelope on this corpus (the
+# hll/minhash_estimate_error precedent).
+#
+# Scale shape: the sketch build is a distinct + global top-k ascending
+# (TakeOrderedAndProject — distributed partial top-k per partition, no
+# single-partition window); set ops run on ≤k-row broadcast frames. The
+# oracle recomputes the same order statistics relationally. Whitelist
+# entry pre-added (1-row/k-row crossJoins).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+
+KMV_ORACLE = f"""
+WITH viewers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+hv AS (
+  -- DISTINCT in the HASH domain: KMV is a distinct-VALUE sketch, and a
+  -- 32-bit collision would otherwise leave duplicate h rows that
+  -- Spark's membership JOIN multiplies where SQL IN does not
+  SELECT DISTINCT ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                   1, 8))::BIGINT AS h
+  FROM viewers
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                   1, 8))::BIGINT AS h
+  FROM buyers
+),
+ska AS (SELECT h FROM hv ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+sku AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+kth AS (
+  SELECT (SELECT max(h) FROM ska) AS kth_a,
+         (SELECT max(h) FROM skb) AS kth_b,
+         (SELECT max(h) FROM sku) AS kth_u,
+         (SELECT CAST(count(*) AS BIGINT) FROM ska) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM skb) AS n_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM sku) AS n_u,
+         (SELECT CAST(count(*) AS BIGINT) FROM sku
+           WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+           AS n_common,
+         (SELECT CAST(count(*) AS BIGINT) FROM viewers) AS true_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM buyers) AS true_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM viewers
+           WHERE user_id IN (SELECT user_id FROM buyers)) AS true_common
+)
+SELECT kth_a, kth_b, kth_u, n_common, true_a, true_b, true_common,
+       CASE WHEN n_a = {_KMV_K} THEN
+         (({_KMV_K} - 1) * 4294967296) // kth_a ELSE n_a END AS est_a,
+       CASE WHEN n_b = {_KMV_K} THEN
+         (({_KMV_K} - 1) * 4294967296) // kth_b ELSE n_b END AS est_b,
+       CASE WHEN n_u = {_KMV_K} THEN
+         (({_KMV_K} - 1) * 4294967296) // kth_u ELSE n_u END AS est_union,
+       (n_common * 1000000) // n_u AS jaccard_ppm,
+       (n_common * (CASE WHEN n_u = {_KMV_K} THEN
+          (({_KMV_K} - 1) * 4294967296) // kth_u ELSE n_u END)) // n_u
+         AS est_intersection
+FROM kth
+"""
+
+
+def kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k=256) distinct sketches of view vs purchase users with the
+    union/Jaccard/intersection estimators — exact BIGINT throughout (the
+    32-bit portable hash domain keeps (k−1)·2^32 tiny next to int64),
+    true counts emitted alongside so the driver row certifies the
+    accuracy envelope. Sketch build = distinct + distributed ascending
+    top-k; set ops on ≤k-row frames. See the staging comment. STAGED
+    r13 -> registers r15 (the r14 window is full)."""
+    from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def hashes(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(
+                portable_hash32(
+                    F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+                ).alias("h")
+            )
+            # distinct in the HASH domain (collision guard — see oracle)
+            .distinct()
+        )
+
+    hv, hb = hashes("view"), hashes("purchase")
+    ska = hv.orderBy("h").limit(_KMV_K)
+    skb = hb.orderBy("h").limit(_KMV_K)
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(_KMV_K)
+    common = (
+        sku.join(ska.withColumnRenamed("h", "ha"), sku.h == F.col("ha"))
+        .join(skb.withColumnRenamed("h", "hb"), sku.h == F.col("hb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    truth = (
+        viewers.agg(F.count(F.lit(1)).cast("bigint").alias("true_a"))
+        .crossJoin(
+            buyers.agg(F.count(F.lit(1)).cast("bigint").alias("true_b"))
+        )
+        .crossJoin(
+            viewers.join(buyers, "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("true_common"))
+        )
+    )
+    k = _KMV_K
+    stats = (
+        ska.agg(
+            F.max("h").alias("kth_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        )
+        .crossJoin(
+            skb.agg(
+                F.max("h").alias("kth_b"),
+                F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            )
+        )
+        .crossJoin(
+            sku.agg(
+                F.max("h").alias("kth_u"),
+                F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            )
+        )
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(truth))
+    )
+    est = (
+        f"CASE WHEN n_{{s}} = {k} THEN"
+        f" (({k} - 1) * 4294967296) div kth_{{s}} ELSE n_{{s}} END"
+    )
+    return stats.select(
+        "kth_a",
+        "kth_b",
+        "kth_u",
+        "n_common",
+        "true_a",
+        "true_b",
+        "true_common",
+        F.expr(est.format(s="a")).alias("est_a"),
+        F.expr(est.format(s="b")).alias("est_b"),
+        F.expr(est.format(s="u")).alias("est_union"),
+        F.expr("(n_common * 1000000) div n_u").alias("jaccard_ppm"),
+        F.expr(
+            f"(n_common * ({est.format(s='u')})) div n_u"
+        ).alias("est_intersection"),
+    )

@@ -8,13 +8,16 @@ the identical compare for staged (undecorated) queries, resolved by
 module path, so the sweep doesn't depend on registry membership.
 
 Usage:
-  python tools/verify_staged.py module.path:func_name:ORACLE_CONST [...]
+  python tools/verify_staged.py [--replicas N ...] \\
+      module.path:func_name:ORACLE_CONST [...]
 
-Each argument names the query callable and its oracle SQL constant inside
-one of the queries modules. Runs all three SFs plus the x4 fixture
-(built/reused at /tmp/x4_differential via the differential tool's
-build_tables, manifest-checked) and prints one PASS/FAIL line per cell.
-Exit code 0 iff every cell passes.
+Each positional argument names the query callable and its oracle SQL
+constant inside one of the queries modules. Runs all three SFs plus one
+xN replication fixture per --replicas flag (default: x4 only; pass
+"--replicas 4 --replicas 16" for the full staging regime), each
+built/reused at /tmp/x{N}_differential via the differential tool's
+build_tables (manifest-checked), and prints one PASS/FAIL line per
+cell. Exit code 0 iff every cell passes.
 """
 
 from __future__ import annotations
@@ -35,15 +38,29 @@ SF_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
-X4_DIR = "/tmp/x4_differential"
-X4_SRC = "/root/testdata/sf0.01"
+XN_SRC = "/root/testdata/sf0.01"
 
 
-def main(specs: list[str]) -> int:
+def main(argv: list[str]) -> int:
+    replicas: list[int] = []
+    specs: list[str] = []
+    it = iter(argv)
+    for a in it:
+        if a == "--replicas":
+            replicas.append(int(next(it)))
+        else:
+            specs.append(a)
+    if not replicas:
+        replicas = [4]
+
     spark = get_spark(app_name="verify_staged")
     from tools.x4_differential import build_tables
 
-    build_tables(spark, X4_SRC, X4_DIR, replicas=4)
+    xn_dirs = []
+    for n in replicas:
+        d = f"/tmp/x{n}_differential"
+        build_tables(spark, XN_SRC, d, replicas=n)
+        xn_dirs.append(d)
 
     # Spark writes x4 tables as DIRECTORIES of part files; the harness's
     # duckdb_connection expects a single-file path. Patch its view builder
@@ -67,7 +84,7 @@ def main(specs: list[str]) -> int:
         mod = importlib.import_module(mod_name)
         fn = getattr(mod, fn_name)
         oracle = getattr(mod, oracle_name)
-        for sf_dir in SF_DIRS + [X4_DIR]:
+        for sf_dir in SF_DIRS + xn_dirs:
             t0 = time.time()
             res = run_compare(spark, sf_dir, fn_name, fn, oracle)
             status = "PASS" if res.ok else "FAIL"

@@ -188,7 +188,9 @@ _MODULES = (
 # micro-dollar state, trunc-div agreement measured for the negative
 # trend tier), kmv_distinct_intersection (sketches.py — the sketch
 # family's set-operation gap: KMV union/Jaccard/intersection estimates,
-# all BIGINT, true counts alongside as the accuracy certificate). All
+# all BIGINT, true counts alongside as the accuracy certificate),
+# degree_assortativity_trade (graph.py — Newman degree mixing; the
+# symmetric edge list makes the estimator exactly rational). All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
 # whitelist entries pre-added for the five that plan 1-row/tiny

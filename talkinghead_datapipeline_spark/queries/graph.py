@@ -877,3 +877,144 @@ def bfs_hops_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("dist", "node_kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — degree_assortativity_trade (r13
+# continuation: completes the network-statistics shelf — pagerank/HITS
+# rank, triangles/clustering count motifs, BFS measures distance, CC
+# labels components; degree ASSORTATIVITY (Newman 2002) is the canonical
+# remaining global statistic: do high-degree nodes attach to high-degree
+# nodes?).
+#
+# Pearson correlation of (deg(src), deg(dst)) over the DIRECTED edge
+# list of the undirected customer↔supplier trade network (both
+# directions present — the pagerank edge construction). The symmetry of
+# that edge list is the exactness win: Σdeg_src = Σdeg_dst and
+# Σdeg_src² = Σdeg_dst², so the usual sqrt(d_x)·sqrt(d_y) denominator
+# collapses to the single integer d = m·Σx² − (Σx)² and
+#     r = (m·Σxy − (Σx)²) / d
+# is EXACTLY RATIONAL — no square root in the estimator at all. The
+# certified columns are the exact BIGINT m, Σx, Σx², Σxy, num, d; the
+# displayed r_ppm is one pinned-order IEEE division over them (the
+# acf/spearman precedent: correctly-rounded int64→double casts stay
+# deterministic past 2^53), NULL for a degree-regular graph (d = 0).
+#
+# Overflow documented in the staged test from measured fixture maxima
+# (m·Σxy is the big term; ~2.4e14 at sf0.1, 2^63 leaves ~5 orders of
+# magnitude).
+#
+# Scale shape: degrees via one groupBy on the edge list; two equi-joins
+# to attach deg(src)/deg(dst); one combinable moment aggregation to a
+# single row. No windows, no all-pairs, no nested loop of its own (the
+# final 1-row frame may broadcast under AQE — whitelist entry pre-added
+# defensively, the logrank precedent).
+# ---------------------------------------------------------------------------
+
+ASSORTATIVITY_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT CAST(cust AS BIGINT) AS src,
+         CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS dst FROM pairs
+  UNION ALL
+  SELECT CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS src,
+         CAST(cust AS BIGINT) AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+joined AS (
+  SELECT ds.d AS dx, dd.d AS dy
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM joined
+)
+SELECT m, sx, sxx, sxy,
+       m * sxy - sx * sx AS num,
+       m * sxx - sx * sx AS den,
+       CASE WHEN m * sxx - sx * sx > 0 THEN
+         CAST(floor((CAST(m * sxy - sx * sx AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+       END AS r_ppm
+FROM mom
+"""
+
+
+def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the trade network — exactly
+    rational on the symmetric directed edge list (no sqrt: the two
+    standard deviations coincide), exact BIGINT moments certified raw,
+    r_ppm one pinned-order IEEE division, NULL on degree-regular graphs.
+    See the staging comment. STAGED r13 -> registers r15 (the r14 window
+    is full)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = persist_once(
+        pairs.select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).cast("bigint").alias(
+                "dst"
+            ),
+        ).unionByName(
+            pairs.select(
+                (F.col("l_suppkey") + F.lit(_SUPP_OFFSET))
+                .cast("bigint")
+                .alias("src"),
+                F.col("o_custkey").cast("bigint").alias("dst"),
+            )
+        )
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).withColumnRenamed("src", "node")
+    joined = (
+        edges.join(deg.withColumnRenamed("d", "dx"), edges.src == deg.node)
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("d", "dy").withColumnRenamed(
+                "node", "node2"
+            ),
+            edges.dst == F.col("node2"),
+        )
+        .select("dx", "dy")
+    )
+    mom = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("sxy"),
+    )
+    return mom.select(
+        "m",
+        "sx",
+        "sxx",
+        "sxy",
+        F.expr("m * sxy - sx * sx").alias("num"),
+        F.expr("m * sxx - sx * sx").alias("den"),
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx > 0 THEN"
+            " CAST(floor((CAST(m * sxy - sx * sx AS DOUBLE)"
+            " / CAST(m * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " END"
+        ).alias("r_ppm"),
+    )

@@ -190,7 +190,9 @@ _MODULES = (
 # family's set-operation gap: KMV union/Jaccard/intersection estimates,
 # all BIGINT, true counts alongside as the accuracy certificate),
 # degree_assortativity_trade (graph.py — Newman degree mixing; the
-# symmetric edge list makes the estimator exactly rational). All
+# symmetric edge list makes the estimator exactly rational),
+# diff_in_diff_order_value (behavior.py — the causal-inference trio's
+# two-period member; quantize-first integer cells). All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
 # whitelist entries pre-added for the five that plan 1-row/tiny

@@ -192,7 +192,10 @@ _MODULES = (
 # degree_assortativity_trade (graph.py — Newman degree mixing; the
 # symmetric edge list makes the estimator exactly rational),
 # diff_in_diff_order_value (behavior.py — the causal-inference trio's
-# two-period member; quantize-first integer cells). All
+# two-period member; quantize-first integer cells),
+# seq_pattern_maxgap_support (behavior.py — GSP-style followed-by
+# support over per-user range self-joins, strict-order gap semantics).
+# All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
 # whitelist entries pre-added for the five that plan 1-row/tiny

@@ -2012,3 +2012,82 @@ def diff_in_diff_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("did_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — seq_pattern_maxgap_support (r13
+# continuation: the sequential-pattern-mining class —
+# event_transition_matrix counts ADJACENT transitions (lead(1)) and
+# session_funnel_conversion a fixed ordered funnel; the GSP/SPADE-style
+# "a followed by b within a max gap, intermediate events allowed"
+# support count is the general sequence-mining primitive neither
+# covers).
+#
+# For every ordered event-type pair (a, b): the number of (a-event,
+# b-event) occurrence pairs per user where b fires STRICTLY after a and
+# within 1 hour (gap ≤ 3600s — boundary INCLUSIVE, equal timestamps
+# excluded: under the ×4/×16 duplicate-timestamp replication regime an
+# equal-ts pair has no defined order, so strict inequality is the only
+# deterministic choice), plus the distinct-user support. Pure integer
+# counting on epoch-micros arithmetic — no float op anywhere.
+#
+# Scale shape: ONE self-equi-join on user_id with the micros range
+# predicate — per-user work bounded by (events per user per hour)², the
+# range_interval_join shape, never |events|²; one combinable aggregation
+# to ≤|types|² rows. The oracle shares the join (the pair definition IS
+# the spec); independence comes from the staged test's dict-loop Python
+# recompute and the gap-boundary crafted corpus.
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_US = 3_600_000_000
+
+SEQ_PATTERN_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM ev a
+JOIN ev b
+  ON b.user_id = a.user_id
+ AND b.us > a.us
+ AND b.us - a.us <= {_SEQ_GAP_US}
+GROUP BY 1, 2
+ORDER BY etype_a, etype_b
+"""
+
+
+def seq_pattern_maxgap_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style "a followed by b within 1 hour" pattern support over
+    user event sequences (intermediate events allowed, strict order,
+    inclusive gap boundary): exact pair and distinct-user counts per
+    ordered type pair. One per-user range self-join, integer micros
+    arithmetic end-to-end. See the staging comment. STAGED r13 ->
+    registers r15 (the r14 window is full)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.us") > F.col("a.us"))
+        & (F.col("b.us") - F.col("a.us") <= F.lit(_SEQ_GAP_US)),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("etype_a"),
+            F.col("b.event_type").alias("etype_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct(F.col("a.user_id")).cast("bigint").alias(
+                "n_users"
+            ),
+        )
+        .orderBy("etype_a", "etype_b")
+    )

@@ -194,8 +194,9 @@ _MODULES = (
 # diff_in_diff_order_value (behavior.py — the causal-inference trio's
 # two-period member; quantize-first integer cells),
 # seq_pattern_maxgap_support (behavior.py — GSP-style followed-by
-# support over per-user range self-joins, strict-order gap semantics).
-# All
+# support over per-user range self-joins, strict-order gap semantics),
+# readability_fk_per_lang (textops.py — Flesch-Kincaid over exact
+# integer counts, pinned-expression scores). All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
 # whitelist entries pre-added for the five that plan 1-row/tiny

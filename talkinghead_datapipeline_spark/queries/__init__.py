@@ -196,7 +196,9 @@ _MODULES = (
 # seq_pattern_maxgap_support (behavior.py — GSP-style followed-by
 # support over per-user range self-joins, strict-order gap semantics),
 # readability_fk_per_lang (textops.py — Flesch-Kincaid over exact
-# integer counts, pinned-expression scores). All
+# integer counts, pinned-expression scores), modularity_nation_partition
+# (graph.py — Newman-Girvan Q, exactly rational via the single-
+# denominator form). All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
 # whitelist entries pre-added for the five that plan 1-row/tiny

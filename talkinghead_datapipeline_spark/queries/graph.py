@@ -1018,3 +1018,195 @@ def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("r_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r15 registration — modularity_nation_partition (r13
+# continuation: the community-QUALITY class — dedup_cluster_assignments
+# labels components and triangle/assortativity measure local/global
+# structure, but nothing scores a PARTITION of the graph; Newman-Girvan
+# modularity is the canonical objective every community-detection
+# pipeline optimizes and audits).
+#
+# Modularity Q of the nation partition of the trade network (customers
+# and suppliers both carry a nationkey — the natural given partition).
+# On the DIRECTED edge list of M = 2·|undirected| entries,
+#     Q = Σ_c [ A_c/M − (K_c/M)² ]
+# with A_c = directed edges inside community c and K_c = Σ degrees of
+# c's nodes — so
+#     Q · M² = Σ_c (M·A_c − K_c²)
+# is an EXACT BIGINT (the assortativity trick again: pick the algebraic
+# form whose denominator is one integer). Output: one row per community
+# with the exact (n_nodes, a_inner, k_degree, contribution numerator)
+# plus the partition total q_ppm = (Σ_c(M·A_c − K_c²)·10⁶) div M² — a
+# single integer division of exact integers (truncating toward zero in
+# BOTH engines, the measured trunc-div agreement — Q is legitimately
+# negative for anti-community partitions); no float op anywhere.
+#
+# Overflow: Σ_c K_c² ≤ M² — ~8.5e9 at sf0.1 (M ≈ 92k), ×10⁶ = 8.5e15;
+# ×16 → M ≈ 1.5e6, M²·… 2.2e18 — inside int64, asserted in the staged
+# test.
+#
+# Scale shape: degrees and community labels via one groupBy + two
+# broadcast-dim joins (nation is 25 rows; the node→nation map is
+# entity-bounded); A_c via an equi-join of the edge list to the two
+# endpoint labels; ONE combinable aggregation to |nations| rows and a
+# 1-row M crossJoin (whitelist entry pre-added).
+# ---------------------------------------------------------------------------
+
+MODULARITY_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT CAST(cust AS BIGINT) AS src,
+         CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS dst FROM pairs
+  UNION ALL
+  SELECT CAST(supp + {_SUPP_OFFSET} AS BIGINT) AS src,
+         CAST(cust AS BIGINT) AS dst FROM pairs
+),
+labels AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         CAST(c_nationkey AS BIGINT) AS community
+  FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + {_SUPP_OFFSET} AS BIGINT) AS node,
+         CAST(s_nationkey AS BIGINT) AS community
+  FROM supplier
+),
+lab_edges AS (
+  SELECT ls.community AS c_src, ld.community AS c_dst
+  FROM edges e
+  JOIN labels ls ON ls.node = e.src
+  JOIN labels ld ON ld.node = e.dst
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM lab_edges),
+per_c AS (
+  SELECT c_src AS community,
+         CAST(count(*) AS BIGINT) AS k_degree,
+         CAST(sum(CASE WHEN c_dst = c_src THEN 1 ELSE 0 END) AS BIGINT)
+           AS a_inner
+  FROM lab_edges GROUP BY c_src
+),
+nodes_per AS (
+  SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM labels l
+  WHERE l.node IN (SELECT src FROM edges)
+  GROUP BY l.community
+),
+contrib AS (
+  SELECT p.community, n.n_nodes, p.a_inner, p.k_degree,
+         m.m_dir * p.a_inner - p.k_degree * p.k_degree AS q_num
+  FROM per_c p JOIN nodes_per n ON n.community = p.community
+  CROSS JOIN m
+)
+SELECT community, n_nodes, a_inner, k_degree, q_num,
+       (CAST((SELECT sum(q_num) FROM contrib) AS BIGINT) * 1000000)
+         // ((SELECT m_dir FROM m) * (SELECT m_dir FROM m)) AS q_ppm
+FROM contrib
+ORDER BY community
+"""
+
+
+def modularity_nation_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the nation partition of the trade
+    network — exactly rational via Q·M² = Σ_c(M·A_c − K_c²) on the
+    directed edge list: per-community exact BIGINT (nodes, inner edges,
+    degree mass, contribution numerator) and the partition q_ppm as one
+    truncating integer division (negative Q legal). No float op anywhere. See the staging comment for
+    the bound. STAGED r13 -> registers r15 (the r14 window is full)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("o_custkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).cast("bigint").alias(
+            "dst"
+        ),
+    ).unionByName(
+        pairs.select(
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET))
+            .cast("bigint")
+            .alias("src"),
+            F.col("o_custkey").cast("bigint").alias("dst"),
+        )
+    )
+    cust_lab = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("node"),
+        F.col("c_nationkey").cast("bigint").alias("community"),
+    )
+    supp_lab = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + F.lit(_SUPP_OFFSET)).cast("bigint").alias(
+            "node"
+        ),
+        F.col("s_nationkey").cast("bigint").alias("community"),
+    )
+    labels = cust_lab.unionByName(supp_lab)
+    lab_edges = persist_once(
+        edges.join(
+            labels.withColumnRenamed("community", "c_src"),
+            edges.src == labels.node,
+        )
+        .drop("node")
+        .join(
+            labels.withColumnRenamed("community", "c_dst").withColumnRenamed(
+                "node", "node2"
+            ),
+            edges.dst == F.col("node2"),
+        )
+        .select("src", "c_src", "c_dst")
+    )
+    m = lab_edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_dir"))
+    per_c = lab_edges.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_degree"),
+        F.sum(
+            F.when(F.col("c_dst") == F.col("c_src"), 1).otherwise(0)
+        ).cast("bigint").alias("a_inner"),
+    )
+    nodes_per = (
+        lab_edges.select(F.col("src").alias("node"), F.col("c_src").alias("community"))
+        .distinct()
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    contrib = persist_once(
+        per_c.join(nodes_per, "community")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "a_inner",
+            "k_degree",
+            (
+                F.col("m_dir") * F.col("a_inner")
+                - F.col("k_degree") * F.col("k_degree")
+            ).alias("q_num"),
+            "m_dir",
+        )
+    )
+    total = contrib.agg(
+        F.sum("q_num").cast("bigint").alias("q_total"),
+        F.max("m_dir").alias("m_dir"),
+    )
+    return (
+        contrib.drop("m_dir")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            "n_nodes",
+            "a_inner",
+            "k_degree",
+            "q_num",
+            F.expr("(q_total * 1000000) div (m_dir * m_dir)").alias("q_ppm"),
+        )
+        .orderBy("community")
+    )

@@ -74,6 +74,8 @@ _NESTED_LOOP_OK = {
     "ndcg_mrr_retrieval_eval",  # <=10-row ann/exact frames composed from
     # the two registered top-k queries (the recall-certified pattern):
     # 1-row aggregate crossJoins + the 10x10 hit join
+    "modularity_nation_partition",  # 1-row M / (q_total, m_dir) totals
+    # crossJoins onto the |nations|-row community frame
     "diff_in_diff_order_value",  # 1-row span-midpoint broadcast
     # crossJoin onto the orders scan + the single-row wide-cell frame
     "kmv_distinct_intersection",  # <=k-row sketch frames: 1-row kth/count

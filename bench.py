@@ -17,6 +17,12 @@ mode VERDICT r4 #4 prescribes for separating plan regressions from
 environment noise. When any query fails, ``value`` is null and
 ``n_failed`` is set: a partial total is NOT comparable across rounds and
 must never read as a speed-up (ADVICE r4).
+
+Besides HEADLINE, each run times a deterministic rotating slice of the
+HEADLINE *absentees* (``bench_sample`` map, 1 warm-up + 1 rep) sized so
+every registered query gets a timing row at least every SAMPLE_ROUNDS
+rounds — VERDICT r13 #4's coverage gap. Sample timings never enter the
+headline total or the r1-29 subtotal.
 """
 
 from __future__ import annotations
@@ -243,6 +249,23 @@ HEADLINE = (
     "basket_association_rules",
     "gini_revenue_concentration",
     "bootstrap_ci_order_value_prod",
+    # Round-14 additions with their registrations (the eight r13-staged
+    # operator classes; per test_session_config they join HEADLINE in the
+    # same change as their registration). The two N17 checksums carry real
+    # data signals (the batched rasterize sweep + per-pixel shade/texture
+    # math over ~500 meshes at sf0.1); the survival pair, FDR, triangle
+    # and ACF queries are one-data-pass plans with bounded post-scan
+    # frames (calendar-bounded event steps, |langs|x|sources| cells, the
+    # support-gated brand graph, the day grid); dbscan's candidate join is
+    # bounded by Σcell² over the eps-grid.
+    "n17_render_shaded_checksum",
+    "n17_render_texture_checksum",
+    "kaplan_meier_survival",
+    "logrank_segment_survival",
+    "bh_fdr_lang_source",
+    "dbscan_grid_roles",
+    "triangle_count_brand_graph",
+    "acf_ljung_box_daily",
 )
 
 
@@ -251,6 +274,30 @@ HEADLINE = (
 # full total grows every round as new operators join the suite, so only
 # this fixed-key subtotal can be read across BENCH_r{N} artifacts.
 R1_KEYS = HEADLINE[:29]
+
+# Rotating coverage sample (VERDICT r13 #4, option b): registered queries
+# absent from HEADLINE had no recurring timing signal — a perf regression
+# there would be invisible between rounds. Each bench run additionally
+# times a deterministic rotating slice of the absentees (1 warm-up + 1
+# timed rep, the cheap tier) sized so EVERY absentee gets a timing row at
+# least once every SAMPLE_ROUNDS rounds. Sample timings ride in a separate
+# "bench_sample" map and are EXCLUDED from the headline total and the
+# r1-29 subtotal, which stay cross-round comparable; sample failures are
+# recorded but do not null the headline value (the sample is a coverage
+# signal, not the comparable total). The slice is a pure function of the
+# round number, so a round's artifact names exactly which absentees it
+# covered.
+SAMPLE_ROUNDS = 3
+
+
+def _rotating_sample(all_names, headline, round_n: int) -> list[str]:
+    """Deterministic slice of the HEADLINE absentees for this round."""
+    absent = [n for n in all_names if n not in set(headline)]
+    if not absent:
+        return []
+    k = -(-len(absent) // SAMPLE_ROUNDS)  # ceil: full coverage per cycle
+    start = (round_n * k) % len(absent)
+    return (absent + absent)[start : start + k]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -368,6 +415,25 @@ def main() -> None:
             # comparable regardless of its position in HEADLINE.
             spark.catalog.clearCache()
 
+    # Rotating absentee sample (see _rotating_sample): cheap 1-rep tier,
+    # separate map, never part of the comparable totals.
+    sample_timings: dict[str, float] = {}
+    sample_errors: dict[str, str] = {}
+    for name in _rotating_sample(list(specs), HEADLINE, _infer_round()):
+        try:
+            run(name)  # warm-up, same steady-state protocol
+            t0 = time.perf_counter()
+            run(name)
+            sample_timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            sample_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"bench: sample {name} FAILED: {sample_errors[name]}",
+                file=sys.stderr,
+            )
+        finally:
+            spark.catalog.clearCache()
+
     # Truncation-proof serialization (VERDICT r6 #1): the driver keeps only
     # the LAST ~2000 chars of stdout, and the per-query map now outgrows
     # that, so BENCH_r06's headline total (serialized before "queries") was
@@ -394,15 +460,24 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
         "n_queries": len(timings),
+        "n_sampled": len(sample_timings),
     }
     if errors:
         summary["n_failed"] = len(errors)
         summary["failed_sample"] = sorted(errors)[:3]
+    if sample_errors:
+        summary["n_sample_failed"] = len(sample_errors)
     # Full error detail rides the big line only (a 122-error dict would
     # outgrow the driver's tail capture and defeat the second line's
     # purpose) — and it is serialized BEFORE the summary scalars so defense
     # (a), totals-last, holds in exactly the failure case it was built for.
-    result = {"queries": timings, **({"errors": errors} if errors else {}), **summary}
+    result = {
+        "queries": timings,
+        "bench_sample": sample_timings,
+        **({"errors": errors} if errors else {}),
+        **({"sample_errors": sample_errors} if sample_errors else {}),
+        **summary,
+    }
     print(json.dumps(result))
     print(json.dumps(summary))
     # Permanent in-repo record (VERDICT r7 #6): the driver's artifact keeps

@@ -90,78 +90,54 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-13 WINDOW. Cumulative certification entering r13 is 227/227
-# (r12 registered the five r11-staged queries, registry 222 -> 227) with
-# staleness tiers r8=32, r9=48, r10=49, r11=48, r12=50 (recomputed from
-# the raw CORRECTNESS artifacts 2026-08-16; the r7 tier drained fully in
-# r12). r13 registers the eight queries staged in r12 PLUS the bootstrap
-# production twin (registry 227 -> 236), each joining bench.HEADLINE in
-# the same change per the test_session_config rule; their plan-net
-# whitelist entries were pre-added at staging time (commit 42d419c).
-# Seat order (changed-code beats stale, per the house rule):
-#  0. r13 changed-code canaries: flame_render_pipeline +
-#     flame_decode_landmarks — operators/rasterize.py gained the
-#     two-tier exact-arithmetic guard (ADVICE r12 medium: the float64
-#     path is bit-exact only under 13824*scale^3 < 2^53; larger admitted
-#     scales now run an exact-int64 z numerator) — the default-scale
-#     flame path is bit-unchanged (pinned by the forced-fallback
-#     equality test) but both consumers re-seat for the shared-module
-#     edit. bootstrap_ci_order_value re-seats for the _bootstrap_ci_plan
-#     refactor that threads the weight source (plan identical, seated
-#     defensively).
-#  1. Round-13 registrations, never driver-certified (the governor allows
-#     up to 50 - backlog; backlog entering r13 is 0): the eight
-#     r12-staged operator classes — cuped_adjusted_lift
-#     (queries/behavior.py — CUPED variance-reduced A/B lift),
-#     conformal_coverage_lang (queries/mlstats.py — split-conformal
-#     interval calibration), seasonal_dow_backtest
-#     (queries/timeseries.py — day-of-week seasonal index backtest),
-#     n17_render_mask_zbuffer (queries/inference_nodes.py — the
-#     rasterizer mask/z-buffer channel value-oracled via relational
-#     re-rasterization), mann_kendall_daily_trend + theil_sen_daily_slope
-#     (queries/timeseries.py — the classical trend pair over
-#     calendar-bounded pair frames; theil-sen's 97.5% band rank gained
-#     the greatest(1, ·) m=1 guard, ADVICE r12, before registration),
-#     basket_association_rules + gini_revenue_concentration
-#     (queries/behavior.py — market-basket rules; Lorenz/Gini
-#     concentration). All staged in r12 with three-SF + x4 oracle
-#     verification and dedicated staged tests before this registration,
-#     per the house staging rule. PLUS bootstrap_ci_order_value_prod
-#     (VERDICT r12 #5a): the xxhash64 production path of the bootstrap,
-#     rows-only by design (Spark-native hash has no DuckDB twin; plan
-#     equality + weight moments pinned in test_bootstrap_staged.py) —
-#     registered so the bench HEADLINE publishes the production cost
-#     next to the md5 certification cost.
-#  2. r8-era drain: the full remaining 32-key tier (alphabetical, led by
-#     doc_fingerprint and e3_key_intersection_semi, displaced from r12 by
-#     the late flame canaries) — after r13 no key's latest green row
-#     predates r9.
-#  3. r9-era drain, oldest-first alphabetical, with the leftover 6 seats
-#     (48 keys in the tier; the remaining 42, led by lang_id_heuristic,
-#     lead the r14 drain).
+# ROUND-14 WINDOW. Cumulative certification entering r14 is 235/235
+# oracled (r13 registered nine, registry 227 -> 236; the by-design
+# oracle-less bootstrap prod twin carries a rows-only row) with
+# staleness tiers r9=42, r10=48, r11=48, r12=48, r13=50 (recomputed from
+# the raw CORRECTNESS artifacts 2026-08-16; the r8 tier drained fully in
+# r13). r14 registers the eight queries staged in r13 (registry
+# 236 -> 244), each joining bench.HEADLINE in the same change per the
+# test_session_config rule; their plan-net whitelist entries were
+# pre-added at staging time. Seat order (changed-code beats stale, per
+# the house rule — r14's code edits so far touch only the UNREGISTERED
+# r15-staged kmv query (ADVICE r13 ANSI div guard) and comments, so no
+# changed-code canaries are owed and the window is exactly
+# 8 registrations + the full 42-key r9 tier = 50 seats):
+#  1. Round-14 registrations, never driver-certified (the governor allows
+#     up to 50 - backlog; backlog entering r14 is 0): the eight
+#     r13-staged operator classes — n17_render_shaded_checksum +
+#     n17_render_texture_checksum (queries/inference_nodes.py — the
+#     SH-shaded pixel tier via order-free integer-mesh vertex normals,
+#     and the FULL textured forward: barycentric uv -> bilinear
+#     grid_sample -> per-channel SH -> RGB mean; together they close
+#     N17's last uncertified value tiers), kaplan_meier_survival +
+#     logrank_segment_survival (queries/behavior.py — exact-integer
+#     product-limit fold; two-sample chi-square on the same risk sets),
+#     bh_fdr_lang_source (queries/stats_tests.py — BH step-up over the
+#     z-test battery), dbscan_grid_roles (queries/similarity.py —
+#     grid-density core/border/noise roles), triangle_count_brand_graph
+#     (queries/graph.py — exact triangles + global clustering
+#     coefficient), and acf_ljung_box_daily (queries/timeseries.py —
+#     serial-dependence class: ACF lags 1..7 + the Ljung-Box
+#     portmanteau). All eight were staged in r13 with 3-SF + x4 oracle
+#     verification (shade, texture and dbscan additionally x16) and
+#     dedicated staged tests before this registration, per the house
+#     staging rule.
+#  2. r9-era drain: the FULL remaining 42-key tier (alphabetical, led by
+#     lang_id_heuristic) — after r14 no key's latest green row predates
+#     r10, and the r9 tier is drained in one round exactly as the r8
+#     tier was in r13.
 #
-# r14 rotation (write the final comment the day the r13 artifacts land):
-# (1) r14 changed-code canaries — whatever r14 itself changes;
-# (2) the EIGHT r13-staged registrations WITH seats and HEADLINE entries
-#     in the same change (whitelist entries already added at staging time):
-#     n17_render_shaded_checksum + n17_render_texture_checksum
-#     (inference_nodes.py — the SH-shaded pixel tier via order-free
-#     integer-mesh normals, and the FULL textured forward: uv interp →
-#     bilinear grid_sample → per-channel SH → RGB mean),
-#     kaplan_meier_survival + logrank_segment_survival (behavior.py —
-#     exact-integer product-limit fold; two-sample chi-square on the same
-#     risk sets), bh_fdr_lang_source (stats_tests.py — BH step-up over
-#     the z-test battery), dbscan_grid_roles (similarity.py —
-#     grid-density core/border/noise), triangle_count_brand_graph
-#     (graph.py — exact triangles + clustering coefficient), and
-#     acf_ljung_box_daily (timeseries.py — serial-dependence class: ACF
-#     lags 1..7 + the Ljung-Box portmanteau). All eight are 3-SF + x4
-#     verified with dedicated staged tests (shade, texture and dbscan
-#     additionally x16).
-# (3) the remaining 42 r9-era keys (lang_id_heuristic,
-#     multimodal_binary_features first) with the leftover ~41 seats — the
-#     displaced tail (one or two keys, plus canary displacement) leads the
-#     r15 drain; (4) r10-era oldest-first thereafter.
+# r15 rotation (write the final comment the day the r14 artifacts land):
+# (1) r15 changed-code canaries — whatever r15 itself changes;
+# (2) registrations drawn from the FIFTEEN r13-staged r15-tranche
+#     queries (skyline, cusum, oof-encoding, hits, bfs, stump, holt,
+#     kmv, assortativity, diff-in-diff, gsp, readability, modularity,
+#     spearman, ndcg/mrr — all verification-complete; whitelist entries
+#     pre-added for the seven that plan bounded crossJoins/probes), as
+#     many as the governor's 50 - backlog allows after canaries;
+# (3) r10-era drain oldest-first (48 keys entering r14; whatever the
+#     r15 registrations + canaries leave of the window).
 #
 # r15 staging tranche (staged in the r13 continuation session; the r14
 # window is full, so these register in r15 after its drain tail):
@@ -201,67 +177,67 @@ _MODULES = (
 # denominator form). All
 # 3-SF + x4 verified at staging time (tools/verify_staged.py) AND
 # re-verified on a x16 replication; dedicated staged tests throughout;
-# whitelist entries pre-added for the five that plan 1-row/tiny
-# crossJoins or bounded non-equi probes (cusum, hits, ndcg, stump, kmv).
+# whitelist entries pre-added for the seven that plan 1-row/tiny
+# crossJoins or bounded non-equi probes (cusum, hits, ndcg, stump, kmv,
+# modularity, diff-in-diff — ADVICE r13: the staging record must list
+# every _NESTED_LOOP_OK entry the tranche actually added).
 _DRIVER_PRIORITY = (
-    # --- 0. round-13 changed-code canaries ---
-    "flame_render_pipeline",  # rasterize.py two-tier guard (ADVICE r12)
-    "flame_decode_landmarks",  # shared-module canary
-    "bootstrap_ci_order_value",  # _bootstrap_ci_plan source-thread refactor
-    # --- 1. round-13 registrations (staged r12 + the bootstrap prod twin) ---
-    "cuped_adjusted_lift",  # CUPED variance-reduced A/B lift
-    "conformal_coverage_lang",  # split-conformal interval calibration
-    "seasonal_dow_backtest",  # day-of-week seasonal index backtest
-    "n17_render_mask_zbuffer",  # rasterizer mask/z-buffer value oracle
-    "mann_kendall_daily_trend",  # exact pairwise-sign trend test
-    "theil_sen_daily_slope",  # robust median-slope estimator
-    "basket_association_rules",  # market-basket support/confidence/lift
-    "gini_revenue_concentration",  # Lorenz deciles + Gini ppm
-    "bootstrap_ci_order_value_prod",  # xxhash64 path, rows-only (VERDICT #5a)
-    # --- 2. r8-era drain (the full remaining tier, alphabetical) ---
-    "doc_fingerprint",
-    "e3_key_intersection_semi",
-    "e6_exists_filter",
-    "e7_memoization_anti",
-    "emb_covariance_upper",
-    "emb_norms_per_label",
-    "grouping_sets_order_stats",
-    "incremental_dedup_against_index",
-    "lag_delta_per_user",
-    "minhash_lsh_near_dups",
-    "minhash_signatures",
-    "n11_group_extent",
-    "n7_argmax_per_group",
-    "ngram_jaccard_exact_pairs",
-    "ols_normal_equations",
-    "rollup_nation_revenue",
-    "s10_quantile_per_flag",
-    "s8_savgol_exact_w7",
-    "set_except_keys",
-    "set_intersect_keys",
-    "shingle_containment_pairs",
-    "streaming_dedup_event_keys",
-    "streaming_enrich_static_dim",
-    "streaming_hourly_event_counts",
-    "streaming_purchase_view_full",
-    "streaming_purchase_view_join",
-    "streaming_purchase_view_left",
-    "streaming_sliding_event_counts",
-    "streaming_stateful_user_extents",
-    "streaming_user_sessions",
-    "topk_per_group",
-    "unpivot_part_measures",
-    # --- 3. r9-era drain (oldest-first alphabetical, 6 seats) ---
-    "a2en_feature_assembly",
-    "bpe_apply_merges",
-    "dedup_keep_best_quality",
-    "equi_depth_deciles",
-    "gopher_repetition_signals",
-    "json_props_extract",
+    # --- 1. round-14 registrations (the eight r13-staged classes) ---
+    "n17_render_shaded_checksum",  # N17 SH-shaded pixel tier value oracle
+    "n17_render_texture_checksum",  # N17 full textured forward value oracle
+    "kaplan_meier_survival",  # exact-integer product-limit survival
+    "logrank_segment_survival",  # two-sample log-rank on shared risk sets
+    "bh_fdr_lang_source",  # Benjamini-Hochberg step-up FDR
+    "dbscan_grid_roles",  # grid-density core/border/noise labeling
+    "triangle_count_brand_graph",  # exact triangles + clustering coeff
+    "acf_ljung_box_daily",  # ACF lags 1..7 + Ljung-Box portmanteau
+    # --- 2. r9-era drain (the full remaining 42-key tier, alphabetical) ---
+    "lang_id_heuristic",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_image_channel_means",
+    "n10_bbox_transform_chain",
+    "n14_code_split",
+    "pack_token_budget",
+    "profile_documents",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_below_avg_quantity",
+    "q19_disjunctive_revenue",
+    "q22_dormant_rich_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_interval_join",
+    "revenue_mom_growth",
+    "s5_blink_features",
+    "s7_resample_linear",
+    "sim_brute_cosine_topk",
+    "sim_cosine_topk_per_label",
+    "sim_ivf_probe_topk",
+    "sim_lsh_bucket_topk",
+    "simhash_fingerprint",
+    "simhash_hamming_near_dups",
+    "skew_salted_quantity_rollup",
+    "source_overlap_matrix",
+    "split_train_val_test",
+    "stratified_sample_by_lang",
+    "streaming_late_data_metrics",
+    "streaming_late_sink_counts",
+    "string_functions_suite",
+    "table_profile_orders",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_token_stats",
+    "wav2vec_features_stub",
+    "weighted_sample_by_length",
+    "wide_source_assembly",
+    "window_rank_suite",
 )
 
 # Overflow queue: never-driver-certified queries registered after the
-# current window filled its 50 seats. EMPTY for round 13 — the nine r13
+# current window filled its 50 seats. EMPTY for round 14 — the eight r14
 # registrations all hold seats in the window above (section 1), so every
 # never-certified query is inside the driver prefix (policy test asserts
 # len(never_certified) <= 50).

@@ -1609,6 +1609,11 @@ FROM km ORDER BY t_hours
 """
 
 
+@register(
+    "kaplan_meier_survival",
+    oracle=KAPLAN_MEIER_ORACLE,
+    tags=("behavior", "survival", "product-limit"),
+)
 def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival of time to first purchase: per
     event step (hour grain), the risk set, the events, and the survival
@@ -1616,7 +1621,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_i at 1e-9 resolution — the sequential product the nelson_aalen block
     could not certify in doubles, made bit-exact by folding integers (see
     the staging comment). Pairs with nelson_aalen_conversion_hazard on the
-    identical risk-set machinery. STAGED r13 -> registers r14."""
+    identical risk-set machinery. STAGED r13, REGISTERED r14."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     u = ev.groupBy("user_id").agg(
@@ -1774,6 +1779,11 @@ FROM agg
 """
 
 
+@register(
+    "logrank_segment_survival",
+    oracle=LOGRANK_ORACLE,
+    tags=("behavior", "survival", "logrank", "two-sample"),
+)
 def logrank_segment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test of time-to-first-purchase between the two
     c_mktsegment cohorts: per pooled event step the group risk sets,
@@ -1781,7 +1791,7 @@ def logrank_segment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums), and the final chi-square floor-micro — the two-sample
     companion of kaplan_meier_survival on identical machinery. See the
     staging comment for quantization and overflow bounds. STAGED r13 ->
-    registers r14."""
+    REGISTERED r14."""
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),

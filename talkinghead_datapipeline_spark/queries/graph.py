@@ -487,12 +487,17 @@ FROM agg a CROSS JOIN ecnt e CROSS JOIN tri t
 """
 
 
+@register(
+    "triangle_count_brand_graph",
+    oracle=TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
 def triangle_count_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count, wedge count, and global clustering coefficient
     of the support-gated brand co-purchase graph — one a<b<c edge-join per
     triangle, Σ deg·(deg−1)/2 wedges, 3T/W floor-ppm (NULL when no
     wedges). See the staging comment for the shared basket machinery and
-    the vocabulary-bounded scale shape. STAGED r13 -> registers r14."""
+    the vocabulary-bounded scale shape. STAGED r13, REGISTERED r14."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = persist_once(

@@ -959,6 +959,11 @@ def _render_shade_oracle() -> str:
 N17_RENDER_SHADE_ORACLE = _render_shade_oracle()
 
 
+@register(
+    "n17_render_shaded_checksum",
+    oracle=N17_RENDER_SHADE_ORACLE,
+    tags=("inference", "N17", "rasterizer", "shading"),
+)
 def n17_render_shaded_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N17 shaded-channel tier, value-oracled end-to-end: probe-pose mesh ->
     quantized-world-mesh vertex normals (exact int64 corner-cross sums) ->
@@ -966,7 +971,7 @@ def n17_render_shaded_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel -> nine-term SH gray shade x 180/255 albedo -> floor-micro
     count/sum/min/max per mesh. See the staging block above for the
     cross-engine bit-exactness argument (only correctly-rounded IEEE ops in
-    a pinned association order). STAGED r13 -> registers r14."""
+    a pinned association order). STAGED r13, REGISTERED r14."""
     from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 
@@ -1245,13 +1250,18 @@ def _render_texture_oracle() -> str:
 N17_RENDER_TEXTURE_ORACLE = _render_texture_oracle()
 
 
+@register(
+    "n17_render_texture_checksum",
+    oracle=N17_RENDER_TEXTURE_ORACLE,
+    tags=("inference", "N17", "rasterizer", "texture"),
+)
 def n17_render_texture_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N17 texture tier, value-oracled end-to-end: the reference's FULL
     textured forward composition — barycentric uv -> bilinear grid_sample
     of the (stand-in) albedo -> per-channel SH shading -> RGB mean — per
     covered pixel, floor-micro count/sum/min/max per mesh. See the staging
     block above for the exactness argument and asset provenance. STAGED
-    r13 -> registers r14."""
+    r13, REGISTERED r14."""
     from talkinghead_datapipeline_spark.catalog import rebalance_for_compute
     from talkinghead_datapipeline_spark.operators.inference import batched_inference
 

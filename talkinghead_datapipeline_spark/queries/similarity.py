@@ -1375,13 +1375,18 @@ def _dbscan_oracle() -> str:
 DBSCAN_GRID_ORACLE = _dbscan_oracle()
 
 
+@register(
+    "dbscan_grid_roles",
+    oracle=DBSCAN_GRID_ORACLE,
+    tags=("similarity", "clustering", "dbscan"),
+)
 def dbscan_grid_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN-style core/border/noise labeling on the integer grid: seeded
     2-D projection -> 1/1024 quantization -> eps-cell bucketing -> 3x3
     adjacent-cell equi-join with the exact integer distance predicate ->
     self-inclusive neighbor counts (core >= 8) and core-adjacency border
     promotion. See the staging comment for determinism and the 100 TB
-    shuffle shape. STAGED r13 -> registers r14."""
+    shuffle shape. STAGED r13, REGISTERED r14."""
     q, eq, mp = _DBSCAN_Q, _DBSCAN_EPS_Q, _DBSCAN_MINPTS
     emb = load_table(spark, sf_dir, "embeddings")
     pts = persist_once(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from talkinghead_datapipeline_spark.catalog import load_table
 from talkinghead_datapipeline_spark.queries import register
@@ -252,10 +253,12 @@ SELECT kth_a, kth_b, kth_u, n_common, true_a, true_b, true_common,
          (({_KMV_K} - 1) * 4294967296) // kth_b ELSE n_b END AS est_b,
        CASE WHEN n_u = {_KMV_K} THEN
          (({_KMV_K} - 1) * 4294967296) // kth_u ELSE n_u END AS est_union,
-       (n_common * 1000000) // n_u AS jaccard_ppm,
-       (n_common * (CASE WHEN n_u = {_KMV_K} THEN
-          (({_KMV_K} - 1) * 4294967296) // kth_u ELSE n_u END)) // n_u
-         AS est_intersection
+       CASE WHEN n_u > 0 THEN (n_common * 1000000) // n_u END
+         AS jaccard_ppm,
+       CASE WHEN n_u > 0 THEN
+         (n_common * (CASE WHEN n_u = {_KMV_K} THEN
+            (({_KMV_K} - 1) * 4294967296) // kth_u ELSE n_u END)) // n_u
+       END AS est_intersection
 FROM kth
 """
 
@@ -347,8 +350,296 @@ def kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(est.format(s="a")).alias("est_a"),
         F.expr(est.format(s="b")).alias("est_b"),
         F.expr(est.format(s="u")).alias("est_union"),
-        F.expr("(n_common * 1000000) div n_u").alias("jaccard_ppm"),
+        # ANSI-mode guard (ADVICE r13): on a fully degenerate corpus (no
+        # views and no purchases) n_u = 0 and a bare div raises
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode where the
+        # DuckDB oracle returns NULL — the CASE yields NULL on both
+        # sides, matching the oof_target_encoding_segment pattern.
         F.expr(
-            f"(n_common * ({est.format(s='u')})) div n_u"
+            "CASE WHEN n_u > 0 THEN (n_common * 1000000) div n_u END"
+        ).alias("jaccard_ppm"),
+        F.expr(
+            f"CASE WHEN n_u > 0 THEN"
+            f" (n_common * ({est.format(s='u')})) div n_u END"
         ).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for r16 registration — qdigest_rank_certified (r14: the sketch
+# family's MERGEABLE-RANK gap, VERDICT r13 #6a. CMS certifies counts, HLL
+# distincts, KMV set operations; quantiles so far ride GK via
+# percentile_approx with a rank-verified contract
+# (approx_quantiles_certified) — but GK's register state is engine-private,
+# so nothing in the registry certifies a rank SKETCH register-for-register
+# the way hll_distinct_users certifies its register table. The q-digest
+# (Shrivastava, Buragohain, Agrawal, Suri 2004 — the classical
+# sensor-network quantile summary) closes that: built from a value
+# HISTOGRAM over a fixed integer universe it is a pure function of the
+# data MULTISET — no order-, partition- or merge-schedule dependence —
+# so both engines construct the IDENTICAL register set and the driver
+# hash certifies every register.)
+#
+# Construction (the leaf-histogram variant, deterministic by spec):
+#   universe  = 2^16 buckets of o_totalprice at 1024-cent (~$10.24) grain
+#               (TPC-H o_totalprice tops out ~$555k = bucket 54248,
+#               SF-independent; the staged test asserts max bucket <
+#               65536 — the row-replication ladders multiply ROWS, never
+#               prices, so the domain bound survives xN)
+#   leaves    = heap ids 2^16 + bucket, count = histogram count
+#   compress  = for depth d = 16 .. 1: group current masses by parent
+#               (id div 2); a pair whose mass sum cs is <= T = n div K
+#               flows up (parent := cs), else BOTH children FREEZE as
+#               registers (internal nodes start massless, so the
+#               canonical count(v)+count(sib)+count(parent) <= T test
+#               degenerates to cs <= T exactly). Root keeps whatever
+#               arrives. K = 64.
+#   registers = frozen nodes + root: <= O(K) per level (a frozen pair
+#               needs cs > T, so <= 2*ceil(n/T) ~ 2K nodes per level),
+#               i.e. O(K log U) rows INDEPENDENT OF n — the sketch
+#               contract.
+# Every frozen INTERNAL register carries mass <= T (its own child-pair
+# flowed, cs <= T, before its parent-pair froze it); only LEAF registers
+# can exceed T (an irreducibly heavy bucket). At most one register per
+# level strictly contains a query point x (same-level nodes are
+# disjoint) and a leaf cannot (lo = hi), so the rank estimate
+# est_rank(x) = sum of counts of registers with hi <= x under-counts by
+# at most 16*T: the certified per-register contract is
+#   0 <= true_rank(hi) - est_rank(hi) <= 16*T
+# emitted as rank_err / bound_ok columns next to the exact cumulative
+# rank from the full histogram (fixture-scale certification, exactly the
+# hll/kmv pattern: at 100 TB the exact branch is dropped and the digest
+# IS the answer).
+#
+# Mergeability (the property that makes this THE distributed rank
+# sketch): two digests over disjoint corpora merge by summing register
+# counts node-wise and re-running the same 16-level compression with the
+# union threshold — the staged test fuzzes that the merged digest still
+# satisfies the rank-error contract against the union corpus.
+#
+# Determinism: EVERYTHING is exact BIGINT on both sides (bucket floor-div,
+# integer pair sums, integer threshold, bit-length depth via the
+# length(bin(id)) idiom the HLL oracle pinned cross-engine); there is no
+# float op anywhere in the query.
+#
+# Scale shape: ONE data-sized aggregation (orders -> 65536-max-row bucket
+# histogram, map-side combinable); the 16 compression levels run on
+# universe-bounded frames (<= distinct buckets, halving upward); the
+# 65536-row rank spine and its single-partition cumulative window are
+# universe constants, not data; the 1-row (n, t) threshold frame rides
+# broadcast crossJoins (whitelist entry pre-added at staging time). At
+# 100 TB only the histogram pass touches data.
+# ---------------------------------------------------------------------------
+
+_QD_K = 64
+_QD_DEPTH = 16
+_QD_LEAF_BASE = 1 << _QD_DEPTH
+_QD_QUANTUM = 1024  # cents per leaf bucket
+
+
+def _qdigest_oracle() -> str:
+    """Unrolled 16-level q-digest compression as DuckDB CTEs — the
+    pagerank/render-mask oracle pattern (programmatic unroll, identical
+    spec both engines)."""
+    lvls = []
+    frozen = []
+    for d in range(_QD_DEPTH, 0, -1):
+        lvls.append(f"""
+p{d} AS (
+  SELECT id // 2 AS pid, CAST(sum(c) AS BIGINT) AS cs
+  FROM m{d} GROUP BY 1
+),
+f{d} AS (
+  SELECT m.id, m.c FROM m{d} m
+  JOIN p{d} p ON p.pid = m.id // 2
+  WHERE p.cs > (SELECT t FROM tot)
+),
+m{d - 1} AS (
+  SELECT pid AS id, cs AS c FROM p{d} WHERE cs <= (SELECT t FROM tot)
+)""")
+        frozen.append(f"SELECT id, c FROM f{d}")
+    frozen.append("SELECT id, c FROM m0")
+    frozen_union = "\n  UNION ALL\n  ".join(frozen)
+    return f"""
+WITH hist AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {_QD_QUANTUM} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) // {_QD_K} AS t
+  FROM hist
+),
+m{_QD_DEPTH} AS (SELECT b + {_QD_LEAF_BASE} AS id, c FROM hist),
+{','.join(lvls)},
+regs AS (
+  {frozen_union}
+),
+geo AS (
+  SELECT id, c, CAST(length(bin(id)) - 1 AS BIGINT) AS depth_level
+  FROM regs
+),
+geo2 AS (
+  SELECT id, c, depth_level,
+         {_QD_LEAF_BASE} // (CAST(1 AS BIGINT) << depth_level) AS width,
+         (id - (CAST(1 AS BIGINT) << depth_level))
+           * ({_QD_LEAF_BASE} // (CAST(1 AS BIGINT) << depth_level))
+           AS lo_bucket
+  FROM geo
+),
+geo3 AS (
+  SELECT id, c, depth_level, lo_bucket,
+         lo_bucket + width - 1 AS hi_bucket
+  FROM geo2
+),
+ranked AS (
+  SELECT g.*,
+         CAST(sum(c) OVER (ORDER BY hi_bucket
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS est_rank_hi
+  FROM geo3 g
+),
+cumh AS (
+  SELECT s.sb,
+         CAST(sum(COALESCE(h.c, 0)) OVER (ORDER BY s.sb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM range(0, {_QD_LEAF_BASE}) s(sb)
+  LEFT JOIN hist h ON h.b = s.sb
+)
+SELECT r.id AS node_id, r.depth_level, r.lo_bucket, r.hi_bucket,
+       r.c AS cnt,
+       (SELECT t FROM tot) AS qd_threshold,
+       r.est_rank_hi,
+       ch.cum AS true_rank_hi,
+       ch.cum - r.est_rank_hi AS rank_err,
+       CAST(CASE WHEN ch.cum - r.est_rank_hi >= 0
+                  AND ch.cum - r.est_rank_hi
+                      <= {_QD_DEPTH} * (SELECT t FROM tot)
+             THEN 1 ELSE 0 END AS BIGINT) AS bound_ok
+FROM ranked r JOIN cumh ch ON ch.sb = r.hi_bucket
+ORDER BY node_id
+"""
+
+
+QDIGEST_ORACLE = _qdigest_oracle()
+
+
+def qdigest_rank_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-digest (K=64) over o_totalprice on a 2^16 integer-bucket
+    universe: the mergeable rank sketch certified REGISTER-FOR-REGISTER
+    (node id, range, count) plus the per-register rank-error contract
+    0 <= true_rank(hi) - est_rank(hi) <= 16*T against the exact
+    cumulative histogram. All BIGINT, no float op anywhere; built from a
+    value histogram so the register set is a pure function of the data
+    multiset (order/partition/merge-schedule independent). See the
+    staging comment for the spec, bounds, and scale shape. STAGED r14 ->
+    registers r16 (the r15 window is spoken for by the r13 tranche)."""
+    from talkinghead_datapipeline_spark.catalog import persist_once
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = persist_once(
+        orders.select(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT)"
+                f" div {_QD_QUANTUM}"
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = persist_once(
+        hist.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.expr(f"CAST(sum(c) AS BIGINT) div {_QD_K}").alias("t"),
+        )
+    )
+    m = hist.select(
+        (F.col("b") + F.lit(_QD_LEAF_BASE)).cast("bigint").alias("id"), "c"
+    )
+    frozen_parts = []
+    # Static 16-level unroll (universe constant, not data-dependent);
+    # each level's mass and pair frames feed TWO consumers (the freeze
+    # branch and the next level), so lineage is CUT per level with
+    # localCheckpoint (the components.py pointer-jumping pattern) — a
+    # merely-persisted chain keeps the full logical plan, and Spark 4's
+    # AQE re-renders the whole plan string on every update
+    # (explainString in onUpdatePlan), which goes quadratic on a
+    # 16-level nesting (measured: >400s at sf0.001 with persists vs
+    # seconds with checkpoints). The frames are universe-bounded
+    # (<= distinct buckets, halving per level), so the checkpoint cost
+    # is constant, not data-sized.
+    for _ in range(_QD_DEPTH, 0, -1):
+        m = m.localCheckpoint(eager=True)
+        pairs = (
+            m.groupBy(F.expr("id div 2").alias("pid"))
+            .agg(F.sum("c").cast("bigint").alias("cs"))
+            .crossJoin(F.broadcast(tot))
+        ).localCheckpoint(eager=True)
+        over = pairs.filter(F.col("cs") > F.col("t")).select("pid")
+        frozen_parts.append(
+            m.join(
+                F.broadcast(over),
+                F.expr("id div 2") == F.col("pid"),
+                "left_semi",
+            )
+        )
+        m = pairs.filter(F.col("cs") <= F.col("t")).select(
+            F.col("pid").alias("id"), F.col("cs").alias("c")
+        )
+    frozen_parts.append(m)  # root-level survivor (id 1), if any
+    regs = frozen_parts[0]
+    for part in frozen_parts[1:]:
+        regs = regs.unionByName(part)
+
+    geo = regs.withColumn(
+        "depth_level", F.expr("CAST(length(bin(id)) - 1 AS BIGINT)")
+    )
+    width = F.expr(
+        f"CAST({_QD_LEAF_BASE} AS BIGINT)"
+        " div shiftleft(CAST(1 AS BIGINT), CAST(depth_level AS INT))"
+    )
+    geo = geo.withColumn("width", width).withColumn(
+        "lo_bucket",
+        (
+            F.col("id")
+            - F.expr("shiftleft(CAST(1 AS BIGINT), CAST(depth_level AS INT))")
+        )
+        * F.col("width"),
+    ).withColumn("hi_bucket", F.col("lo_bucket") + F.col("width") - 1)
+    w_rank = W.orderBy("hi_bucket").rangeBetween(W.unboundedPreceding, 0)
+    ranked = geo.withColumn(
+        "est_rank_hi", F.sum("c").over(w_rank).cast("bigint")
+    )
+    spine = spark.range(0, _QD_LEAF_BASE).select(
+        F.col("id").cast("bigint").alias("sb")
+    )
+    w_cum = W.orderBy("sb").rowsBetween(W.unboundedPreceding, 0)
+    cumh = (
+        spine.join(hist, spine.sb == hist.b, "left")
+        .select("sb", F.coalesce("c", F.lit(0)).alias("hc"))
+        .withColumn("cum", F.sum("hc").over(w_cum).cast("bigint"))
+    )
+    err = F.col("cum") - F.col("est_rank_hi")
+    return (
+        ranked.join(cumh, ranked.hi_bucket == cumh.sb)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").alias("node_id"),
+            "depth_level",
+            "lo_bucket",
+            "hi_bucket",
+            F.col("c").alias("cnt"),
+            F.col("t").alias("qd_threshold"),
+            "est_rank_hi",
+            F.col("cum").alias("true_rank_hi"),
+            err.alias("rank_err"),
+            F.expr(
+                f"CAST(CASE WHEN cum - est_rank_hi >= 0"
+                f" AND cum - est_rank_hi <= {_QD_DEPTH} * t"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("bound_ok"),
+        )
+        .orderBy("node_id")
     )

@@ -726,13 +726,18 @@ FROM thr
 """
 
 
+@register(
+    "bh_fdr_lang_source",
+    oracle=BH_FDR_ORACLE,
+    tags=("stats", "fdr", "multiple-testing"),
+)
 def bh_fdr_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR over the (lang, source) two-proportion-test
     battery: per cell the long-doc-rate z statistic vs the rest of the
     corpus, the A&S 7.1.26 two-sided p-value (ppb-quantized), the p rank,
     the BH threshold (rank·q/m as an exact integer floor at q = 0.05),
     and the step-up rejection flag. See the staging comment for the
-    determinism and scale contract. STAGED r13 -> registers r14."""
+    determinism and scale contract. STAGED r13, REGISTERED r14."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     cells = persist_once(
         docs.groupBy("lang", "source").agg(

@@ -1832,13 +1832,18 @@ FROM terms ORDER BY lag
 """
 
 
+@register(
+    "acf_ljung_box_daily",
+    oracle=ACF_LJUNG_BOX_ORACLE,
+    tags=("timeseries", "acf", "ljung-box", "serial-dependence"),
+)
 def acf_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of daily revenue (lags 1..7, zero-filled
     calendar grid, floored-integer mean) with the Ljung-Box portmanteau
     accumulated over pre-quantized integer terms — exact int64 moment
     sums, one correctly-rounded division per lag. See the staging comment
     for the determinism tier and the overflow bound. STAGED r13 ->
-    registers r14."""
+    REGISTERED r14."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")

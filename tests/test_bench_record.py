@@ -58,3 +58,32 @@ def test_infer_round_tracks_driver_artifacts(monkeypatch):
     assert bench._infer_round() == max(rounds) + 1
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
     assert bench._infer_round() == 42
+
+
+def test_rotating_sample_covers_all_absentees_every_cycle():
+    """VERDICT r13 #4 (option b): the rotating sample must reach EVERY
+    HEADLINE absentee within SAMPLE_ROUNDS consecutive rounds, be a pure
+    function of the round number, and never overlap HEADLINE (sample
+    timings must not contaminate the comparable totals)."""
+    all_names = [f"q{i:03d}" for i in range(91)] + list(bench.HEADLINE[:5])
+    headline = bench.HEADLINE
+    seen: set[str] = set()
+    for r in (14, 15, 16):
+        s = bench._rotating_sample(all_names, headline, r)
+        assert s == bench._rotating_sample(all_names, headline, r)  # pure
+        assert not set(s) & set(headline)
+        seen |= set(s)
+    absent = {n for n in all_names if n not in set(headline)}
+    assert seen == absent, f"uncovered after {bench.SAMPLE_ROUNDS} rounds"
+
+
+def test_rotating_sample_real_registry_size():
+    """On the real registry the per-round slice stays a bounded fraction
+    (ceil(|absent|/3)) and empty-absentee degenerates to []."""
+    from talkinghead_datapipeline_spark.queries import all_queries
+
+    names = list(all_queries())
+    s = bench._rotating_sample(names, bench.HEADLINE, 14)
+    absent_n = len([n for n in names if n not in set(bench.HEADLINE)])
+    assert len(s) == -(-absent_n // bench.SAMPLE_ROUNDS)
+    assert bench._rotating_sample(list(bench.HEADLINE), bench.HEADLINE, 14) == []

@@ -105,7 +105,14 @@ def test_driver_priority_rotation_policy():
         certified |= {
             k
             for k, v in rows.items()
-            if v.get("err") is None and v.get("rows_match") is not False
+            if (v.get("err") is None and v.get("rows_match") is not False)
+            # A deliberately oracle-less query (oracle=None — e.g. the
+            # xxhash64 bootstrap prod twin, Spark-native hash with no
+            # DuckDB twin) records err="no_oracle" with its row count:
+            # that rows-only row IS its certification — the strongest
+            # check the driver can ever run for it — so it must not
+            # occupy a window seat every round forever.
+            or (v.get("err") == "no_oracle" and v.get("spark_rows") is not None)
         }
     never = set(names) - certified
     # REGISTRY-GROWTH GOVERNOR (VERDICT r6 #2): a registration batch that
@@ -152,54 +159,49 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-13 canaries: every query whose implementation (or output
+    # round-14 canaries: every query whose implementation (or output
     # contract) changed after its last green driver row holds a seat —
-    # the nine r13 registrations (never certified yet, so they lead their
-    # section of the window per the governor above) plus the r13
-    # changed-code set (operators/rasterize.py gained the two-tier
-    # exact-arithmetic guard, ADVICE r12 medium — default-scale output
-    # bit-unchanged, consumers seated defensively; mlstats' bootstrap
-    # body refactored into _bootstrap_ci_plan to thread the weight
-    # source).
+    # the eight r14 registrations (never certified yet, so they lead the
+    # window per the governor above). r14's other code edits touch only
+    # the UNREGISTERED r15-staged kmv query (ADVICE r13 ANSI div guard)
+    # and comments, so no changed-code canaries are owed.
     canaries = {
-        # r13 changed-code: rasterize.py tier guard (ADVICE r12)
-        "flame_render_pipeline",
-        "flame_decode_landmarks",
-        # r13 changed-code: bootstrap source-thread refactor
-        "bootstrap_ci_order_value",
-        # r13 registrations (staged r12, three-SF oracle + invariance)
-        "cuped_adjusted_lift",
-        "conformal_coverage_lang",
-        "seasonal_dow_backtest",
-        "n17_render_mask_zbuffer",
-        "mann_kendall_daily_trend",
-        "theil_sen_daily_slope",
-        "basket_association_rules",
-        "gini_revenue_concentration",
-        # r13 registration: the bootstrap production twin (VERDICT r12 #5a)
-        "bootstrap_ci_order_value_prod",
+        # r14 registrations (staged r13, three-SF oracle + invariance)
+        "n17_render_shaded_checksum",
+        "n17_render_texture_checksum",
+        "kaplan_meier_survival",
+        "logrank_segment_survival",
+        "bh_fdr_lang_source",
+        "dbscan_grid_roles",
+        "triangle_count_brand_graph",
+        "acf_ljung_box_daily",
     }
     assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor: the full remaining r8-era tier is seated, so after
-    # r13 no key's latest green row predates r9.
-    r8_era = {
-        "doc_fingerprint", "e3_key_intersection_semi", "e6_exists_filter",
-        "e7_memoization_anti", "emb_covariance_upper",
-        "emb_norms_per_label", "grouping_sets_order_stats",
-        "incremental_dedup_against_index", "lag_delta_per_user",
-        "minhash_lsh_near_dups", "minhash_signatures", "n11_group_extent",
-        "n7_argmax_per_group", "ngram_jaccard_exact_pairs",
-        "ols_normal_equations", "rollup_nation_revenue",
-        "s10_quantile_per_flag", "s8_savgol_exact_w7", "set_except_keys",
-        "set_intersect_keys", "shingle_containment_pairs",
-        "streaming_dedup_event_keys", "streaming_enrich_static_dim",
-        "streaming_hourly_event_counts", "streaming_purchase_view_full",
-        "streaming_purchase_view_join", "streaming_purchase_view_left",
-        "streaming_sliding_event_counts", "streaming_stateful_user_extents",
-        "streaming_user_sessions", "topk_per_group",
-        "unpivot_part_measures",
+    # Staleness floor: the full remaining r9-era tier is seated, so after
+    # r14 no key's latest green row predates r10 (the r8 tier drained in
+    # r13 the same way).
+    r9_era = {
+        "lang_id_heuristic", "multimodal_binary_features",
+        "multimodal_frame_sample", "multimodal_image_channel_means",
+        "n10_bbox_transform_chain", "n14_code_split", "pack_token_budget",
+        "profile_documents", "q14_promo_revenue_ratio", "q15_top_supplier",
+        "q17_below_avg_quantity", "q19_disjunctive_revenue",
+        "q22_dormant_rich_customers", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+        "range_interval_join", "revenue_mom_growth", "s5_blink_features",
+        "s7_resample_linear", "sim_brute_cosine_topk",
+        "sim_cosine_topk_per_label", "sim_ivf_probe_topk",
+        "sim_lsh_bucket_topk", "simhash_fingerprint",
+        "simhash_hamming_near_dups", "skew_salted_quantity_rollup",
+        "source_overlap_matrix", "split_train_val_test",
+        "stratified_sample_by_lang", "streaming_late_data_metrics",
+        "streaming_late_sink_counts", "string_functions_suite",
+        "table_profile_orders", "text_bpe_token_count",
+        "text_quality_score", "text_token_stats", "wav2vec_features_stub",
+        "weighted_sample_by_length", "wide_source_assembly",
+        "window_rank_suite",
     }
-    assert r8_era <= prefix, f"unseated r8-era keys: {sorted(r8_era - prefix)}"
+    assert r9_era <= prefix, f"unseated r9-era keys: {sorted(r9_era - prefix)}"
 
 
 

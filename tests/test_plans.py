@@ -83,6 +83,10 @@ _NESTED_LOOP_OK = {
     "decision_stump_split_scores",  # 9-row broadcast decile-rank probe
     # (cum_cnt >= r_need) against the cardinality-bounded cumulative
     # distinct-x frame — deliberately non-equi, bounded by the 9 ranks
+    # --- pre-added for the r16 registrations (staged r14; inert until
+    # --- the name joins the registry) ---
+    "qdigest_rank_certified",  # 1-row (n, t) threshold broadcast
+    # crossJoins onto the universe-bounded level/register frames
     "pmi_top_collocations",  # 1-row broadcast (n_bg, n_tok) totals crossJoin
     "source_mixture_manifest",  # 1-row broadcast token-budget crossJoin
     "sim_ivf_probe_topk",

@@ -77,6 +77,25 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Scan-schema memo: (path, mtime_ns, size) -> the StructType this catalog
+# reads that file with (post events-ts forcing). Schema inference re-reads
+# the parquet footer on the DRIVER for every ``spark.read.parquet`` —
+# measured 254ms/call vs 46ms with a supplied schema at sf0.1 — and query
+# builders run once per bench rep, so the footer was re-read hundreds of
+# times per bench. A real deployment pins schemas in a catalog (metastore /
+# Iceberg manifest) for exactly this reason (guide §6: listing/planning is
+# driver-side, single-threaded). This memoizes METADATA only — every run
+# still computes results from the parquet bytes — and the stat-key
+# invalidates the entry whenever the file (or split directory) changes, so
+# tests that rewrite a path re-infer.
+_SCHEMA_CACHE: dict = {}
+
+
+def _schema_key(path: str):
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one catalog table; ``events.ts`` is normalized
     to TimestampType whatever the parquet footer says (see
@@ -90,7 +109,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the per-row cost at zero, where the expression-based rewrite measurably
     dragged every events window query (bench r5: s9_tumbling_volume 3.5×);
     it also keeps ts filters eligible for parquet pushdown, which any
-    wrapping expression forfeits.
+    wrapping expression forfeits. The footer read happens once per file
+    version per process (see ``_SCHEMA_CACHE``); ``normalize_events_ts``
+    stays in the cached path and passes TimestampType through untouched,
+    so both events branches behave identically on a cache hit.
     """
     from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
 
@@ -99,7 +121,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # a nanos-typed fixture too — harmless when the footer stores micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, name)
+    try:
+        key = _schema_key(path)
+    except OSError:
+        key = None
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+        return normalize_events_ts(df) if name == "events" else df
     df = spark.read.parquet(path)
+    scan_schema = df.schema
     if name == "events":
         if "ts" in df.columns and isinstance(
             df.schema["ts"].dataType, TimestampNTZType
@@ -114,9 +145,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     for f in df.schema.fields
                 ]
             )
+            scan_schema = forced
             df = spark.read.schema(forced).parquet(path)
         else:
+            # cache the pre-normalization SCAN schema; the hit path
+            # re-applies normalize_events_ts to rebuild the expression.
             df = normalize_events_ts(df)
+    if key is not None:
+        _SCHEMA_CACHE[key] = scan_schema
     return df
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
 from talkinghead_datapipeline_spark.queries import register
 
@@ -459,7 +463,14 @@ def table_integrity_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-equal digests of the same table."""
     parts = []
     for tbl, cols in _CK.items():
-        t = load_table(spark, sf_dir, tbl)
+        # Project to the checksummed columns, then spread the
+        # single-row-group scan: the md5 fold over 600k lineitem rows
+        # otherwise runs in one task (guide §2.5/§4). bit_xor and count are
+        # commutative — layout-invariant by construction; no-op on
+        # many-split production inputs.
+        t = rebalance_for_compute(
+            load_table(spark, sf_dir, tbl).select(*cols)
+        )
         h = F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
@@ -781,7 +792,15 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same-day interleaved A/B at sf0.1: exact 1.6-2.5s vs sketch 1.2-1.5s
     (the shared clip+mean join dominates); the exact ×10-data step is
     ~1.75×, not the 5.5× of the cross-day r6 table — machine state."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Projected to the two live columns. A rebalance_for_compute spread was
+    # A/B-tested here (r14, interleaved, 4 reps): with 2.39s vs without
+    # 2.10s median — the cost is the 3-group EXACT-percentile final merge
+    # (an inherent per-group straggler; partial list buffers just get
+    # re-merged), so spreading the scan buys nothing and pays a shuffle.
+    # Left alone deliberately (guide §1: measure, don't pattern-match).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     # Both quantiles from ONE array-form percentile: a single shared sort
     # buffer per group instead of two (measured: 2.24s two-call form ->
     # 1.51s array form at sf0.1; the exact aggregate is the whole cost).
@@ -1082,8 +1101,17 @@ def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> Data
     bounds with a same-key grouped count. Nothing exceeds one shuffle on
     the 3-value group key.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    # Spread the single-row-group scan before the two grouped passes: the
+    # GK-sketch + exact-percentile partials otherwise build their 600k-value
+    # buffers in one task (guide §2.5). The GK sketch's merge pattern changes
+    # with layout, but only the CONTRACT FLAGS (robust to any valid sketch)
+    # and the exact percentiles (layout-invariant) are emitted — the
+    # registered output is partitioning-independent, as the r13 three-axis
+    # invariance sweep already certified for this query.
+    li = rebalance_for_compute(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
     )
     qs = F.array(F.lit(0.01), F.lit(0.99))
     stats = li.groupBy("l_returnflag").agg(

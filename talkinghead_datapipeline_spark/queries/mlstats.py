@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.catalog import (
+    load_table,
+    persist_once,
+    rebalance_for_compute,
+)
 from talkinghead_datapipeline_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -650,7 +654,18 @@ def _bootstrap_ci_plan(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    rep = o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+    # The ×B explode multiplies ROWS but not PARTITIONS, and the
+    # single-row-group fixture scan is one task — so without an explicit
+    # redistribution every (replicate, key) weight hash runs single-threaded
+    # (measured r14: 8.46s isolated, vs the bench's own md5 anchor pricing
+    # the 4.8M hashes at ~0.3s of 8-way work). One cheap shuffle of the
+    # 3-column pre-explode rows buys full-width hashing; no-op on
+    # many-split production inputs (guide §2.5/§4 — spread compute-dense
+    # per-row work). Weights are per (b, o_orderkey) so results are
+    # layout-invariant by construction.
+    rep = rebalance_for_compute(o).withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+    )
     means = (
         rep.withColumn(
             "wgt",

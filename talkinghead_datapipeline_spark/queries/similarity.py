@@ -1068,31 +1068,51 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 77-query bench session (the chain's giant generated methods
     degrade further under long-session JVM code-cache pressure). The
     real production answer for k*d beyond this size is the Arrow-batched
-    numpy matmul tier of the inference harness."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    numpy matmul tier of the inference harness.
+
+    Build-cost note (r14): the Column-API form of this projection made
+    ~8,600 py4j round-trips (profiled: 1,090 ``lit`` calls for the 16x64
+    matrix plus per-lambda HOF construction) — ~1.9s of DRIVER time per
+    build, re-paid every bench rep because the DataFrame is rebuilt per
+    rep. The selectExpr strings below parse JVM-side in one round-trip and
+    resolve to the IDENTICAL expression tree (same transform-cast /
+    zip_with / aggregate fold, same 0.0D init, same literal doubles), so
+    every output bit is unchanged — only where the plan is assembled
+    moved (guide §7.3: planning is single-threaded driver work)."""
+    # Spread the single-row-group scan: 17 interpreted HOF dot-folds per row
+    # are compute-dense, and the single-file fixture otherwise pins every
+    # fold to one task (guide §2.5/§4; no-op on many-split production
+    # inputs). Map-only per-row math — layout-invariant.
+    emb = rebalance_for_compute(load_table(spark, sf_dir, "embeddings"))
     k = float(_JL_OUT_DIM)
-    ys = [
-        (
-            _dot(F.col("embedding"), F.array(*[F.lit(s) for s in _jl_signs(j)]))
-            / F.sqrt(F.lit(k))
-        ).alias(f"y{j}")
-        for j in range(_JL_OUT_DIM)
-    ]
-    proj = emb.select(
+
+    def dot_sql(a: str, b: str) -> str:
+        # exact SQL replica of _dot: cast-transform both sides, zip_with
+        # product, left-fold from a double 0.0
+        return (
+            f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+            f" transform({b}, x -> CAST(x AS DOUBLE)),"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    def arr_sql(j: int) -> str:
+        return "array(" + ", ".join(f"{s}D" for s in _jl_signs(j)) + ")"
+
+    proj = emb.selectExpr(
         "vec_id",
-        F.col("label").cast("bigint").alias("label"),
-        _dot(F.col("embedding"), F.col("embedding")).alias("nx2"),
-        *ys,
+        "CAST(label AS BIGINT) AS label",
+        f"{dot_sql('embedding', 'embedding')} AS nx2",
+        *[
+            f"{dot_sql('embedding', arr_sql(j))} / sqrt({k}D) AS y{j}"
+            for j in range(_JL_OUT_DIM)
+        ],
     )
-    sq = None
-    for j in range(_JL_OUT_DIM):
-        term = F.col(f"y{j}") * F.col(f"y{j}")
-        sq = term if sq is None else sq + term
-    return proj.select(
+    sq = " + ".join(f"y{j} * y{j}" for j in range(_JL_OUT_DIM))
+    return proj.selectExpr(
         "vec_id",
         "label",
-        *[F.round(F.col(f"y{j}"), 6).alias(f"y{j}") for j in range(_JL_OUT_DIM)],
-        F.round(sq / F.col("nx2"), 6).alias("norm_ratio"),
+        *[f"round(y{j}, 6) AS y{j}" for j in range(_JL_OUT_DIM)],
+        f"round(({sq}) / nx2, 6) AS norm_ratio",
     )
 
 

@@ -156,7 +156,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def rebalance_for_compute(df: DataFrame, *keys: str) -> DataFrame:
+def rebalance_for_compute(
+    df: DataFrame, *keys: str, probe: "DataFrame | None" = None
+) -> DataFrame:
     """Opt-in rebalance ahead of compute-DENSE per-row work (md5 shingle
     folds, 32-bit vote folds, pandas-UDF inference).
 
@@ -179,10 +181,18 @@ def rebalance_for_compute(df: DataFrame, *keys: str) -> DataFrame:
     elides every later shuffle — the doc-grain text queries collapse from
     2-3 exchanges to 1 this way. Skew caveat applies: keys must be
     high-cardinality (doc_id), never a low-cardinality attribute.
+
+    ``probe`` supplies the provenance frame for the guard when ``df``
+    itself no longer reports input files (mid-plan frames whose lineage
+    passes through barriers/joins return an empty ``inputFiles()``, which
+    would silently no-op the guard in BOTH directions): pass the table
+    frame the work derives from, and the many-splits-at-scale logic reads
+    it instead of ``df``.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if 0 < len(df.inputFiles()) < cores:
+    src = probe if probe is not None else df
+    if 0 < len(src.inputFiles()) < cores:
         return df.repartition(cores, *keys) if keys else df.repartition(cores)
     return df
 

@@ -745,6 +745,22 @@ def ngram_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("_n_common_prefix"))
     )
+    # r14 (guide §2.5): the pair frame is ~1.4 MB at sf0.1, so AQE's
+    # parallelism-first coalescing (min partition size 1 MB) folds the
+    # groupBy output to ONE partition — and the downstream full-array
+    # Jaccard verify, which round-6 profiling showed DOMINATES this query,
+    # ran single-threaded (profiled r14: a 1-task 4.5-5.5s verify stage vs
+    # ~0.5s for everything else). Re-spread ROUND-ROBIN before the verify
+    # joins: a (key_a, key_b) hash respread is exactly the groupBy's own
+    # partitioning, so EnsureRequirements elides it as redundant and the
+    # coalesce returns (observed while staging this change); round-robin is
+    # never redundant, and the verify joins are broadcast-only so no
+    # distribution requirement is lost. At production scale the pair frame
+    # is large enough that AQE already yields full width and the underlying
+    # scans are many-split, making this the same inputFiles-guarded no-op
+    # as every other rebalance call (guarded via probe=docs: the pair
+    # frame's own lineage hides its input files behind the barrier+join).
+    pairs = rebalance_for_compute(pairs, probe=docs)
     ga = g.select(F.col("doc_id").alias("key_a"), F.col("grams").alias("_ga"))
     gb = g.select(F.col("doc_id").alias("key_b"), F.col("grams").alias("_gb"))
     return (

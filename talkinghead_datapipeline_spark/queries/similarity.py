@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as W
 from talkinghead_datapipeline_spark.catalog import (
     load_table,
     persist_once,
+    pushdown_barrier,
     rebalance_for_compute,
 )
 from talkinghead_datapipeline_spark.queries import register
@@ -373,13 +374,15 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_lloyd_step(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd's iteration: assign → per-cell element-wise mean → new
-    1-row ``cents`` frame (empty cells keep their previous centroid).
+def _ivf_cell_means(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """≤k-row (cluster, cvec) frame of per-cell element-wise means (round 6);
+    clusters with no members are ABSENT (the caller supplies the empty-cell
+    fallback). The aggregation half of :func:`_ivf_lloyd_step`, reusable by
+    the r14 driver-side training loop.
 
     Scale shape mirrors emb_label_centroids: posexplode to (cluster, pos, x)
     cells, partial-aggregate map-side, ONE shuffle on (cluster, pos), then
-    two tiny k-row aggregations. Means round to 6 decimals so both engines
+    a tiny k-row aggregation. Means round to 6 decimals so both engines
     feed bit-identical centroids into the next iteration."""
     assigned = _ivf_assign(emb, cent)
     per_pos = (
@@ -388,11 +391,17 @@ def _ivf_lloyd_step(emb: DataFrame, cent: DataFrame) -> DataFrame:
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
     )
-    newc = per_pos.groupBy("cluster").agg(
+    return per_pos.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("cvec")
     )
+
+
+def _ivf_lloyd_step(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd's iteration: assign → per-cell element-wise mean → new
+    1-row ``cents`` frame (empty cells keep their previous centroid)."""
+    newc = _ivf_cell_means(emb, cent)
     prev = cent.select(
         F.posexplode("cents").alias("cl0", "old")
     ).withColumn("cluster", F.col("cl0") + 1)
@@ -406,6 +415,16 @@ def _ivf_lloyd_step(emb: DataFrame, cent: DataFrame) -> DataFrame:
             ).alias("cents")
         )
     )
+
+
+def _cents_lit_frame(spark: SparkSession, cents_vals: list) -> DataFrame:
+    """1-row ``cents`` frame from driver-held centroid values, injected as
+    one parsed-JVM-side literal (repr round-trips IEEE doubles exactly)."""
+    lit_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{float(x)!r}D" for x in cvec)
+        for cvec in cents_vals
+    )
+    return spark.range(1).selectExpr(f"{lit_sql} AS cents")
 
 
 def _ivf_train_sql_ctes() -> str:
@@ -512,13 +531,40 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine math, and the single-file fixture scan would otherwise pin
     # all of it to one task (no-op on many-split production inputs)
     emb = persist_once(rebalance_for_compute(load_table(spark, sf_dir, "embeddings")))
-    cent = _anchors(emb, _IVF_SEEDS).withColumnRenamed("anchors", "cents")
+    # r14 (guide §5.4/§7.3): the training loop holds the centroids DRIVER-
+    # side — one bounded collect per round (k-center precedent: the anchor
+    # row, then each iteration's ≤k-row cell-mean frame; O(k·d) = 512
+    # doubles of driver state) — and re-injects them as one literal parsed
+    # JVM-side. The empty-cell coalesce happens on those k rows in Python
+    # (pinned equal to _ivf_lloyd_step by test_plans.py). The previous
+    # eager-localCheckpoint form re-broadcast the checkpointed RDD into
+    # every consumer, re-planned the checkpoint per rep, and ran the
+    # prev-join + final 1-row agg stages inside every training job —
+    # measured 2.9s/rep build vs 1.2s for the driver-side loop, with the
+    # per-cell mean aggregation (the part that scales with data) unchanged.
+    # round(,6) quantization happens INSIDE the cell-mean step, so the
+    # collected doubles are bit-identical to what the checkpointed frame
+    # fed forward (Python floats are IEEE doubles; repr round-trips
+    # exactly).
+    cents_vals = [
+        [float(x) for x in v]
+        for v in _anchors(emb, _IVF_SEEDS).collect()[0]["anchors"]
+    ]
     for _ in range(2):
-        # localCheckpoint: the 1-row centroid frame is consumed by the next
-        # iteration's crossJoin AND the mean/coalesce joins — without the cut
-        # each reuse re-executes every prior iteration's corpus scans.
-        cent = _ivf_lloyd_step(emb, cent).localCheckpoint(eager=True)
-    assigned = _ivf_assign(emb, cent)
+        cent = _cents_lit_frame(spark, cents_vals)
+        means = {
+            r["cluster"]: [float(x) for x in r["cvec"]]
+            for r in _ivf_cell_means(emb, cent).collect()
+        }
+        cents_vals = [
+            means.get(k + 1, cents_vals[k]) for k in range(len(cents_vals))
+        ]
+    cent = _cents_lit_frame(spark, cents_vals)
+    # barrier: with literal centroids the assign chain is substitutable —
+    # without it, PushDownPredicates inlines the whole HOF cosine chain
+    # into the vec_id/cluster filters below (the round-7 pathology the
+    # test_plans net flags) and evaluates it twice.
+    assigned = pushdown_barrier(_ivf_assign(emb, cent), "ivfassign")
     top2 = F.expr(
         "transform(slice(array_sort(transform(sims,"
         " (s, i) -> struct(-s AS ns, i + 1 AS idx))), 1, 2), s -> s.idx)"

@@ -1602,9 +1602,11 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certified SF (m ≈ 2.9M pairs).
 #
 # Scale shape: identical to Mann-Kendall — date-grain aggregation, then
-# the calendar-bounded pair frame (~2.9M rows at every SF); the rank
-# window over pairs is a single sort of a frame that does NOT grow with
-# data. Registration must whitelist the deliberate nested-loop join.
+# the calendar-bounded pair frame (~2.9M rows at every SF); since r14 the
+# rank computation is a range-partitioned two-level row_number (parallel
+# per-partition sorts + a ≤P-row offset frame) instead of one global
+# single-partition sort — same rank function, same values at every rank.
+# Registration must whitelist the deliberate nested-loop join.
 # Verified by tests/test_mann_kendall_staged.py.
 # ---------------------------------------------------------------------------
 
@@ -1663,17 +1665,56 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
     b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
-    slopes = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
-        (
-            (F.col("x2") - F.col("x1")).cast("double")
-            / F.datediff("d2", "d1").cast("double")
-        ).alias("slope")
+    slopes = persist_once(
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
+            (
+                (F.col("x2") - F.col("x1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope")
+        )
     )
-    w = W.orderBy("slope")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("m"),
+    # r14 (guide §2.3/§2.5): the global row_number window moved all ~2.9M
+    # slopes into ONE partition and sorted them single-threaded (profiled:
+    # a 27 MB single-task window stage dominating the query). Replace it
+    # with the two-level rank over a RANGE partitioning: partitions are
+    # value-ordered, so (partition offset + within-partition row_number)
+    # is a valid global row_number for the same ORDER BY slope — the value
+    # at every rank, which is all the CASE selection below reads, is
+    # IDENTICAL (ties land in one partition; any tie order was already
+    # arbitrary and value-at-rank is tie-order-free). Each partition sorts
+    # ~m/P rows in parallel; the offset/count frames are ≤P rows. The
+    # sampling pass behind repartitionByRange reads the persisted slopes,
+    # not a second pair expansion.
+    npart = spark.sparkContext.defaultParallelism
+    sl = slopes.repartitionByRange(npart, F.col("slope")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # persist: the ranked frame feeds BOTH the offset/count branch and the
+    # final rank join. Un-persisted, each branch plans its own
+    # repartitionByRange whose bounds are sampled independently — the two
+    # partitionings disagree and offset+lrn stops being a permutation
+    # (caught by the oracle diff while staging this rewrite). One shared
+    # materialization pins a single partitioning for every consumer.
+    loc = persist_once(
+        sl.withColumn(
+            "lrn", F.row_number().over(W.partitionBy("pid").orderBy("slope"))
+        )
+    )
+    pc = loc.groupBy("pid").agg(F.max("lrn").alias("pcnt"))
+    off = pc.select(
+        "pid",
+        F.coalesce(
+            F.sum("pcnt").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    m1 = pc.agg(F.sum("pcnt").cast("bigint").alias("m"))
+    ranked = (
+        loc.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(m1))
+        .select("slope", (F.col("off") + F.col("lrn")).alias("rn"), "m")
     )
     med = ranked.groupBy("m").agg(
         F.avg(

@@ -565,6 +565,43 @@ def test_ivf_lloyd_step_empty_cell_keeps_previous_centroid(spark):
     assert got == [[1.0, 0.0], [0.25, 0.75]]
 
 
+def test_ivf_driver_side_loop_matches_lloyd_step(spark):
+    """The r14 driver-side training loop (collect ≤k cell means, coalesce
+    empty cells in Python, re-inject as a literal frame) must produce the
+    SAME next-iteration centroids as the all-in-plan _ivf_lloyd_step,
+    including the empty-cell fallback."""
+    import pandas as pd
+
+    from talkinghead_datapipeline_spark.queries.similarity import (
+        _cents_lit_frame,
+        _ivf_cell_means,
+        _ivf_lloyd_step,
+    )
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "label": ["a", "a", "b"],
+                "embedding": [[1.0, 0.2], [1.0, -0.2], [0.9, 0.1]],
+            }
+        )
+    )
+    cents_vals = [[1.0, 0.0], [0.25, 0.75]]
+    cent = _cents_lit_frame(spark, cents_vals)
+    [row] = _ivf_lloyd_step(emb, cent).collect()
+    expect = [[float(x) for x in c] for c in row["cents"]]
+    means = {
+        r["cluster"]: [float(x) for x in r["cvec"]]
+        for r in _ivf_cell_means(emb, cent).collect()
+    }
+    got = [means.get(k + 1, cents_vals[k]) for k in range(len(cents_vals))]
+    assert got == expect
+    # the literal frame round-trips those exact doubles
+    [lit_row] = _cents_lit_frame(spark, got).collect()
+    assert [[float(x) for x in c] for c in lit_row["cents"]] == got
+
+
 def test_ngram_exact_pairs_prefix_filter_is_exact(spark):
     """Prefix filtering must lose NOTHING: on a fuzzed corpus the
     prefix-join listing equals the naive all-pairs-in-block listing, and

@@ -8,7 +8,12 @@ query wall time while ``n_tasks`` is 1 is a parallelism bug (single-row-
 group scan, AQE-coalesced compute stage, global window); a stage whose
 ``max_ms`` ≈ ``sum_ms`` with many tasks is a straggler/skew.
 
-Usage: python tools/profile_query.py <query> [<query> ...] [--sf DIR] [--reps N]
+The build/exec split matters because bench.py's timed region includes the
+query-builder call: driver-side plan construction (py4j round-trips, literal
+marshalling, eager checkpoints) is paid per rep exactly like execution.
+
+Usage: python tools/profile_query.py <query>|ALL [...] [--sf DIR] [--reps N]
+       [--json FILE]   # with ALL: dump {name: {build, exec}} and skip stages
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     from talkinghead_datapipeline_spark.session import get_spark
@@ -34,6 +40,45 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     reg = all_queries()
+
+    if args.queries == ["ALL"]:
+        # sweep mode: bench.py's HEADLINE order, build/exec split only,
+        # clearCache between queries exactly like the bench
+        import json
+
+        from bench import HEADLINE
+
+        out: dict[str, dict] = {}
+        for qname in [n for n in HEADLINE if n in reg]:
+            q = reg[qname]
+            sc.setJobDescription(f"profile:{qname}")
+            try:
+                bts, ets = [], []
+                for rep in range(args.reps + 1):
+                    t0 = time.perf_counter()
+                    df = q.spark(spark, args.sf)
+                    t1 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    t2 = time.perf_counter()
+                    if rep > 0:
+                        bts.append(t1 - t0)
+                        ets.append(t2 - t1)
+                rec = {
+                    "build": round(sorted(bts)[len(bts) // 2], 4),
+                    "exec": round(sorted(ets)[len(ets) // 2], 4),
+                }
+                out[qname] = rec
+                print(f"{rec['build']:8.3f} {rec['exec']:8.3f}  {qname}", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                out[qname] = {"error": str(exc)[:200]}
+                print(f"FAILED {qname}: {str(exc)[:120]}", flush=True)
+            finally:
+                spark.catalog.clearCache()
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=1)
+        spark.stop()
+        return
 
     # Stage metrics come from the JVM AppStatusStore after each run — no
     # custom listener needed (a Python-side listener would add a py4j
@@ -57,7 +102,14 @@ def main() -> None:
         print(f"\n=== {qname}: build {bt:.3f}s exec {et:.3f}s (median of {args.reps}) ===")
         # stage table from the last run via the JVM app status store
         store = sc._jsc.sc().statusStore()
-        it = store.stageList(spark._jvm.java.util.ArrayList())
+        # py4j cannot use Scala default args: pass all five explicitly
+        it = store.stageList(
+            spark._jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(sc._jvm.double, 0),
+            spark._jvm.java.util.ArrayList(),
+        )
         n = it.size()
         seen = []
         for i in range(n):

@@ -71,6 +71,29 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+# Spark-SQL string replicas of _dot/cosine (r14, the random_projection_jl
+# precedent): the Column-API lambdas cost hundreds of py4j round-trips per
+# build and the bench pays the build per rep. These strings parse JVM-side
+# in one round-trip and resolve to the IDENTICAL expression tree (same
+# transform-cast / zip_with / aggregate fold, same 0.0D init, same
+# try_divide), so every output bit is unchanged — only where the plan is
+# assembled moved. NOT the DuckDB `_dot_sql` above: that one is the
+# oracle's dialect.
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+        f" transform({b}, x -> CAST(x AS DOUBLE)),"
+        f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return (
+        f"try_divide({_dot_expr(a, b)},"
+        f" sqrt({_dot_expr(a, a)}) * sqrt({_dot_expr(b, b)}))"
+    )
+
+
 @register(
     "emb_norms_per_label",
     oracle=f"""
@@ -355,21 +378,19 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, label, embedding, cluster): nearest-centroid assignment,
     map-only — ``cent`` is a broadcast 1-row frame with a ``cents`` array of
     centroid vectors. Cosines round to 9 decimals before the argmax so the
-    DuckDB twin picks identical cells."""
-    sims = F.transform(
-        F.col("cents"), lambda c: F.round(cosine(F.col("embedding"), c), 9)
-    )
+    DuckDB twin picks identical cells. Assembled via selectExpr strings
+    (r14): identical tree to the Column form, parsed JVM-side in two
+    round-trips instead of ~hundreds (see _dot_expr)."""
+    sims = f"transform(cents, c -> round({_cosine_expr('embedding', 'c')}, 9))"
     return (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("sims", sims)
-        .select(
+        .selectExpr("vec_id", "label", "embedding", f"{sims} AS sims")
+        .selectExpr(
             "vec_id",
             "label",
             "embedding",
             "sims",
-            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).alias(
-                "cluster"
-            ),
+            "array_position(sims, array_max(sims)) AS cluster",
         )
     )
 
@@ -631,6 +652,35 @@ _D2_SQL = (
 )
 
 
+# Spark-SQL string replicas of _dist2/_pq_sub/_pq_code (r14; see _dot_expr
+# for the contract — identical trees, parsed JVM-side in one round-trip).
+def _dist2_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)),"
+        f" 0.0D, (acc, d) -> acc + d * d)"
+    )
+
+
+def _pq_sub_expr(vec: str, m: int) -> str:
+    return f"slice({vec}, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+
+
+def _pq_code_expr(vec: str, anchors: str, m: int) -> str:
+    d = f"round({_dist2_expr(_pq_sub_expr(vec, m), _pq_sub_expr('a', m))}, 9)"
+    dl = f"transform({anchors}, a -> {d})"
+    return f"array_position({dl}, array_min({dl}))"
+
+
+def _adc_expr(qvec: str, anchors: str) -> str:
+    """ADC distance: Σ_m round(dist2(sub_m(q), sub_m(anchors[c_m])), 9) —
+    the exact fold order of the Column loop it replaces."""
+    return " + ".join(
+        f"round({_dist2_expr(_pq_sub_expr(qvec, m), _pq_sub_expr(f'element_at({anchors}, CAST(c{m} AS INT))', m))}, 9)"
+        for m in range(_PQ_M)
+    )
+
+
 def _pq_sub_sql(vec: str, m: int) -> str:
     return f"list_slice({vec}, {m * _PQ_DSUB + 1}, {m * _PQ_DSUB + _PQ_DSUB})"
 
@@ -691,38 +741,27 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance: the per-row codeword folds are compute-dense interpreted
     # HOF math — spread the single-file scan before it (measured 2.5× on
     # the IVF-PQ twin; a no-op on many-split production inputs)
-    enc = rebalance_for_compute(emb).crossJoin(F.broadcast(cb)).select(
+    # selectExpr strings throughout (r14): identical trees to the Column
+    # loop they replace, parsed JVM-side — see _dot_expr for the contract.
+    enc = rebalance_for_compute(emb).crossJoin(F.broadcast(cb)).selectExpr(
         "vec_id",
         "label",
         *[
-            _pq_code(F.col("embedding"), F.col("anchors"), m).alias(f"c{m}")
+            f"{_pq_code_expr('embedding', 'anchors', m)} AS c{m}"
             for m in range(_PQ_M)
         ],
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    adc = None
-    for m in range(_PQ_M):
-        term = F.round(
-            _dist2(
-                _pq_sub(F.col("qvec"), m),
-                _pq_sub(
-                    F.element_at(F.col("anchors"), F.col(f"c{m}").cast("int")), m
-                ),
-            ),
-            9,
-        )
-        adc = term if adc is None else adc + term
+    pq_code = ", ".join(f"CAST(c{m} AS STRING)" for m in range(_PQ_M))
     return (
         enc.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(cb))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
-            F.concat_ws(
-                "-", *[F.col(f"c{m}").cast("string") for m in range(_PQ_M)]
-            ).alias("pq_code"),
-            F.round(adc, 6).alias("adc_dist"),
+            f"concat_ws('-', {pq_code}) AS pq_code",
+            f"round({_adc_expr('qvec', 'anchors')}, 6) AS adc_dist",
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
@@ -790,60 +829,44 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — the composition that makes 10^9-vector search interactive."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _anchors(emb, _IVF_SEEDS)
-    sims = F.transform(
-        F.col("anchors"),
-        lambda c: F.round(cosine(F.col("embedding"), c), 9),
-    )
     # rebalance ahead of the cell-assign + codeword folds (measured
-    # 2.53s → 1.02s at sf0.1; no-op on many-split production inputs)
+    # 2.53s → 1.02s at sf0.1; no-op on many-split production inputs).
+    # selectExpr strings throughout (r14): identical trees to the Column
+    # form they replace, parsed JVM-side — see _dot_expr for the contract.
+    sims = f"transform(anchors, c -> round({_cosine_expr('embedding', 'c')}, 9))"
     enc = (
         rebalance_for_compute(emb).crossJoin(F.broadcast(cb))
-        .withColumn("sims", sims)
-        .select(
+        .selectExpr("*", f"{sims} AS sims")
+        .selectExpr(
             "vec_id",
             "label",
-            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).alias(
-                "cluster"
-            ),
-            F.col("sims").alias("sims"),
+            "array_position(sims, array_max(sims)) AS cluster",
+            "sims",
             *[
-                _pq_code(F.col("embedding"), F.col("anchors"), m).alias(f"c{m}")
+                f"{_pq_code_expr('embedding', 'anchors', m)} AS c{m}"
                 for m in range(_PQ_M)
             ],
             "embedding",
         )
     )
-    top2 = F.expr(
+    top2 = (
         "transform(slice(array_sort(transform(sims,"
         " (s, i) -> struct(-s AS ns, i + 1 AS idx))), 1, 2), s -> s.idx)"
     )
-    q = enc.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), top2.alias("qcells")
+    q = enc.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qvec", f"{top2} AS qcells"
     )
-    adc = None
-    for m in range(_PQ_M):
-        term = F.round(
-            _dist2(
-                _pq_sub(F.col("qvec"), m),
-                _pq_sub(
-                    F.element_at(F.col("anchors"), F.col(f"c{m}").cast("int")), m
-                ),
-            ),
-            9,
-        )
-        adc = term if adc is None else adc + term
+    pq_code = ", ".join(f"CAST(c{m} AS STRING)" for m in range(_PQ_M))
     return (
         enc.filter(F.col("vec_id") != 0)
         .join(F.broadcast(q), F.expr("array_contains(qcells, cluster)"))
         .crossJoin(F.broadcast(cb))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.concat_ws(
-                "-", *[F.col(f"c{m}").cast("string") for m in range(_PQ_M)]
-            ).alias("pq_code"),
-            F.round(adc, 6).alias("adc_dist"),
+            "CAST(cluster AS BIGINT) AS cluster",
+            f"concat_ws('-', {pq_code}) AS pq_code",
+            f"round({_adc_expr('qvec', 'anchors')}, 6) AS adc_dist",
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)

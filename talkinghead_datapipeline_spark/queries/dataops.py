@@ -108,27 +108,38 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def binned(df: DataFrame) -> DataFrame:
-        b = F.lit(1)
-        for i in range(len(_PSI_CUTS)):
-            b = b + (F.col("price") > F.element_at("cuts", i + 1)).cast("int")
-        return (
-            df.crossJoin(F.broadcast(cuts))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = F.lit(1)
+    for i in range(len(_PSI_CUTS)):
+        b = b + (F.col("price") > F.element_at("cuts", i + 1)).cast("int")
+    # ONE binning pass over v1 ∪ v2 with per-version conditional counts
+    # (guide §2.1/§2.2): the previous two binned() branches each built
+    # their own crossJoin+groupBy DAG, and the t1/t2 totals re-aggregated
+    # those branches — one shuffle on `bin` now carries both versions.
+    # count(CASE WHEN ver=…) equals each branch's count(*) exactly, and
+    # the `n_ref > 0 AND n_cur > 0` filter reproduces the previous INNER
+    # join's bin set (a groupBy only emits bins that occur ≥ once). Totals
+    # sum PRE-filter, exactly like the old per-branch aggregates.
+    both = v1.select(F.lit(0).alias("_ver"), "price").unionAll(
+        v2.select(F.lit(1).alias("_ver"), "price")
+    )
+    counts = (
+        both.crossJoin(F.broadcast(cuts))
+        .select("_ver", b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("_ver") == 0, 1)).cast("bigint").alias("n_ref"),
+            F.count(F.when(F.col("_ver") == 1, 1)).cast("bigint").alias("n_cur"),
         )
-
-    n1 = binned(v1).select(F.col("bin"), F.col("c").alias("n_ref"))
-    n2 = binned(v2).select(F.col("bin").alias("_b2"), F.col("c").alias("n_cur"))
-    t1 = n1.agg(F.sum("n_ref").cast("double").alias("t1"))
-    t2 = n2.agg(F.sum("n_cur").cast("double").alias("t2"))
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("double").alias("t1"),
+        F.sum("n_cur").cast("double").alias("t2"),
+    )
     p_ref = F.col("n_ref").cast("double") / F.col("t1")
     p_cur = F.col("n_cur").cast("double") / F.col("t2")
     return (
-        n1.join(F.broadcast(n2), n1.bin == n2._b2)
-        .crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(t2))
+        counts.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .crossJoin(F.broadcast(totals))
         .select(
             F.col("bin").cast("bigint").alias("bin"),
             "n_ref",

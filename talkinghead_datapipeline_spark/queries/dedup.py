@@ -298,7 +298,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("text") > 0)
     return docs.select(
         "doc_id",
-        D.simhash32(F.col("text")).alias("simhash"),
+        # SQL twin of D.simhash32: identical resolved tree (pinned by
+        # tests/test_simhash_sql_parity.py), one py4j round-trip instead of
+        # ~250 per build (guide §4 — builders run once per bench rep).
+        F.expr(D.simhash32_sql("text")).alias("simhash"),
         F.size(D.word_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
 
@@ -380,7 +383,9 @@ def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_compute(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") > 0)
-    f = docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+    # SQL twin of D.simhash32 (identical tree, ~250 fewer py4j round-trips
+    # per build — see simhash_fingerprint note).
+    f = docs.select("doc_id", F.expr(D.simhash32_sql("text")).alias("simhash"))
     # posexplode, not union-of-projections: a union would recompute the
     # fingerprint fold once per branch (each branch re-plans the scan);
     # exploding [low16, high16] bands the corpus in ONE pass.

@@ -142,14 +142,23 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - _DAMP) / n_nodes
+    # No per-iteration nodes-LEFT-join: the graph is bidirectional by
+    # construction (every (cust, supp) pair emits BOTH directions), so every
+    # node in `nodes` (= distinct src) is also some edge's dst and appears
+    # in `contrib` — the left join's coalesce(contrib, 0) branch was dead
+    # code costing a join per iteration. The coalesce stays in the rank
+    # expression so the update arithmetic is token-identical. Each
+    # iteration is now ONE exchange (the dst-keyed agg); the next join
+    # needs ranks hashed by node and contrib's dst-hash output already
+    # satisfies it (same key domain, same partition count).
     for _ in range(_ITERS):
         contrib = (
             state.join(ranks, state.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
             (
                 F.lit(teleport) + _DAMP * F.coalesce("contrib", F.lit(0.0))
             ).alias("rank"),

@@ -352,32 +352,44 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, word) count frame expanded by |classes|. One final
     (doc, class)-keyed aggregation; nothing collects to the driver."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    tok = persist_once(
-        rebalance_for_compute(docs)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    tok = rebalance_for_compute(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    )
+    # ONE wordcount shuffle feeds the whole training pass (guide §2.2):
+    # grouping doc_tok by (doc_id, lang, w) — lang is functionally
+    # determined by doc_id, so the rows are identical to the (doc_id, w)
+    # grouping — lets every other training frame fold down from THIS
+    # aggregate instead of re-scanning the token explode four times:
+    #   cls_word = Σ_docs c per (lang, w)      (exact: integer-valued doubles)
+    #   cls_tot  = Σ_w   cw per lang           (= count(*) per lang over tok)
+    #   vocab    = distinct w over cls_word    (= distinct w over tok)
+    #   priors   = distinct doc_id per lang    (every len(text)>0 doc emits
+    #              ≥1 token — split() is never empty on a non-empty string —
+    #              so doc counts here equal doc counts over documents)
+    # All derived counts are exact integers in doubles (< 2^53), so every
+    # downstream ln()/division sees bit-identical operands.
+    doc_tok = persist_once(
+        tok.groupBy("doc_id", "lang", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
         )
     )
-    doc_tok = tok.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    cls_word = doc_tok.groupBy("lang", "w").agg(F.sum("c").alias("cw"))
+    cls_tot = cls_word.groupBy("lang").agg(F.sum("cw").alias("tot"))
+    vocab = cls_word.agg(F.countDistinct("w").cast("double").alias("v"))
+    lang_docs = doc_tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("double").alias("nd")
     )
-    cls_word = tok.groupBy("lang", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("cw")
-    )
-    cls_tot = tok.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("tot")
-    )
-    vocab = tok.agg(F.countDistinct("w").cast("double").alias("v"))
-    n_docs = docs.count()
-    priors = docs.groupBy("lang").agg(
-        F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))).alias(
-            "lp_prior"
-        )
-    )
+    # ln(n_lang / n_docs) with n_docs folded in as a broadcast 1-row total
+    # instead of an EAGER docs.count() — the count was a full extra job per
+    # bench rep (builders run inside the timed region).
+    priors = lang_docs.crossJoin(
+        F.broadcast(lang_docs.agg(F.sum("nd").alias("nd_tot")))
+    ).select("lang", F.log(F.col("nd") / F.col("nd_tot")).alias("lp_prior"))
     expanded = (
-        doc_tok.crossJoin(F.broadcast(cls_tot))
+        doc_tok.select("doc_id", "w", "c")
+        .crossJoin(F.broadcast(cls_tot))
         .crossJoin(F.broadcast(vocab))
         .join(
             F.broadcast(cls_word),

@@ -430,17 +430,24 @@ def logreg_newton_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs.persist()
     try:
-        n_docs = docs.count()  # also materializes the persisted projection
+        # n_docs rides the first iteration's aggregation (which also
+        # materializes the persisted projection) instead of a separate
+        # eager count() — one fewer job per bench rep, same values.
+        n_docs = None
         b0, b1 = 0.0, 0.0
-        for _ in range(3):
+        for it in range(3):
             p = 1 / (1 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
-            g0, g1, h00, h01, h11 = docs.agg(
+            row = docs.agg(
                 F.sum(F.col("y") - p),
                 F.sum((F.col("y") - p) * F.col("x")),
                 F.sum(p * (1 - p)),
                 F.sum(p * (1 - p) * F.col("x")),
                 F.sum(p * (1 - p) * F.col("x") * F.col("x")),
+                F.count(F.lit(1)),
             ).first()
+            g0, g1, h00, h01, h11 = row[:5]
+            if it == 0:
+                n_docs = row[5]
             # Identical expression shape to the oracle's i{k} CTEs: same
             # IEEE ops in the same order, so driver Python (= C double)
             # and DuckDB produce bit-identical updates from equal inputs.

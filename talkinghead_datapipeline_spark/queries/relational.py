@@ -888,21 +888,29 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.key == F.col("bkey"),
         "left",
     )
-    n_probe = probe.count()
-    return verified.agg(
-        F.lit(n_probe).cast("bigint").alias("n_probe"),
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-        F.sum(F.when(F.col("bkey").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_true"),
-        F.sum(F.when(F.col("bkey").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_false_pos"),
-        F.round(
-            F.sum(F.when(F.col("bkey").isNull(), 1.0).otherwise(0.0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("fp_rate"),
+    # n_probe as a broadcast 1-row aggregate instead of an EAGER
+    # probe.count(): the count was a full extra orders-scan+distinct job
+    # per bench rep (builders run inside the timed region), and the probe
+    # subtree under this agg shares its distinct exchange with the
+    # candidate chain via ReusedExchange.
+    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    return (
+        verified.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("bkey").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+            F.sum(F.when(F.col("bkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(F.when(F.col("bkey").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_probe))
+        .select("n_probe", "n_candidates", "n_true", "n_false_pos", "fp_rate")
     )
 
 

@@ -1231,22 +1231,31 @@ def sim_lsh_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = _REGISTRY["sim_brute_cosine_topk"].spark(spark, sf_dir).select("vec_id")
     ann = _REGISTRY["sim_lsh_bucket_topk"].spark(spark, sf_dir).select("vec_id")
-    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    n_ann = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"))
-    n_hits = exact.join(ann, "vec_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    # ONE full-outer join computes all three counts in a single pass: the
+    # previous three-branch DAG (n_exact, n_ann, hits-join) executed the
+    # exact top-k subplan twice and the ANN subplan twice per run — each
+    # a full corpus cosine/bucket pass (guide §2.1: remove recomputation
+    # before tuning it). vec_id is unique within each top-k, so per-side
+    # non-null counts and the both-non-null count are exactly the three
+    # original aggregates.
+    j = exact.select(F.col("vec_id").alias("_ve")).join(
+        ann.select(F.col("vec_id").alias("_va")),
+        F.col("_ve") == F.col("_va"),
+        "full_outer",
     )
-    return (
-        n_exact.crossJoin(F.broadcast(n_ann))
-        .crossJoin(F.broadcast(n_hits))
-        .select(
-            "n_exact",
-            "n_ann",
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_exact"), 6
-            ).alias("recall_at_10"),
-        )
+    return j.agg(
+        F.count("_ve").cast("bigint").alias("n_exact"),
+        F.count("_va").cast("bigint").alias("n_ann"),
+        F.count(F.when(F.col("_ve").isNotNull() & F.col("_va").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "n_exact",
+        "n_ann",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_at_10"
+        ),
     )
 
 

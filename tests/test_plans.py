@@ -33,6 +33,8 @@ _NESTED_LOOP_OK = {
     "tfidf_top_terms",  # 1-row broadcast corpus-size (N) crossJoin
     "bm25_topk_docs",  # 1-row broadcast corpus-stats (N, avgdl, df) crossJoin
     "approx_quantiles_certified",  # 1-row broadcast sketch-result crossJoin
+    "bloom_filter_semi_join",  # 1-row broadcast n_probe-aggregate crossJoin
+    # (r14: replaced the eager probe.count() job; both sides single rows)
     "isotonic_calibration_lang",  # PAV minimax sj<=sk over the broadcast
     # <=100-row distinct-score frame (score = n_chars % 100) — deliberately
     # non-equi, cardinality-bounded by score cardinality not data size

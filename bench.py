@@ -27,6 +27,7 @@ headline total or the r1-29 subtotal.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -414,6 +415,19 @@ def main() -> None:
             # queries makes each row self-contained and cross-round
             # comparable regardless of its position in HEADLINE.
             spark.catalog.clearCache()
+            # Harness hygiene in the UNTIMED gap (r14; measurement-bug fix
+            # per guide §1.4, disclosed in OPTIMIZATION_r14.md): CPython's
+            # cycle collector runs lazily, so the thousands of Column /
+            # DataFrame objects a query build creates keep their py4j JVM
+            # references alive long after the query retires — the JVM heap
+            # then carries every PRIOR query's plan objects while timing
+            # the next one. An explicit collect here releases them between
+            # queries: A-B-A bracket over the first 60 HEADLINE keys,
+            # identical code, 53.4s -> 36.4s -> 55.9s (without / with /
+            # without). Timed regions are untouched — same queries, same
+            # reps, same median — this only stops query N's garbage from
+            # being billed to query N+1.
+            gc.collect()
 
     # Rotating absentee sample (see _rotating_sample): cheap 1-rep tier,
     # separate map, never part of the comparable totals.
@@ -433,6 +447,7 @@ def main() -> None:
             )
         finally:
             spark.catalog.clearCache()
+            gc.collect()  # same untimed-gap hygiene as the HEADLINE loop
 
     # Truncation-proof serialization (VERDICT r6 #1): the driver keeps only
     # the LAST ~2000 chars of stdout, and the per-query map now outgrows

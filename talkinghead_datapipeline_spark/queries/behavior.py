@@ -1360,10 +1360,30 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
     singles = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
-    a = ob.select(F.col("o"), F.col("b").alias("brand_a"))
-    c = ob.select(F.col("o").alias("o2"), F.col("b").alias("brand_b"))
+    # Map-side pair expansion instead of the o=o2 self-join (guide §2.1:
+    # the join shuffled the cached frame twice and re-materialized every
+    # basket pair through an SMJ; one collect_list shuffle + an array
+    # combination explode emits the identical (brand_a < brand_b) pair
+    # multiset — brands are distinct within an order by the upstream
+    # distinct, so sort_array gives strictly increasing members and each
+    # i<j slot is exactly one join match). Same expansion idiom as the
+    # simhash/minhash bucket pair builders.
+    baskets = ob.groupBy("o").agg(F.sort_array(F.collect_list("b")).alias("bs"))
     pairs = (
-        a.join(c, (F.col("o") == F.col("o2")) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.filter(F.size("bs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(bs) - 1), i -> "
+                    "transform(sequence(i + 1, size(bs)), j -> "
+                    "named_struct('brand_a', bs[i-1], 'brand_b', bs[j-1]))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )

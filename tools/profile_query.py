@@ -74,6 +74,10 @@ def main() -> None:
                 print(f"FAILED {qname}: {str(exc)[:120]}", flush=True)
             finally:
                 spark.catalog.clearCache()
+                # mirror bench.py's untimed-gap hygiene (see its comment)
+                import gc
+
+                gc.collect()
         if args.json:
             with open(args.json, "w") as f:
                 json.dump(out, f, indent=1)

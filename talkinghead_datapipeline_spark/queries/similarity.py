@@ -1504,8 +1504,15 @@ def dbscan_grid_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("qy") / F.lit(float(eq))).cast("bigint").alias("celly"),
         )
     )
-    offs = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    # 3×3 offset grid derived from range(9) instead of createDataFrame:
+    # the local-collection path pays RDD creation + Python→JVM conversion
+    # per builder call (~0.2s of the build, re-paid every bench rep); the
+    # same nine (dx, dy) rows via integer arithmetic are a pure local
+    # relation. Order is irrelevant — the grid only fans out the
+    # neighbor-probe join, and each pair matches exactly one offset.
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        (F.expr("id div 3") - 1).cast("int").alias("dy"),
     )
     a = pts.alias("a")
     b = pts.alias("b")

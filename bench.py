@@ -386,6 +386,7 @@ def main() -> None:
         specs[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         # Per-query error containment: one broken query must cost only its
@@ -396,7 +397,16 @@ def main() -> None:
             # caching (one-time costs amortized to ~0 over a real workload),
             # then the timed run(s) measure plan execution (median of
             # ``reps`` to shed scheduler/GC noise).
+            #
+            # The warm-up is additionally CLOCKED (never summed into any
+            # total): for persist_once queries the warm-up also populates
+            # the cache the timed reps reuse, so its duration is the COLD
+            # time — recording it next to the median makes cache-assisted
+            # medians identifiable (VERDICT r14 #4/#8). Timed regions,
+            # reps and the median are unchanged.
+            tc0 = time.perf_counter()
             run(name)
+            cold[name] = round(time.perf_counter() - tc0, 4)
             samples = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -488,19 +498,54 @@ def main() -> None:
     # (a), totals-last, holds in exactly the failure case it was built for.
     result = {
         "queries": timings,
+        "queries_cold": cold,
         "bench_sample": sample_timings,
         **({"errors": errors} if errors else {}),
         **({"sample_errors": sample_errors} if sample_errors else {}),
         **summary,
     }
+    # Bounded per-query digest on the FINAL line only (VERDICT r14 #2): the
+    # driver's tail capture only ever sees the last ~2000 chars of stdout,
+    # so two rounds of PERF artifacts carried per_query: {} and a null
+    # geomean while the full maps lived in the first line and the committed
+    # BENCH_LOCAL files the driver does not read. This map restores a
+    # driver-parseable per-query signal: 2-decimal medians, biggest line
+    # items first (those are what a cross-round or cross-core comparison
+    # can resolve; the excluded tail is sub-floor scheduling noise), under
+    # a hard character budget so the final line always fits the capture
+    # with the totals intact. The big first line keeps the FULL 4-decimal
+    # map exactly as before; summary scalars still serialize after the
+    # digest so defense (a) — totals last — holds (VERDICT r6 #1).
+    final_line = {"queries": _digest(timings), **summary}
     print(json.dumps(result))
-    print(json.dumps(summary))
+    print(json.dumps(final_line))
     # Permanent in-repo record (VERDICT r7 #6): the driver's artifact keeps
     # only the last ~2000 chars of stdout, which loses the first ~70
     # queries' timings each round. Persist the full JSON to a round-stamped
     # file so every round's complete per-query history survives in git.
     _write_local_record(result)
     spark.stop()
+
+
+_DIGEST_BUDGET = 1300  # chars of serialized map the final line may spend
+
+
+def _digest(timings: dict[str, float], budget: int = _DIGEST_BUDGET) -> dict:
+    """2-decimal per-query map bounded to ``budget`` serialized chars.
+
+    Deterministic selection: slowest queries first (name as tiebreak), so
+    the digest always carries the line items a performance comparison can
+    actually resolve — everything excluded is at or below the local-mode
+    scheduling floor, where cross-run spread exceeds any code signal."""
+    out: dict[str, float] = {}
+    used = 0
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(name) + 12  # '"<name>": 12.34, ' serialized footprint
+        if used + cost > budget:
+            break
+        out[name] = round(sec, 2)
+        used += cost
+    return out
 
 
 def _infer_round() -> int:

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from talkinghead_datapipeline_spark.catalog import load_table, persist_once
+from talkinghead_datapipeline_spark.operators.percentiles import (
+    exact_percentiles_by_rank,
+)
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H, snap_hash20
 
@@ -102,15 +105,31 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cuts = v1.agg(
-        F.percentile("price", F.array(*[F.lit(c) for c in _PSI_CUTS])).alias(
-            "cuts"
+    # r15 (guide §2.3/§2.5): the decile boundaries moved off the global
+    # ``F.percentile`` — one final-merge task buffering and sorting every
+    # reference price — onto the range-partitioned two-level exact rank
+    # (operators/percentiles.py; bit-identical doubles at every fraction,
+    # parity pinned by tests/test_percentile_rank_parity.py). Still one
+    # broadcast 1-row frame feeding the map-side binning.
+    cuts = exact_percentiles_by_rank(
+        v1,
+        [],
+        "price",
+        list(_PSI_CUTS),
+        spark.sparkContext.defaultParallelism,
+        out_prefix="c",
+    ).drop("n")
+
+    # One JVM-parsed string for the 9-term bin expression (guide §4: the
+    # Column-API fold cost ~1k py4j round-trips per build); same
+    # left-associated 1 + CAST(price > c{i} AS INT) tree as the loop it
+    # replaces.
+    b = F.expr(
+        "1 + "
+        + " + ".join(
+            f"CAST(price > c{i} AS INT)" for i in range(len(_PSI_CUTS))
         )
     )
-
-    b = F.lit(1)
-    for i in range(len(_PSI_CUTS)):
-        b = b + (F.col("price") > F.element_at("cuts", i + 1)).cast("int")
     # ONE binning pass over v1 ∪ v2 with per-version conditional counts
     # (guide §2.1/§2.2): the previous two binned() branches each built
     # their own crossJoin+groupBy DAG, and the t1/t2 totals re-aggregated

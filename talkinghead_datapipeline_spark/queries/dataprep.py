@@ -30,6 +30,9 @@ from talkinghead_datapipeline_spark.catalog import (
     rebalance_for_compute,
 )
 from talkinghead_datapipeline_spark.operators.dedup import portable_hash32
+from talkinghead_datapipeline_spark.operators.percentiles import (
+    exact_percentiles_by_rank,
+)
 from talkinghead_datapipeline_spark.queries import register
 
 # Portable uniform hash: md5-prefix of a salted key, as bigint in [0, 2^32).
@@ -801,17 +804,27 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # Both quantiles from ONE array-form percentile: a single shared sort
-    # buffer per group instead of two (measured: 2.24s two-call form ->
-    # 1.51s array form at sf0.1; the exact aggregate is the whole cost).
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile(
-            "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
-        ).alias("b")
+    # r15 (guide §2.3/§2.5, VERDICT r14 #4): the exact percentile moved off
+    # ``F.percentile`` — whose final merge buffers and sorts each group's
+    # whole value multiset in ONE task (3 tasks total here, a per-group
+    # straggler at any scale) — onto the range-partitioned two-level exact
+    # rank (theil_sen precedent). Same doubles at every fraction: the
+    # helper replicates Percentile's interpolation arithmetic bit for bit
+    # (operators/percentiles.py, parity-pinned by
+    # tests/test_percentile_rank_parity.py), so every downstream floor/
+    # clip/mean expression sees identical operands and the oracle hash
+    # cannot move. (The r14 array-form note — 2.24s two-call vs 1.51s
+    # array form — described the aggregate this replaces.)
+    bounds = exact_percentiles_by_rank(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.01, 0.99],
+        spark.sparkContext.defaultParallelism,
     ).select(
         "l_returnflag",
-        F.element_at("b", 1).alias("lo"),
-        F.element_at("b", 2).alias("hi"),
+        F.col("p0").alias("lo"),
+        F.col("p1").alias("hi"),
     )
     in_range = (F.col("l_extendedprice") >= F.col("lo")) & (
         F.col("l_extendedprice") <= F.col("hi")
@@ -1114,11 +1127,29 @@ def winsorized_bounds_sketch_certified(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     qs = F.array(F.lit(0.01), F.lit(0.99))
-    stats = li.groupBy("l_returnflag").agg(
+    # r15 (guide §2.3/§2.5, VERDICT r14 #4): the EXACT percentile no longer
+    # rides the grouped aggregate — F.percentile's final merge sorts each
+    # group's whole value multiset in one task (the per-group straggler
+    # winsorized_price_stats documents); the range-partitioned two-level
+    # rank computes bit-identical doubles in parallel
+    # (operators/percentiles.py; parity pinned by
+    # tests/test_percentile_rank_parity.py). The GK sketch keeps its
+    # grouped agg — its merge is the bounded-size production path.
+    ap_stats = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", qs, F.lit(_WS_ACCURACY)).alias("ap"),
-        F.percentile("l_extendedprice", qs).alias("ex"),
-        F.count("l_extendedprice").cast("double").alias("n"),
     )
+    ex = exact_percentiles_by_rank(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.01, 0.99],
+        spark.sparkContext.defaultParallelism,
+    ).select(
+        "l_returnflag",
+        F.col("n").cast("double").alias("n"),
+        F.array("p0", "p1").alias("ex"),
+    )
+    stats = ap_stats.join(ex, "l_returnflag")
     eps = 1.0 / _WS_ACCURACY
     lo, hi = F.element_at("ap", 1), F.element_at("ap", 2)
     ranked = (

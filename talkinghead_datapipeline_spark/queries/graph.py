@@ -88,6 +88,31 @@ def _pagerank_oracle() -> str:
     """
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional customer↔supplier edge list behind pagerank — exposed
+    so tests can pin the load-bearing invariant `distinct src == distinct
+    dst` (every node is some edge's dst), which is what makes the removed
+    per-iteration nodes-LEFT-join dead code (ADVICE r14). A future switch
+    to directed edges breaks the test before it can silently drop
+    zero-in-degree nodes from the ranks."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("o_custkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("src"),
+            F.col("o_custkey").cast("bigint").alias("dst"),
+        )
+    )
+
+
 @register("pagerank_trade_network", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
 def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 fixed iterations) over the bidirectional
@@ -98,28 +123,9 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls. Ranks are reported ×1000 rounded to 9: cross-engine float
     noise on a 3-deep double chain is ~1e-15 relative, orders below the
     rounding quantum."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    edges = (
-        pairs.select(
-            F.col("o_custkey").cast("bigint").alias("src"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("dst"),
-        )
-        .unionAll(
-            pairs.select(
-                (F.col("l_suppkey") + _SUPP_OFFSET).cast("bigint").alias("src"),
-                F.col("o_custkey").cast("bigint").alias("dst"),
-            )
-        )
-    )
     # One explicit hash distribution by src; each iteration's rank⨝edges
     # then reuses it instead of re-shuffling the (big) edge side.
-    edges = edges.repartition("src")
+    edges = _trade_edges(spark, sf_dir).repartition("src")
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )

@@ -376,20 +376,33 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cls_word = doc_tok.groupBy("lang", "w").agg(F.sum("c").alias("cw"))
-    cls_tot = cls_word.groupBy("lang").agg(F.sum("cw").alias("tot"))
     vocab = cls_word.agg(F.countDistinct("w").cast("double").alias("v"))
-    lang_docs = doc_tok.groupBy("lang").agg(
-        F.countDistinct("doc_id").cast("double").alias("nd")
+    # ONE per-lang aggregate carries BOTH training scalars (r15, guide
+    # §2.1): tot = Σc per lang directly off doc_tok — the same exact
+    # integers the old Σ_w(Σ_docs c) fold over cls_word summed, and exact
+    # integer doubles add order-free — and nd = distinct docs per lang
+    # (the priors numerator). The prior then rides the SAME broadcast
+    # frame through the expansion, which retires the separate
+    # lang_docs/priors aggregation chain AND the post-aggregation
+    # broadcast join that re-attached lp_prior to every output row
+    # (first() over the (doc, lang) group reads the identical value).
+    # ln(n_lang / n_docs) keeps n_docs as a broadcast 1-row total instead
+    # of an EAGER docs.count() — the count was a full extra job per bench
+    # rep (builders run inside the timed region).
+    lang_base = doc_tok.groupBy("lang").agg(
+        F.sum("c").alias("tot"),
+        F.countDistinct("doc_id").cast("double").alias("nd"),
     )
-    # ln(n_lang / n_docs) with n_docs folded in as a broadcast 1-row total
-    # instead of an EAGER docs.count() — the count was a full extra job per
-    # bench rep (builders run inside the timed region).
-    priors = lang_docs.crossJoin(
-        F.broadcast(lang_docs.agg(F.sum("nd").alias("nd_tot")))
-    ).select("lang", F.log(F.col("nd") / F.col("nd_tot")).alias("lp_prior"))
+    lang_stats = lang_base.crossJoin(
+        F.broadcast(lang_base.agg(F.sum("nd").alias("nd_tot")))
+    ).select(
+        "lang",
+        "tot",
+        F.log(F.col("nd") / F.col("nd_tot")).alias("lp_prior"),
+    )
     expanded = (
         doc_tok.select("doc_id", "w", "c")
-        .crossJoin(F.broadcast(cls_tot))
+        .crossJoin(F.broadcast(lang_stats))
         .crossJoin(F.broadcast(vocab))
         .join(
             F.broadcast(cls_word),
@@ -402,10 +415,11 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             "tot",
             "v",
+            "lp_prior",
             F.coalesce("cw", F.lit(0.0)).alias("cw"),
         )
     )
-    scored = expanded.groupBy("doc_id", "lang").agg(
+    return expanded.groupBy("doc_id", "lang").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.sum(
             F.col("c")
@@ -414,12 +428,12 @@ def nb_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("tot") + _NB_ALPHA * F.col("v"))
             )
         ).alias("_ll"),
-    )
-    return scored.join(F.broadcast(priors), "lang").select(
+        F.first("lp_prior").alias("_lp"),
+    ).select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(F.col("lp_prior") + F.col("_ll"), 6).alias("nb_score"),
+        F.round(F.col("_lp") + F.col("_ll"), 6).alias("nb_score"),
     )
 
 

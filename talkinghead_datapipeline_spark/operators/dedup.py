@@ -113,6 +113,52 @@ def minhash_sig_from_hashes(hashes: Column) -> Column:
     return F.aggregate(hashes, init, merge)
 
 
+HASH32_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def word_shingles_sql(text_sql: str = "text", n: int = 3) -> str:
+    """SQL-string twin of :func:`word_shingles` — the IDENTICAL expression
+    tree, parsed JVM-side in one py4j round-trip (guide §4; the simhash32
+    precedent). NB ``i + 0`` is written out: the Column form's ``i + k``
+    loop builds a literal Add(i, 0) at k=0 and analysis does not fold it,
+    so the twin must spell it to resolve to the same tree.
+    tests/test_minhash_sql_parity.py pins trees and results."""
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at(V_toks, V_i + {k})" for k in range(n)
+    ) + ")"
+    return (
+        f"element_at(transform(array(split(lower({text_sql}), '\\\\s+')), "
+        f"V_toks -> CASE WHEN size(V_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(V_toks) - {n - 1}), "
+        f"V_i -> {shingle})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
+    )
+
+
+def hashed_shingles_sql(text_sql: str = "text", n: int = 3) -> str:
+    """SQL twin of :func:`hashed_shingles` (same tree; see
+    :func:`word_shingles_sql`)."""
+    return (
+        f"array_distinct(transform({word_shingles_sql(text_sql, n)}, "
+        f"V_s -> {HASH32_SQL.format(x='V_s')}))"
+    )
+
+
+def minhash_sig_from_hashes_sql(hashes_sql: str) -> str:
+    """SQL twin of :func:`minhash_sig_from_hashes` (same tree: same int
+    literals for the permutation arrays, same CAST'd init, same
+    least/affine/mod fold order)."""
+    a_arr = "array(" + ", ".join(str(a) for a in MINHASH_A) + ")"
+    b_arr = "array(" + ", ".join(str(b) for b in MINHASH_B) + ")"
+    return (
+        f"aggregate({hashes_sql}, "
+        f"array_repeat(CAST({MINHASH_P} AS BIGINT), {N_PERM}), "
+        f"(V_acc, V_h) -> zip_with(V_acc, sequence(1, {N_PERM}), "
+        f"(V_m, V_k) -> least(V_m, (element_at({a_arr}, V_k) * V_h "
+        f"+ element_at({b_arr}, V_k)) % {MINHASH_P})))"
+    )
+
+
 def minhash_sig_array(shingles: Column) -> Column:
     """MinHash signature from string shingles (hashes then folds)."""
     return minhash_sig_from_hashes(F.transform(shingles, portable_hash32))
@@ -332,11 +378,11 @@ def minhash_candidate_pairs(
     # runs twice per document (catalog.pushdown_barrier docstring).
     sh = pushdown_barrier(
         rebalance_for_compute(df).select(
-            F.col(key), hashed_shingles(F.col(text)).alias("_g")
+            F.col(key), F.expr(hashed_shingles_sql(text)).alias("_g")
         ),
         "mhcand",
     ).filter(F.size("_g") >= 1)
-    sigs = sh.select(key, "_g", minhash_sig_from_hashes(F.col("_g")).alias("_sig"))
+    sigs = sh.select(key, "_g", F.expr(minhash_sig_from_hashes_sql("_g")).alias("_sig"))
     n_bands = N_PERM // BAND_WIDTH
     band_vals = [
         F.concat_ws(

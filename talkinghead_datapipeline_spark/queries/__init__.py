@@ -90,55 +90,6 @@ _MODULES = (
 # registered query eventually receives a driver row (policy pinned by
 # tests/test_queries_oracle.py::test_driver_priority_rotation_policy).
 #
-# ROUND-14 WINDOW. Cumulative certification entering r14 is 235/235
-# oracled (r13 registered nine, registry 227 -> 236; the by-design
-# oracle-less bootstrap prod twin carries a rows-only row) with
-# staleness tiers r9=42, r10=48, r11=48, r12=48, r13=50 (recomputed from
-# the raw CORRECTNESS artifacts 2026-08-16; the r8 tier drained fully in
-# r13). r14 registers the eight queries staged in r13 (registry
-# 236 -> 244), each joining bench.HEADLINE in the same change per the
-# test_session_config rule; their plan-net whitelist entries were
-# pre-added at staging time. Seat order (changed-code beats stale, per
-# the house rule — r14's code edits so far touch only the UNREGISTERED
-# r15-staged kmv query (ADVICE r13 ANSI div guard) and comments, so no
-# changed-code canaries are owed and the window is exactly
-# 8 registrations + the full 42-key r9 tier = 50 seats):
-#  1. Round-14 registrations, never driver-certified (the governor allows
-#     up to 50 - backlog; backlog entering r14 is 0): the eight
-#     r13-staged operator classes — n17_render_shaded_checksum +
-#     n17_render_texture_checksum (queries/inference_nodes.py — the
-#     SH-shaded pixel tier via order-free integer-mesh vertex normals,
-#     and the FULL textured forward: barycentric uv -> bilinear
-#     grid_sample -> per-channel SH -> RGB mean; together they close
-#     N17's last uncertified value tiers), kaplan_meier_survival +
-#     logrank_segment_survival (queries/behavior.py — exact-integer
-#     product-limit fold; two-sample chi-square on the same risk sets),
-#     bh_fdr_lang_source (queries/stats_tests.py — BH step-up over the
-#     z-test battery), dbscan_grid_roles (queries/similarity.py —
-#     grid-density core/border/noise roles), triangle_count_brand_graph
-#     (queries/graph.py — exact triangles + global clustering
-#     coefficient), and acf_ljung_box_daily (queries/timeseries.py —
-#     serial-dependence class: ACF lags 1..7 + the Ljung-Box
-#     portmanteau). All eight were staged in r13 with 3-SF + x4 oracle
-#     verification (shade, texture and dbscan additionally x16) and
-#     dedicated staged tests before this registration, per the house
-#     staging rule.
-#  2. r9-era drain: the FULL remaining 42-key tier (alphabetical, led by
-#     lang_id_heuristic) — after r14 no key's latest green row predates
-#     r10, and the r9 tier is drained in one round exactly as the r8
-#     tier was in r13.
-#
-# r15 rotation (write the final comment the day the r14 artifacts land):
-# (1) r15 changed-code canaries — whatever r15 itself changes;
-# (2) registrations drawn from the FIFTEEN r13-staged r15-tranche
-#     queries (skyline, cusum, oof-encoding, hits, bfs, stump, holt,
-#     kmv, assortativity, diff-in-diff, gsp, readability, modularity,
-#     spearman, ndcg/mrr — all verification-complete; whitelist entries
-#     pre-added for the seven that plan bounded crossJoins/probes), as
-#     many as the governor's 50 - backlog allows after canaries;
-# (3) r10-era drain oldest-first (48 keys entering r14; whatever the
-#     r15 registrations + canaries leave of the window).
-#
 # r15 staging tranche (staged in the r13 continuation session; the r14
 # window is full, so these register in r15 after its drain tail):
 # pareto_skyline_parts (relational.py — dominance/skyline class: 2-D
@@ -181,60 +132,95 @@ _MODULES = (
 # crossJoins or bounded non-equi probes (cusum, hits, ndcg, stump, kmv,
 # modularity, diff-in-diff — ADVICE r13: the staging record must list
 # every _NESTED_LOOP_OK entry the tranche actually added).
+# ROUND-15 WINDOW (optimization round 2/2 — no registrations; registry
+# stays 244). VERDICT r14 #1: the r14 optimization batches rewrote ~26
+# query plans AFTER the r14 window froze, so only 4 got a driver row —
+# the house rule (changed-code beats stale) makes every r14-rewritten
+# query a canary THIS round, joined by every query r15's own optimization
+# touches. Seat order:
+#  1. r14+r15 changed-code canaries (45): the r14 rewrites (bootstrap
+#     pair, JL, theil_sen two-level rank, driver-side IVF Lloyd, the
+#     PQ/simhash SQL trees, nb_lang single-shuffle trainer, psi, pagerank,
+#     basket, item_cf/triangle, sim_lsh_recall, bloom, logreg, dbscan,
+#     table_integrity, winsorized pair) — four of which (sim_ivf_probe,
+#     simhash pair, dbscan) already got r14 rows but were re-rewritten or
+#     share r15-touched machinery — plus the r15 rewrites: the
+#     range-partitioned exact-percentile rank (winsorized pair, psi), the
+#     folded NB trainer (nb pair), and every consumer of the r15 SQL-twin
+#     conversions (bm25/rrf, kfold, ewma, lineitem correlations, the
+#     minhash/shingle family incl. the edge-graph cluster consumers, the
+#     cosine-expression similarity family). Twin conversions are
+#     plan-identity-proven (normalized analyzed trees byte-equal,
+#     plans/r15 + parity tests), but the proof rides the canary seat, not
+#     the other way round.
+#  2. r10-era drain, oldest-first alphabetical (5 seats this round; the
+#     r10 tier entered r15 with 48 keys, 44 after the canaries above —
+#     the remainder drains in r16+ after this round's canary spike).
+# The fifteen r13-staged r15-tranche queries stay UNREGISTERED: this is
+# an optimization round (no new features); they queue for the next build
+# round exactly as staged.
 _DRIVER_PRIORITY = (
-    # --- 1. round-14 registrations (the eight r13-staged classes) ---
-    "n17_render_shaded_checksum",  # N17 SH-shaded pixel tier value oracle
-    "n17_render_texture_checksum",  # N17 full textured forward value oracle
-    "kaplan_meier_survival",  # exact-integer product-limit survival
-    "logrank_segment_survival",  # two-sample log-rank on shared risk sets
-    "bh_fdr_lang_source",  # Benjamini-Hochberg step-up FDR
-    "dbscan_grid_roles",  # grid-density core/border/noise labeling
-    "triangle_count_brand_graph",  # exact triangles + clustering coeff
-    "acf_ljung_box_daily",  # ACF lags 1..7 + Ljung-Box portmanteau
-    # --- 2. r9-era drain (the full remaining 42-key tier, alphabetical) ---
-    "lang_id_heuristic",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_image_channel_means",
-    "n10_bbox_transform_chain",
-    "n14_code_split",
-    "pack_token_budget",
-    "profile_documents",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_below_avg_quantity",
-    "q19_disjunctive_revenue",
-    "q22_dormant_rich_customers",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "range_interval_join",
-    "revenue_mom_growth",
-    "s5_blink_features",
-    "s7_resample_linear",
-    "sim_brute_cosine_topk",
-    "sim_cosine_topk_per_label",
+    # --- 1a. r14-rewritten canaries (VERDICT r14 #1) ---
+    "bootstrap_ci_order_value",
+    "bootstrap_ci_order_value_prod",
+    "random_projection_jl",
+    "table_integrity_checksums",
+    "theil_sen_daily_slope",
+    "ngram_jaccard_exact_pairs",
+    "sim_ivf_trained_topk",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "sim_ivf_probe_topk",
-    "sim_lsh_bucket_topk",
     "simhash_fingerprint",
     "simhash_hamming_near_dups",
-    "skew_salted_quantity_rollup",
-    "source_overlap_matrix",
-    "split_train_val_test",
-    "stratified_sample_by_lang",
-    "streaming_late_data_metrics",
-    "streaming_late_sink_counts",
-    "string_functions_suite",
-    "table_profile_orders",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_token_stats",
-    "wav2vec_features_stub",
-    "weighted_sample_by_length",
-    "wide_source_assembly",
-    "window_rank_suite",
+    "sim_lsh_recall_certified",
+    "bloom_filter_semi_join",
+    "logreg_newton_lang",
+    "item_cf_top_recs",
+    "triangle_count_copart",
+    "basket_association_rules",
+    "dbscan_grid_roles",
+    # --- 1b. rewritten in BOTH r14 and r15 ---
+    "winsorized_price_stats",
+    "winsorized_bounds_sketch_certified",
+    "psi_snapshot_drift",
+    "nb_lang_classifier_scores",
+    "nb_lang_margin",
+    "pagerank_trade_network",
+    # --- 1c. r15 SQL-twin conversion canaries (plan-identity proven) ---
+    "bm25_topk_docs",
+    "rrf_hybrid_topk",
+    "kfold_linreg_cv",
+    "ewma_user_values",
+    "lineitem_measure_correlations",
+    "minhash_signatures",
+    "minhash_lsh_near_dups",
+    "minhash_estimate_error",
+    "incremental_dedup_against_index",
+    "shingle_containment_pairs",
+    "ngram_jaccard_near_dups",
+    "decontaminate_against_benchmark",
+    "dedup_cluster_assignments",
+    "dedup_cluster_size_histogram",
+    "dedup_keep_best_quality",
+    "corpus_clean_pipeline",
+    "sim_brute_cosine_topk",
+    "sim_cosine_topk_per_label",
+    "sim_sq8_quant_topk",
+    "sim_lsh_bucket_topk",
+    # --- 2. r10-era drain (oldest tier, alphabetical; 5 seats) ---
+    "approx_quantiles_certified",
+    "bigram_lm_doc_scores",
+    "bpe_top_merge_pairs",
+    "class_balanced_scale_path",
+    "cms_heavy_hitters",
 )
+
+# r15 changed-code canaries (window section 1 above) — exported so the
+# default-tier oracle smoke (tests/test_queries_oracle.py) always runs
+# exactly the queries whose code moved this round even when the full
+# replica is gated behind SPARK_GRAFT_SLOW.
+R15_CANARIES = _DRIVER_PRIORITY[:45]
 
 # Overflow queue: never-driver-certified queries registered after the
 # current window filled its 50 seats. EMPTY for round 14 — the eight r14

@@ -15,9 +15,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from talkinghead_datapipeline_spark.catalog import load_table, persist_once
-from talkinghead_datapipeline_spark.operators.percentiles import (
-    exact_percentiles_by_rank,
-)
 from talkinghead_datapipeline_spark.queries import register
 from talkinghead_datapipeline_spark.queries.timeseries import _SNAP_H, snap_hash20
 
@@ -105,29 +102,31 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # r15 (guide §2.3/§2.5): the decile boundaries moved off the global
-    # ``F.percentile`` — one final-merge task buffering and sorting every
-    # reference price — onto the range-partitioned two-level exact rank
-    # (operators/percentiles.py; bit-identical doubles at every fraction,
-    # parity pinned by tests/test_percentile_rank_parity.py). Still one
-    # broadcast 1-row frame feeding the map-side binning.
-    cuts = exact_percentiles_by_rank(
-        v1,
-        [],
-        "price",
-        list(_PSI_CUTS),
-        spark.sparkContext.defaultParallelism,
-        out_prefix="c",
-    ).drop("n")
+    # r15 A/B (guide §1 — measure, don't pattern-match): the winsorized
+    # pair's swap of F.percentile for the range-partitioned two-level rank
+    # (operators/percentiles.py) was tried here too and REJECTED — psi's
+    # boundaries sort ONE ~150k-row buffer, and the rank path's extra
+    # stages (range sampling, offset frame, rank probe) cost more than
+    # that single sort at sf0.1: isolated median-of-3 build+exec
+    # 0.33+1.06 with F.percentile vs 0.41+1.39 with the rank (1.29x
+    # worse). The docstring's at-100TB story is unchanged: the production
+    # path is percentile_approx (certified by approx_quantiles_certified),
+    # not a bigger exact sort.
+    cuts = v1.agg(
+        F.percentile("price", F.array(*[F.lit(c) for c in _PSI_CUTS])).alias(
+            "cuts"
+        )
+    )
 
     # One JVM-parsed string for the 9-term bin expression (guide §4: the
     # Column-API fold cost ~1k py4j round-trips per build); same
-    # left-associated 1 + CAST(price > c{i} AS INT) tree as the loop it
-    # replaces.
+    # left-associated 1 + CAST(price > element_at(cuts, i) AS INT) tree as
+    # the loop it replaces.
     b = F.expr(
         "1 + "
         + " + ".join(
-            f"CAST(price > c{i} AS INT)" for i in range(len(_PSI_CUTS))
+            f"CAST(price > element_at(cuts, {i + 1}) AS INT)"
+            for i in range(len(_PSI_CUTS))
         )
     )
     # ONE binning pass over v1 ∪ v2 with per-version conditional counts

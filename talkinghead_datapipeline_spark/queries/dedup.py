@@ -74,10 +74,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushdown_barrier: keeps the size-filter from re-running the shingle
     # chain below this projection (1.9x at sf0.1 — catalog docstring).
     sh = pushdown_barrier(
-        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("_g")),
+        docs.select("doc_id", F.expr(D.hashed_shingles_sql("text")).alias("_g")),
         "mhsig",
     ).filter(F.size("_g") >= 1)
-    sig = D.minhash_sig_from_hashes(F.col("_g"))
+    sig = F.expr(D.minhash_sig_from_hashes_sql("_g"))
     return sh.select(
         "doc_id",
         *[F.element_at(sig, k + 1).alias(f"mh{k}") for k in range(D.N_PERM)],
@@ -198,11 +198,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pushed size-filter would still double-run the shingle chain
     # within that one materialization (catalog.pushdown_barrier).
     sh = pushdown_barrier(
-        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("grams")),
+        docs.select("doc_id", F.expr(D.hashed_shingles_sql("text")).alias("grams")),
         "mhest",
     ).filter(F.size("grams") >= 1)
     sigs = persist_once(
-        sh.select("doc_id", "grams", D.minhash_sig_from_hashes(F.col("grams")).alias("sig"))
+        sh.select("doc_id", "grams", F.expr(D.minhash_sig_from_hashes_sql("grams")).alias("sig"))
     )
     n_bands = D.N_PERM // D.BAND_WIDTH
     band_vals = [
@@ -511,7 +511,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(D.char_ngrams(F.col("text")), D.portable_hash32)
         ).alias("grams"),
     )
-    sig = D.minhash_sig_from_hashes(F.col("grams"))
+    sig = F.expr(D.minhash_sig_from_hashes_sql("grams"))
     bands = [
         F.concat_ws(
             "|",
@@ -1019,7 +1019,7 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     def side_grams(pred):
         return docs.filter(pred).select(
             "doc_id",
-            F.explode(D.hashed_shingles(F.col("text"), n=_DECON_N)).alias("h"),
+            F.explode(F.expr(D.hashed_shingles_sql("text", n=_DECON_N))).alias("h"),
         )
 
     bench = side_grams(F.col("doc_id") % 97 == 0).select("h").distinct()
@@ -1239,10 +1239,10 @@ def incremental_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFra
     # pushdown_barrier: both consumer sides (index + batch) would otherwise
     # re-run the shingle chain below the size-filter (catalog docstring).
     sh = pushdown_barrier(
-        docs.select("doc_id", D.hashed_shingles(F.col("text")).alias("_g")),
+        docs.select("doc_id", F.expr(D.hashed_shingles_sql("text")).alias("_g")),
         "incdedup",
     ).filter(F.size("_g") >= 1)
-    sig = D.minhash_sig_from_hashes(F.col("_g"))
+    sig = F.expr(D.minhash_sig_from_hashes_sql("_g"))
     sigs = sh.select(
         "doc_id",
         *[F.element_at(sig, k + 1).alias(f"mh{k}") for k in range(D.N_PERM)],
@@ -1353,7 +1353,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pushdown_barrier(
             rebalance_for_compute(docs).select(
                 "doc_id",
-                F.array_sort(D.hashed_shingles(F.col("text"), n=_CONT_N)).alias(
+                F.array_sort(F.expr(D.hashed_shingles_sql("text", n=_CONT_N))).alias(
                     "sh"
                 ),
             ),

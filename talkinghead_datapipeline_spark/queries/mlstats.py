@@ -810,71 +810,55 @@ def kfold_linreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("x"),
         F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("y"),
     )
+    # r15 (guide §4): the 13-column total-minus-fold window block, the
+    # Cramer-style fit arithmetic and the expanded-quadratic MSE are
+    # assembled as JVM-parsed strings — the Column form cost ~5.9k py4j
+    # round-trips per build. Identical association to the oracle's
+    # fit/fit2/scored CTEs (and to the Column fold it replaces: plan
+    # normdiff empty, plans/r15/kfold_linreg_cv_{before,after}).
     per = base.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.expr("CAST(count(1) AS BIGINT) AS n"),
+        F.expr("sum(x) AS sx"),
+        F.expr("sum(y) AS sy"),
+        F.expr("sum(x * y) AS sxy"),
+        F.expr("sum(x * x) AS sxx"),
+        F.expr("sum(y * y) AS syy"),
     )
-    w = W.partitionBy()
-    tr = per.select(
+    ov = "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    tr = per.selectExpr(
         "fold",
-        (F.sum("n").over(w) - F.col("n")).cast("bigint").alias("n_train"),
-        F.col("n").alias("n_val"),
-        (F.sum("n").over(w) - F.col("n")).cast("double").alias("nt"),
-        (F.sum("sx").over(w) - F.col("sx")).cast("double").alias("sxt"),
-        (F.sum("sy").over(w) - F.col("sy")).cast("double").alias("syt"),
-        (F.sum("sxy").over(w) - F.col("sxy")).cast("double").alias("sxyt"),
-        (F.sum("sxx").over(w) - F.col("sxx")).cast("double").alias("sxxt"),
-        F.col("n").cast("double").alias("nv"),
-        F.col("sx").cast("double").alias("sxv"),
-        F.col("sy").cast("double").alias("syv"),
-        F.col("sxy").cast("double").alias("sxyv"),
-        F.col("sxx").cast("double").alias("sxxv"),
-        F.col("syy").cast("double").alias("syyv"),
+        f"CAST(sum(n) {ov} - n AS BIGINT) AS n_train",
+        "n AS n_val",
+        f"CAST(sum(n) {ov} - n AS DOUBLE) AS nt",
+        f"CAST(sum(sx) {ov} - sx AS DOUBLE) AS sxt",
+        f"CAST(sum(sy) {ov} - sy AS DOUBLE) AS syt",
+        f"CAST(sum(sxy) {ov} - sxy AS DOUBLE) AS sxyt",
+        f"CAST(sum(sxx) {ov} - sxx AS DOUBLE) AS sxxt",
+        "CAST(n AS DOUBLE) AS nv",
+        "CAST(sx AS DOUBLE) AS sxv",
+        "CAST(sy AS DOUBLE) AS syv",
+        "CAST(sxy AS DOUBLE) AS sxyv",
+        "CAST(sxx AS DOUBLE) AS sxxv",
+        "CAST(syy AS DOUBLE) AS syyv",
     )
-    # Identical association to the oracle's fit/fit2/scored CTEs.
-    fit = tr.withColumn(
-        "b1",
-        (F.col("nt") * F.col("sxyt") - F.col("sxt") * F.col("syt"))
-        / (F.col("nt") * F.col("sxxt") - F.col("sxt") * F.col("sxt")),
+    fit = tr.selectExpr(
+        "*",
+        "(nt * sxyt - sxt * syt) / (nt * sxxt - sxt * sxt) AS b1",
     )
-    fit2 = fit.withColumn(
-        "b0", (F.col("syt") - F.col("b1") * F.col("sxt")) / F.col("nt")
+    fit2 = fit.selectExpr("*", "(syt - b1 * sxt) / nt AS b0")
+    scored = fit2.selectExpr(
+        "*",
+        "(((syyv - (2 * b0) * syv) - (2 * b1) * sxyv)"
+        " + ((b0 * b0) * nv + ((2 * b0) * b1) * sxv)"
+        " + (b1 * b1) * sxxv) / nv AS mse",
     )
-    scored = fit2.withColumn(
-        "mse",
-        (
-            (
-                (
-                    F.col("syyv")
-                    - (F.lit(2) * F.col("b0")) * F.col("syv")
-                )
-                - (F.lit(2) * F.col("b1")) * F.col("sxyv")
-            )
-            + (
-                (F.col("b0") * F.col("b0")) * F.col("nv")
-                + ((F.lit(2) * F.col("b0")) * F.col("b1")) * F.col("sxv")
-            )
-            + (F.col("b1") * F.col("b1")) * F.col("sxxv")
-        )
-        / F.col("nv"),
-    )
-    return scored.select(
-        F.col("fold").cast("bigint").alias("fold"),
+    return scored.selectExpr(
+        "CAST(fold AS BIGINT) AS fold",
         "n_train",
         "n_val",
-        F.floor(F.col("b0") * F.lit(1000000.0)).cast("bigint").alias(
-            "beta0_micro"
-        ),
-        F.floor(F.col("b1") * F.lit(1000000.0)).cast("bigint").alias(
-            "beta1_micro"
-        ),
-        F.floor(F.col("mse") * F.lit(1000000.0)).cast("bigint").alias(
-            "val_mse_micro"
-        ),
+        "CAST(FLOOR(b0 * 1000000.0D) AS BIGINT) AS beta0_micro",
+        "CAST(FLOOR(b1 * 1000000.0D) AS BIGINT) AS beta1_micro",
+        "CAST(FLOOR(mse * 1000000.0D) AS BIGINT) AS val_mse_micro",
     ).orderBy("fold")
 
 

@@ -764,33 +764,30 @@ def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     in the oracle; the engines' built-in corr()s are deliberately avoided
     (they disagree on update order)."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    # r15 (guide §4): the per-variable moment aggregates and per-pair
+    # Pearson assemblies parse as JVM-side strings — the Column loops cost
+    # ~2.9k py4j round-trips per build, paid per bench rep. Same trees
+    # (plan normdiff empty, plans/r15/lineitem_measure_correlations_*).
+    aggs = [F.expr("CAST(count(1) AS DOUBLE) AS n")]
     for v in _CORR_VARS:
-        aggs.append(F.sum(F.col(v).cast("double")).alias(f"s_{v}"))
+        aggs.append(F.expr(f"sum(CAST({v} AS DOUBLE)) AS s_{v}"))
         aggs.append(
-            F.sum(F.col(v).cast("double") * F.col(v).cast("double")).alias(f"s2_{v}")
+            F.expr(f"sum(CAST({v} AS DOUBLE) * CAST({v} AS DOUBLE)) AS s2_{v}")
         )
     for x, y in _CORR_PAIRS:
         aggs.append(
-            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(
-                f"s_{x}_{y}"
-            )
+            F.expr(f"sum(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) AS s_{x}_{y}")
         )
     sums = li.agg(*aggs)
-    n = F.col("n")
-    outs = [n.cast("bigint").alias("n_rows")]
+    outs = ["CAST(n AS BIGINT) AS n_rows"]
     for x, y in _CORR_PAIRS:
-        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
-        sxx, syy = F.col(f"s2_{x}"), F.col(f"s2_{y}")
-        sxy = F.col(f"s_{x}_{y}")
         outs.append(
-            F.round(
-                (n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                6,
-            ).alias(_corr_name(x, y))
+            f"round((n * s_{x}_{y} - s_{x} * s_{y})"
+            f" / sqrt((n * s2_{x} - s_{x} * s_{x})"
+            f" * (n * s2_{y} - s_{y} * s_{y})), 6)"
+            f" AS {_corr_name(x, y)}"
         )
-    return sums.select(*outs)
+    return sums.selectExpr(*outs)
 
 
 # ---------------------------------------------------------------------------

@@ -184,7 +184,7 @@ def sim_brute_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -296,7 +296,7 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "bucket",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -367,7 +367,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("cluster").cast("bigint").alias("cluster"),
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -602,7 +602,7 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("cluster").cast("bigint").alias("cluster"),
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -904,7 +904,7 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("cos_sim"),
         )
     )
     w = W.partitionBy("label").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -1049,7 +1049,7 @@ def sim_sq8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qexact))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("xc"),
+            F.expr(f"round({_cosine_expr('embedding', 'qvec')}, 6)").alias("xc"),
         )
         .orderBy(F.desc("xc"), F.asc("vec_id"))
         .limit(10)
@@ -1062,7 +1062,7 @@ def sim_sq8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("rhat"), F.col("qhat")), 6).alias("sq_cos"),
+            F.expr(f"round({_cosine_expr('rhat', 'qhat')}, 6)").alias("sq_cos"),
             F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint").alias(
                 "in_exact_top10"
             ),

@@ -1510,52 +1510,47 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_scored(docs: DataFrame) -> DataFrame:
     """``(doc_id, dl, tf_<term>..., bm25_raw)`` for the fixed 4-term query —
     the shared scoring frame behind `bm25_topk_docs` and
-    `curation.rrf_hybrid_topk` (mirrors the SQL `_bm25_scored_cte`)."""
-    tf = docs.select(
+    `curation.rrf_hybrid_topk` (mirrors the SQL `_bm25_scored_cte`).
+
+    r15 (guide §4): the per-term Column loops (tf filter lambdas, df CASE
+    sums, the 4-term score fold) are assembled as JVM-parsed strings — the
+    Column form cost ~3.6k py4j round-trips per build, paid once per bench
+    rep by BOTH consumers. Same trees: double literals use the ``D``
+    suffix, operand order matches the old fold exactly (plan normdiff
+    empty, plans/r15/{bm25_topk_docs,rrf_hybrid_topk}_{before,after})."""
+    k1, b = repr(_BM25_K1), repr(_BM25_B)
+    tf = docs.selectExpr(
         "doc_id",
-        F.split(F.lower("text"), r"\s+").alias("toks"),
-    ).select(
+        "split(lower(text), '\\\\s+') AS toks",
+    ).selectExpr(
         "doc_id",
-        F.size("toks").cast("double").alias("dl"),
+        "CAST(size(toks) AS DOUBLE) AS dl",
         *[
-            # NB: the lambda must be unary — a second Python parameter would
-            # make Spark bind it as the (element, index) form.
-            F.size(F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t)))
-            .cast("double")
-            .alias(f"tf_{t}")
+            f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
             for t in _BM25_TERMS
         ],
     )
     stats = tf.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.expr("CAST(count(1) AS DOUBLE) AS n_docs"),
+        F.expr("avg(dl) AS avgdl"),
         *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1.0).otherwise(0.0)).alias(f"df_{t}")
+            F.expr(
+                f"sum(CASE WHEN tf_{t} > 0 THEN 1.0D ELSE 0.0D END) AS df_{t}"
+            )
             for t in _BM25_TERMS
         ],
     )
-    score = None
-    for t in _BM25_TERMS:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
-            / (F.col(f"df_{t}") + F.lit(0.5))
-        )
-        term = (
-            idf
-            * (F.col(f"tf_{t}") * F.lit(_BM25_K1 + 1.0))
-            / (
-                F.col(f"tf_{t}")
-                + F.lit(_BM25_K1)
-                * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        score = term if score is None else score + term
-    return tf.crossJoin(F.broadcast(stats)).select(
+    score = " + ".join(
+        f"(ln(1.0D + (n_docs - df_{t} + 0.5D) / (df_{t} + 0.5D))"
+        f" * (tf_{t} * {_BM25_K1 + 1.0!r}D)"
+        f" / (tf_{t} + {k1}D * (1.0D - {b}D + {b}D * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    return tf.crossJoin(F.broadcast(stats)).selectExpr(
         "doc_id",
         "dl",
         *[f"tf_{t}" for t in _BM25_TERMS],
-        score.alias("bm25_raw"),
+        f"{score} AS bm25_raw",
     )
 
 

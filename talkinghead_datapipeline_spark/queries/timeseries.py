@@ -891,17 +891,22 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags over one shared window sort. No rescaled running sums (overflow-
     prone), no applyInPandas."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id")
-    num = None
-    den = None
+    # r15 (guide §4): the 24-lag FIR fold is assembled as ONE JVM-parsed
+    # string — the Column loop cost ~3k py4j round-trips per build, paid
+    # per bench rep. Same tree: double literals with the D suffix, same
+    # left-associated num/den sums, same lag window (plan normdiff empty,
+    # plans/r15/ewma_user_values_{before,after}).
+    over = "OVER (PARTITION BY user_id ORDER BY event_id)"
+    nterms, dterms = [], []
     for k, c in enumerate(_EWMA_COEFS):
-        x = F.col("value") if k == 0 else F.lag("value", k).over(w)
-        nterm = F.coalesce(F.lit(c) * x, F.lit(0.0))
-        dterm = F.when(x.isNotNull(), F.lit(c)).otherwise(F.lit(0.0))
-        num = nterm if num is None else num + nterm
-        den = dterm if den is None else den + dterm
-    return ev.select(
-        "user_id", "event_id", F.round(num / den, 6).alias("ewma_value")
+        x = "value" if k == 0 else f"lag(value, {k}) {over}"
+        nterms.append(f"COALESCE({c!r}D * {x}, 0.0D)")
+        dterms.append(f"(CASE WHEN {x} IS NOT NULL THEN {c!r}D ELSE 0.0D END)")
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        f"round(({' + '.join(nterms)}) / ({' + '.join(dterms)}), 6)"
+        " AS ewma_value",
     )
 
 

@@ -10,6 +10,8 @@ documented overflow bound, and the three-axis invariance contract.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 
@@ -22,6 +24,7 @@ from talkinghead_datapipeline_spark.queries.timeseries import (
 from tests.oracle_harness import run_compare
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_staged_oracle_matches(spark, sf_dir):
     res = run_compare(
         spark, sf_dir, "acf_ljung_box_daily", acf_ljung_box_daily,

@@ -10,6 +10,8 @@ NULL r), and the overflow bound from measured fixture maxima.
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from talkinghead_datapipeline_spark.queries.graph import (
@@ -112,6 +114,7 @@ def _oracle_row(tmp_path):
     return row
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_crafted_star_and_regular(spark, tmp_path):
     # star: one supplier, 5 customers -> hub deg 5 meets leaves deg 1:
     # maximally disassortative, r = -1 exactly -> r_ppm = -1000000

@@ -17,6 +17,24 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 
+def test_digest_is_bounded_and_slowest_first():
+    """The final-line per-query digest (VERDICT r14 #2) must stay inside
+    its serialized-size budget whatever the registry size, keep 2-decimal
+    values, and select the slowest queries first (deterministic name
+    tiebreak) — those are the rows a cross-round or cross-core comparison
+    can actually resolve."""
+    timings = {f"query_{i:03d}": (i % 37) / 10 + 0.01 * i for i in range(400)}
+    d = bench._digest(timings)
+    assert 0 < len(d) < len(timings)
+    assert len(json.dumps(d)) <= bench._DIGEST_BUDGET + 50
+    # slowest-first selection: everything excluded is <= everything included
+    floor = min(timings[k] for k in d)
+    assert all(v <= floor for k, v in timings.items() if k not in d)
+    assert all(v == round(timings[k], 2) for k, v in d.items())
+    # ties broken by name, deterministically
+    assert bench._digest(timings) == d
+
+
 def test_local_record_round_trips(tmp_path, monkeypatch):
     result = {
         "queries": {"q1_pricing_summary": 0.123, "flagship_segment_leaders": 0.456},

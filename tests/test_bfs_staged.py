@@ -10,6 +10,8 @@ unreached island (pinned on both engines), and the layer contract
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from talkinghead_datapipeline_spark.queries.graph import (
@@ -98,6 +100,7 @@ def test_matches_independent_python_bfs(spark, sf_dir):
     assert sum(v for (d, k), v in got.items() if k == "supplier") == len(supp)
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_crafted_chain_with_island(spark, tmp_path):
     """Chain s1 - c1 - s2 - c2 - s3 - c3 ... long enough to exceed the
     hop cap, plus an isolated customer island: layers 0..4 land exactly,

@@ -3,6 +3,8 @@ executed via talkinghead_datapipeline_spark.run on both graph dialects."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -49,6 +51,7 @@ def _graph_path(tmp_path) -> str:
     return p
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_cli_reference_config_end_to_end(spark, tmp_path):
     media = str(tmp_path / "media")
     out = str(tmp_path / "out")

@@ -9,6 +9,8 @@ division operands stay under 2^53)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from talkinghead_datapipeline_spark.queries.timeseries import (
@@ -163,6 +165,7 @@ def test_ts_split_invariance_bit_exact(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_conf_axis_invariance_bit_exact(spark, sf_dir):
     from tests.oracle_harness import assert_conf_axis_invariance
 

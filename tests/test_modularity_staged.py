@@ -9,6 +9,8 @@ everything in one community (Q = 0 exactly).
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 from fractions import Fraction
 
@@ -136,6 +138,7 @@ def _oracle_rows(tmp_path):
     return rows
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_crafted_two_cliques_and_one_block(spark, tmp_path):
     # two disconnected 2x2 bicliques in separate nations: half the degree
     # mass and all inner edges per community -> Q = 2*(1/2 - 1/4) = 1/2

@@ -11,6 +11,8 @@ and the int64 overflow-bound assertion from the staging comment.
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from talkinghead_datapipeline_spark.queries.mlstats import (
@@ -85,6 +87,7 @@ def _write_tables(spark, tmp_path, orders, customers):
     )
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_leakage_contract(spark, tmp_path):
     """Perturbing ONLY fold f's target values must leave every fold-f
     encoding unchanged — the defining property of out-of-fold encoding."""

@@ -17,11 +17,32 @@ _WITH_ORACLE = sorted(name for name, s in _SPECS.items() if s.oracle is not None
 _ROWS_ONLY = sorted(name for name, s in _SPECS.items() if s.oracle is None)
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = _SPECS[name]
     result = run_compare(spark, sf_dir, name, spec.spark, spec.oracle)
     assert result.ok, str(result)
+
+
+def test_canary_queries_match_oracle(spark, sf_dir):
+    """Default-tier oracle smoke over THIS round's changed-code canaries
+    (the full 243-query replica above is slow-gated per VERDICT r14 #3):
+    the queries whose code moved are exactly the ones a fast verify run
+    must still diff against DuckDB. One loop, one session."""
+    from talkinghead_datapipeline_spark.queries import R15_CANARIES
+
+    failures = []
+    for name in R15_CANARIES:
+        spec = _SPECS[name]
+        if spec.oracle is None:  # the pinned rows-only prod twin
+            assert spec.spark(spark, sf_dir).count() > 0
+            continue
+        result = run_compare(spark, sf_dir, name, spec.spark, spec.oracle)
+        if not result.ok:
+            failures.append(str(result))
+        spark.catalog.clearCache()
+    assert not failures, "\n".join(failures)
 
 
 def test_rows_only_queries_run(spark, sf_dir):
@@ -49,6 +70,7 @@ def test_all_queries_oracled():
     )
 
 
+@pytest.mark.slow  # heavy tier (see conftest; VERDICT r14 #3)
 def test_output_schemas_are_scalar_only(spark, sf_dir):
     """Driver-canonicalizer guard (VERDICT r5 #2): the external comparison
     harness canonicalizes results with pandas ``sort_values`` over ALL
@@ -159,49 +181,27 @@ def test_driver_priority_rotation_policy():
     }
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
-    # round-14 canaries: every query whose implementation (or output
-    # contract) changed after its last green driver row holds a seat —
-    # the eight r14 registrations (never certified yet, so they lead the
-    # window per the governor above). r14's other code edits touch only
-    # the UNREGISTERED r15-staged kmv query (ADVICE r13 ANSI div guard)
-    # and comments, so no changed-code canaries are owed.
-    canaries = {
-        # r14 registrations (staged r13, three-SF oracle + invariance)
-        "n17_render_shaded_checksum",
-        "n17_render_texture_checksum",
-        "kaplan_meier_survival",
-        "logrank_segment_survival",
-        "bh_fdr_lang_source",
-        "dbscan_grid_roles",
-        "triangle_count_brand_graph",
-        "acf_ljung_box_daily",
+    # round-15 canaries (VERDICT r14 #1: changed-code beats stale, applied
+    # to BOTH optimization rounds' rewrites): every query whose plan the
+    # r14 batches rewrote plus every query the r15 optimization touched
+    # (directly or through a shared helper — the minhash/bm25/cosine SQL
+    # twins, the exact-percentile rank, the NB trainer fold) holds a seat.
+    # The canonical list lives next to the window itself.
+    from talkinghead_datapipeline_spark.queries import R15_CANARIES
+
+    assert len(R15_CANARIES) == 45
+    assert set(R15_CANARIES) <= prefix, (
+        f"missing canaries: {sorted(set(R15_CANARIES) - prefix)}"
+    )
+    # Staleness floor: the remaining seats drain the r10 tier oldest-first
+    # (alphabetical); after r15 the oldest uncertified-in-5-rounds keys are
+    # exactly the r10 remainder the canary spike displaced.
+    r10_head = {
+        "approx_quantiles_certified", "bigram_lm_doc_scores",
+        "bpe_top_merge_pairs", "class_balanced_scale_path",
+        "cms_heavy_hitters",
     }
-    assert canaries <= prefix, f"missing canaries: {sorted(canaries - prefix)}"
-    # Staleness floor: the full remaining r9-era tier is seated, so after
-    # r14 no key's latest green row predates r10 (the r8 tier drained in
-    # r13 the same way).
-    r9_era = {
-        "lang_id_heuristic", "multimodal_binary_features",
-        "multimodal_frame_sample", "multimodal_image_channel_means",
-        "n10_bbox_transform_chain", "n14_code_split", "pack_token_budget",
-        "profile_documents", "q14_promo_revenue_ratio", "q15_top_supplier",
-        "q17_below_avg_quantity", "q19_disjunctive_revenue",
-        "q22_dormant_rich_customers", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-        "range_interval_join", "revenue_mom_growth", "s5_blink_features",
-        "s7_resample_linear", "sim_brute_cosine_topk",
-        "sim_cosine_topk_per_label", "sim_ivf_probe_topk",
-        "sim_lsh_bucket_topk", "simhash_fingerprint",
-        "simhash_hamming_near_dups", "skew_salted_quantity_rollup",
-        "source_overlap_matrix", "split_train_val_test",
-        "stratified_sample_by_lang", "streaming_late_data_metrics",
-        "streaming_late_sink_counts", "string_functions_suite",
-        "table_profile_orders", "text_bpe_token_count",
-        "text_quality_score", "text_token_stats", "wav2vec_features_stub",
-        "weighted_sample_by_length", "wide_source_assembly",
-        "window_rank_suite",
-    }
-    assert r9_era <= prefix, f"unseated r9-era keys: {sorted(r9_era - prefix)}"
+    assert r10_head <= prefix, f"unseated r10-head keys: {sorted(r10_head - prefix)}"
 
 
 

@@ -16,6 +16,9 @@ from talkinghead_datapipeline_spark.plans.reference_compat import (
     synthetic_clips,
 )
 
+# Heavy tier: skipped unless SPARK_GRAFT_SLOW=1 (see conftest; VERDICT r14 #3)
+pytestmark = pytest.mark.slow
+
 _REF_CONFIG = "/root/reference/configs/mead_a2en_vid2vid.json"
 
 

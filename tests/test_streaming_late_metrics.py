@@ -44,6 +44,9 @@ from talkinghead_datapipeline_spark.streaming.incremental import (
 )
 from tests.oracle_harness import run_compare
 
+# Heavy tier: skipped unless SPARK_GRAFT_SLOW=1 (see conftest; VERDICT r14 #3)
+pytestmark = pytest.mark.slow
+
 
 def _run_crafted(spark, batches: list[list[str]]) -> list[tuple[int, int, int]]:
     """Run the 1h-window/30min-watermark count agg over one landing file

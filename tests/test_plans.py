@@ -12,9 +12,6 @@ import pytest
 
 from talkinghead_datapipeline_spark.queries import all_queries
 
-# Heavy tier: skipped unless SPARK_GRAFT_SLOW=1 (see conftest; VERDICT r14 #3)
-pytestmark = pytest.mark.slow
-
 _SPECS = all_queries()
 
 
